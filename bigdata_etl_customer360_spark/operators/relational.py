@@ -1,0 +1,189 @@
+"""Core relational operators (SURVEY §2.2-2.7, §2.11 macro-operators).
+
+Each is a pure ``DataFrame -> DataFrame`` function built from declarative
+DataFrame ops so Catalyst gets the whole plan: predicate pushdown, column
+pruning, partial aggregation, AQE join selection all apply. Scale notes per
+operator explain why the chosen plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.functions.expressions import bucketize_expr, case_map
+
+
+def map_dimension(
+    df: DataFrame,
+    col: str,
+    mapping: Mapping[str, str],
+    out_col: str | None = None,
+    drop_unmapped: bool = False,
+    default: str | None = None,
+) -> DataFrame:
+    """Dimension mapping via generated CASE (E1+P3, dimension_map macro).
+
+    Reference: AppName → content type + drop of unmapped 'Error' rows
+    (ETL_customer_interaction.py:9-21). Zero-shuffle: the CASE is a
+    codegen'd projection; the unmapped filter pushes down to the scan.
+    """
+    out_col = out_col or col
+    mapped = df.withColumn(out_col, case_map(col, mapping, default=default))
+    if drop_unmapped:
+        mapped = mapped.filter(F.col(out_col).isNotNull())
+    return mapped
+
+
+def map_dimension_join(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_key: str,
+    dim_value: str,
+    out_col: str,
+    drop_unmapped: bool = False,
+) -> DataFrame:
+    """Dimension mapping via broadcast join — the scale path for large
+    dimensions (a CASE with 100k branches would blow up codegen).
+
+    ``broadcast(dim)`` keeps it shuffle-free on the fact side.
+    """
+    joined = df.join(
+        F.broadcast(dim.select(F.col(dim_key), F.col(dim_value).alias(out_col))),
+        on=df[col] == dim[dim_key],
+        how="inner" if drop_unmapped else "left",
+    ).drop(dim_key)
+    return joined
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: str,
+    agg: str = "sum",
+    fill: float | int | None = 0,
+    prefix: str = "",
+    exact_decimal_scale: int | None = None,
+) -> DataFrame:
+    """Pivot-aggregate with PINNED pivot values (A4+A5, daily_pivot macro).
+
+    Reference: groupBy(Contract).pivot(Type).sum(TotalDuration).fillna(0)
+    (ETL_customer_interaction.py:69). Pinning ``pivot_values`` kills the
+    eager distinct-values job and makes the output schema deterministic —
+    at 100 TB an unpinned pivot is a full extra scan. Implemented as
+    conditional aggregation (sum(CASE WHEN pivot=v THEN x END)) rather than
+    Spark's pivot() so the plan is a single ordinary partial+final hash
+    aggregate — one shuffle, map-side combine.
+
+    ``exact_decimal_scale`` routes float sums through exact decimal
+    arithmetic (order-independent; see functions.exact_sum).
+    """
+    def _agg_for(v: str) -> Column:
+        matched = F.when(F.col(pivot_col) == v, F.col(value_col))
+        if exact_decimal_scale is not None and agg == "sum":
+            out = F.sum(matched.cast(f"decimal(27,{exact_decimal_scale})")).cast("double")
+        else:
+            out = getattr(F, agg)(matched)
+        if fill is not None:
+            out = F.coalesce(out, F.lit(fill))
+        return out.alias(f"{prefix}{v}")
+
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*[_agg_for(v) for v in pivot_values])
+
+
+def multi_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Grouped multi-aggregate (A2+A3). Thin declarative wrapper: Catalyst
+    plans a two-phase hash aggregate (map-side partial + reduce-side final)
+    — one shuffle regardless of how many aggregates ride along."""
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int = 1,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group with a DETERMINISTIC total order (W1+P4,
+    most_search macro).
+
+    Reference: row_number over (user_id, count desc) + filter rank==1
+    (ETL_customer_behavior.py:13-14) — ties nondeterministic there; callers
+    here must pass a tie-breaking suffix in ``order_by`` (tests enforce it).
+    Window+filter shuffles once on the group key; with AQE, skewed groups
+    get split. The redundant global orderBy the reference does first
+    (ETL_customer_behavior.py:12) is intentionally absent.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def union_by_name(frames: Sequence[DataFrame], allow_missing: bool = True) -> DataFrame:
+    """Schema-aligned union (U2). The reference folds per-day frames with
+    positional union / unionByName in a Python loop
+    (ETL_customer_behavior.py:170-181, ETL_customer_interaction.py:92);
+    position-based union silently mis-aligns reordered columns, so
+    by-name is the engine default."""
+    if not frames:
+        raise ValueError("union of zero frames")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=allow_missing)
+    return out
+
+
+def bucketize(
+    df: DataFrame,
+    col: str,
+    boundaries: Sequence[float],
+    labels: Sequence[str],
+    out_col: str,
+    right_closed: bool = True,
+) -> DataFrame:
+    """Range bucketing (E5) as an operator."""
+    return df.withColumn(out_col, bucketize_expr(col, boundaries, labels, right_closed))
+
+
+def trend_compare(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    value_col: str,
+    left_suffix: str = "_t1",
+    right_suffix: str = "_t2",
+    how: str = "inner",
+    trend_col: str = "trending_type",
+    change_col: str = "value_change",
+) -> DataFrame:
+    """Period-over-period comparison (J1+E6+E7, trend_compare macro).
+
+    Reference: June⋈July on user_id, Unchanged/Changed flag + transition
+    label (ETL_customer_behavior.py:196-201). ``how`` exposes left/full for
+    the keep-single-period-users variant the reference silently drops.
+    Join strategy is Catalyst's: broadcast when one side is small, else
+    sort-merge on the key; AQE converts to broadcast at runtime if a
+    filter shrank a side.
+    """
+    lv, rv = value_col + left_suffix, value_col + right_suffix
+    l = left.select(F.col(key), F.col(value_col).alias(lv))
+    r = right.select(F.col(key), F.col(value_col).alias(rv))
+    joined = l.join(r, on=key, how=how)
+    same = F.col(lv) == F.col(rv)
+    return joined.withColumn(
+        trend_col, F.when(same, F.lit("Unchanged")).otherwise(F.lit("Changed"))
+    ).withColumn(
+        change_col,
+        F.when(same, F.lit("Unchanged")).otherwise(F.concat_ws("-", F.col(lv), F.col(rv))),
+    )

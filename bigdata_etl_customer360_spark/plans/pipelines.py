@@ -1,0 +1,153 @@
+"""Macro-pipelines: the reference's two ETL programs re-expressed as
+compositions of engine operators, generalized onto the driver's synthetic
+tables (FIXTURES.md §B).
+
+``user_profile``  ≙ profile_agg macro — ETL_customer_interaction.py:43-59
+                    (per-customer engagement profile: pivoted totals,
+                    active days, most-watched label, taste flags,
+                    activeness bucket).
+``behavior_trend`` ≙ most_search + trend_compare macros —
+                    ETL_customer_behavior.py:10-15,196-201 (per-user
+                    dominant item per period, period-over-period change).
+
+Both run as ONE declarative plan: a single scan feeds a single shuffle-by-
+key aggregation; all scalar labeling is codegen'd projection on top. The
+reference instead pivoted per day before unioning (30 shuffles) and
+round-tripped through driver pandas — neither survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.functions.expressions import (
+    argmax_label,
+    bucketize_expr,
+    flag_concat,
+)
+from bigdata_etl_customer360_spark.operators.relational import (
+    map_dimension,
+    pivot_agg,
+    top_k_per_group,
+    trend_compare,
+)
+
+# events.event_type → engagement class; 'error' is deliberately unmapped
+# (dropped), mirroring the reference's Type=='Error' filter
+# (ETL_customer_interaction.py:20).
+DEFAULT_EVENT_CLASSES: Mapping[str, str] = {
+    "click": "click",
+    "view": "view",
+    "purchase": "purchase",
+    "signup": "signup",
+}
+# Argmax tie priority (fixed order, mirrors the when-chain priority at
+# ETL_customer_interaction.py:25-31).
+DEFAULT_CLASS_PRIORITY: Sequence[str] = ("purchase", "view", "click", "signup")
+
+
+def user_profile(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    classes: Mapping[str, str] = DEFAULT_EVENT_CLASSES,
+    priority: Sequence[str] = DEFAULT_CLASS_PRIORITY,
+    active_boundaries: Sequence[int] = (10, 21),
+    active_labels: Sequence[str] = ("Low", "Medium", "High"),
+) -> DataFrame:
+    """Per-user engagement profile (flagship; profile_agg macro).
+
+    Output: key, total_<class>... (exact-decimal sums of value), active_days
+    (exact distinct days), most_engaged (argmax w/ pinned tie priority),
+    engagement_mix (dash-joined nonzero classes), activeness (bucket).
+
+    Activeness boundary semantics pin the reference's mixed-closure rule
+    (>20 High, 10<=x<=20 Medium, else Low — ETL_customer_interaction.py:54-57)
+    via integer half-open buckets [<10, <21, rest).
+    """
+    class_values = list(dict.fromkeys(classes.values()))
+    total_cols = [f"total_{v}" for v in class_values]
+
+    mapped = map_dimension(events, type_col, dict(classes), out_col="_class", drop_unmapped=True)
+    # one shuffle: pivoted exact sums + distinct-day count ride the same
+    # groupBy (conditional aggregation keeps it an ordinary hash agg).
+    day = F.to_date(F.col(ts_col))
+    agg_exprs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_class") == v, F.col(value_col)).cast("decimal(27,2)")).cast(
+                "double"
+            ),
+            F.lit(0.0),
+        ).alias(f"total_{v}")
+        for v in class_values
+    ] + [F.countDistinct(day).alias("active_days")]
+    profile = mapped.groupBy(F.col(key)).agg(*agg_exprs)
+
+    prio_cols = [f"total_{p}" for p in priority]
+    return (
+        profile.withColumn("most_engaged", argmax_label(prio_cols, list(priority)))
+        .withColumn("engagement_mix", flag_concat(total_cols, class_values))
+        .withColumn(
+            "activeness",
+            bucketize_expr("active_days", list(active_boundaries), list(active_labels), right_closed=False),
+        )
+    )
+
+
+def behavior_trend(
+    events: DataFrame,
+    key: str = "user_id",
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    split_ts: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Dominant item per user, early vs late period, with change labels
+    (most_search + trend_compare macros).
+
+    The period split defaults to the midpoint of the observed time range
+    (computed as one tiny agg broadcast into the plan) so the pipeline is
+    self-contained at any scale factor; pass ``split_ts`` to pin it.
+    Top-1 tie-break is deterministic: (count desc, item asc) — the
+    reference left ties to chance (ETL_customer_behavior.py:13).
+    """
+    if split_ts is None:
+        # midpoint in exact epoch MICROSECONDS — integer arithmetic end to
+        # end, so the boundary is timezone-free and bit-stable (DuckDB
+        # oracle mirrors it with epoch_us()).
+        bounds = events.select(
+            F.timestamp_micros(
+                ((F.unix_micros(F.min(ts_col)) + F.unix_micros(F.max(ts_col))) / 2)
+                .cast("long")
+            ).alias("_split")
+        )
+        with_split = events.crossJoin(F.broadcast(bounds))
+    else:
+        with_split = events.withColumn("_split", F.to_timestamp(F.lit(split_ts)))
+
+    def dominant(df: DataFrame) -> DataFrame:
+        counted = df.groupBy(key, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+        top = top_k_per_group(
+            counted,
+            [key],
+            [F.col("cnt").desc(), F.col(item_col).asc()],
+            k=1,
+        )
+        return top.select(F.col(key), F.col(item_col).alias("dominant"))
+
+    early = dominant(with_split.filter(F.col(ts_col) < F.col("_split")))
+    late = dominant(with_split.filter(F.col(ts_col) >= F.col("_split")))
+    return trend_compare(
+        early,
+        late,
+        key=key,
+        value_col="dominant",
+        left_suffix="_early",
+        right_suffix="_late",
+        how=how,
+    )

@@ -1,0 +1,18 @@
+from bigdata_etl_customer360_spark.sources.readers import (
+    date_range_paths,
+    read_json_lines,
+    read_parquet,
+)
+from bigdata_etl_customer360_spark.sources.testdata import TABLES, load_table
+from bigdata_etl_customer360_spark.sources.sinks import write_console, write_jdbc, write_parquet
+
+__all__ = [
+    "date_range_paths",
+    "read_json_lines",
+    "read_parquet",
+    "TABLES",
+    "load_table",
+    "write_console",
+    "write_jdbc",
+    "write_parquet",
+]

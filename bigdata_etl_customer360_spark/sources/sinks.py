@@ -1,0 +1,56 @@
+"""Sinks (SURVEY §2.1 S7/S8).
+
+Mirrors the reference's MySQL JDBC sink (ETL_customer_interaction.py:73-80,
+ETL_customer_behavior.py:145-158) with explicit mode semantics (the
+reference's README claims append but the code overwrites — code wins), plus
+a parquet sink for lake-style output. Credentials come from the caller /
+environment; never hardcoded (the reference embeds an API key and DB
+password in source — ETL_customer_behavior.py:28)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    mode: str = "overwrite",
+    batchsize: int = 10000,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC sink. One DB connection per partition — cap with
+    ``num_partitions`` so a 1000-executor job doesn't open 1000
+    connections against one MySQL server."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
+    df.show(n, truncate=truncate)

@@ -25,6 +25,24 @@ from bigdata_etl_customer360_spark.operators.relational import (
     top_k_per_group,
     union_by_name,
 )
+from bigdata_etl_customer360_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bigdata_etl_customer360_spark.operators.enrich import RuleClassifier, classify_column
+from bigdata_etl_customer360_spark.operators.multimodal import binarize_text, extract_features
+from bigdata_etl_customer360_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+)
+from bigdata_etl_customer360_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
 from bigdata_etl_customer360_spark.plans.pipelines import behavior_trend, user_profile
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -149,6 +167,138 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name([a, b]).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# --- LLM-data-pipeline operators (dedup / similarity / text / multimodal) ---
+
+# Deterministic rule backend (oracle-expressible CASE); an LLM backend with
+# the same operator contract is BatchPromptClassifier in operators/enrich.py.
+_DOC_CLASSIFIER = RuleClassifier(
+    {
+        "Streaming": ["stream"],
+        "Join": ["join", "merge"],
+        "Aggregation": ["agg", "group"],
+        "Scan": ["scan", "filter"],
+        "Sort": ["sort", "order"],
+    },
+    fallback="Other",
+)
+
+
+def q_enrich_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return classify_column(docs, "text", _DOC_CLASSIFIER, out_col="category").select(
+        "doc_id", "category"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_chars_obs", "stopword_ratio", "distinct_ratio",
+        "mean_token_len",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate candidate generation -> exact verify; no SQL oracle
+    # (LSH recall is probabilistic), driver records rows-only. 32 bands of
+    # 2 rows puts the S-curve knee near j~0.15 for this corpus.
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=32, threshold=0.1
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = binarize_text(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "mime", "n_bytes", "sha256")
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_ts"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    tax = F.col("l_tax").cast("decimal(8,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketch — the scale path for distinct counting (SURVEY §2.4 A3);
+    # estimator internals differ across engines, so rows-only check.
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_agg": q_profile_agg,
@@ -162,6 +312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "union_by_name": q_union_by_name,
+        "enrich_classify": q_enrich_classify,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "multimodal_features": q_multimodal_features,
+        "window_tumbling": q_window_tumbling,
+        "pricing_summary": q_pricing_summary,
+        "count_distinct": q_count_distinct,
+        "approx_count_distinct": q_approx_count_distinct,
     }
 
 
@@ -301,6 +467,135 @@ _ORACLES: dict[str, str] = {
     "union_by_name": """
         SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
     """,
+    "enrich_classify": f"""
+        SELECT doc_id, {_DOC_CLASSIFIER.to_case_sql("text")} AS category FROM documents
+    """,
+    "token_count": r"""
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    """,
+    "quality_score": r"""
+        WITH t AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        )
+        SELECT doc_id,
+          len(toks) AS n_tokens,
+          length(text) AS n_chars_obs,
+          CAST(len(list_filter(toks, x ->
+            list_contains(['the','a','of','and','to','is','in','it'], x))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+          CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS mean_token_len
+        FROM t
+    """,
+    "lang_id": r"""
+        WITH s AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est'], x))) AS s_fr
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        )
+        SELECT doc_id,
+          CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+               WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+               WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+          END AS lang_pred
+        FROM s
+    """,
+    "fingerprint": r"""
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": r"""
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ORDER BY doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "ngram_jaccard": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.05
+    """,
+    "ann_cosine_topk": """
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(list_sum([q.e[i] * c.e[i] FOR i IN range(1, len(q.e) + 1)]) AS DOUBLE)
+              / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    "window_tumbling": """
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          SUM(l_quantity) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+          SUM(l_quantity) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "count_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    # minhash_lsh / simhash_near_dup / ann_cosine_lsh / approx_count_distinct:
+    # probabilistic (LSH recall / sketch internals) — no SQL oracle; the
+    # driver records rows-only checks, and unit tests pin their behavior
+    # against the exact operators.
 }
 
 

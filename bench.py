@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the engine's declared queries at a scale
+factor and prints ONE JSON line with per-query wall-clock seconds.
+
+Usage:  python bench.py
+Env:    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS    (default 32 -> master local[N])
+        BENCH_QUERIES       (optional comma-list to restrict)
+
+Each query is materialized with a cheap full-evaluation action
+(count over the result) so the measured time is plan + execution,
+not driver-side toPandas transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bigdata_etl_customer360_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(
+        app_name="c360-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        qs = {k: v for k, v in qs.items() if k in keep}
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # record failures, keep benching
+            dt = time.perf_counter() - t0
+            print(f"# {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video ride through Spark as binary columns with a metadata
+struct; the engine's job is the plumbing — schema, batch shape,
+partition sizing, Arrow transfer — while the actual codecs are pluggable.
+The decode layer is STUBBED here (no imaging/audio libraries in this
+environment): ``decode_stub=True`` (default) produces deterministic fake
+features from the payload bytes so the full pipeline is testable;
+``decode_stub=False`` raises ``NotImplementedError`` at the point where a
+real codec (PIL/ffmpeg/torchaudio) would be invoked.
+
+Scale notes: payloads dominate partition size — ``repartition_for_payloads``
+sizes partitions by total bytes, not row count, so a 100 TB image corpus
+doesn't OOM executors on row-count-balanced partitions of 10 MB cells.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def binarize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a media table from a text corpus (test/dev helper):
+    UTF-8 payload bytes + metadata, all JVM-side expressions."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def repartition_for_payloads(
+    df: DataFrame, bytes_col: str = "n_bytes", target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Repartition so each partition carries ~target bytes of payload.
+    Row-count balance is the wrong invariant for multimodal data — a
+    partition of 200k thumbnails and a partition of 200k 4K frames differ
+    by 1000× in memory."""
+    total = df.agg(F.sum(F.col(bytes_col)).alias("b")).collect()[0]["b"] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode payloads → features via Arrow-batched ``mapInPandas``.
+
+    The stub derives deterministic pseudo-dimensions from the payload
+    hash — the real implementation swaps ONLY the body of ``_decode_one``
+    for a codec call; schema, batching, and partitioning stay identical.
+    """
+
+    def _decode_one(payload: bytes) -> tuple[int, int]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires an imaging/audio codec; "
+                "plug one in here (PIL.Image.open / ffmpeg / torchaudio)"
+            )
+        digest = hashlib.sha256(payload or b"").digest()
+        width = 64 + digest[0] % 192   # deterministic fake dims
+        height = 64 + digest[1] % 192
+        return width, height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            hashes = payloads.map(lambda b: hashlib.sha256(b or b"").hexdigest())
+            dims = payloads.map(_decode_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256": hashes,
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "media_id") -> DataFrame:
+    """Deterministic 1-in-N sample of media rows (frame-sampling shape for
+    video pipelines): pure expression on the id, no RNG state."""
+    return df.filter(F.col(id_col) % every_n == 0)

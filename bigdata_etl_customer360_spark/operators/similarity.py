@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_brute``: exact top-k by cosine — broadcast the query set,
+  score every corpus vector. The right baseline when |queries| is small;
+  cost is a single pass over the corpus (no shuffle of the corpus at all).
+- ``cosine_topk_lsh``: random-hyperplane LSH bucketing — the scale path:
+  queries only meet corpus vectors sharing a hash bucket, turning the
+  all-pairs score into bucket-local joins.
+
+Determinism contract: embeddings are quantized to integers
+(``floor(x * 2^20 + 0.5)``) so dot products and norms are EXACT integer
+arithmetic; the final cosine is one correctly-rounded double expression.
+Identical values on any engine, any partitioning, any evaluation order —
+this is what makes an approximate-looking operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
+
+
+def quantize_expr(col: str | Column, out: str = "q") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long")
+    ).alias(out)
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_sq(a: str) -> Column:
+    return F.aggregate(
+        F.transform(F.col(a), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine), k rows per
+    query, ties broken by neighbor id asc.
+
+    Plan: broadcast(quantized queries) ⨯ corpus scan → codegen'd integer
+    dot/norm arrays → per-query window top-k. The corpus is read once and
+    never shuffled before the (tiny) top-k exchange; at 100 TB with a
+    bounded query set this is scan-bound, which is optimal for brute force.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm_sq("_qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm_sq("_cv"))
+
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        _dot("_qv", "_cv").cast("double")
+        / (F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each table hashes a vector to a ``num_planes``-bit signature (sign of
+    the projection onto pseudo-random hyperplanes derived from xxhash64 —
+    deterministic, no RNG state to ship). Query and corpus vectors meet
+    only when some table bucket matches, then candidates are scored
+    exactly like the brute path and top-k'd. Recall is tunable with
+    (num_planes, num_tables); precision of returned scores is exact.
+
+    Scale: corpus signatures are one projection pass; the join shuffles
+    on (table, bucket) — bucket sizes ~ n / 2^num_planes keep it local.
+    """
+    def hyperplane_component(t: int, p: int, i: Column) -> Column:
+        # deterministic pseudo-random ±1/odd weights from xxhash64(t, p, i)
+        h = F.xxhash64(F.lit(t), F.lit(p), i)
+        return (h % 1000).cast("double") / F.lit(1000.0)
+
+    def _weighted(t: int, p: int):
+        return lambda x, i: x.cast("double") * hyperplane_component(t, p, i)
+
+    def signature(vec: str, t: int) -> Column:
+        comps = []
+        for p in range(num_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
+                    _weighted(t, p),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            comps.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig = comps[0]
+        for c in comps[1:]:
+            sig = sig + c
+        return sig
+
+    def with_buckets(df: DataFrame, label: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(label), F.col(vec_col).alias(f"_{label}_vec")
+        )
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), signature(f"_{label}_vec", t).alias("sig"))
+                for t in range(num_tables)
+            ]
+        )
+        return out.withColumn("_b", F.explode(buckets)).select(
+            label, f"_{label}_vec", F.col("_b.tbl").alias("tbl"), F.col("_b.sig").alias("sig")
+        )
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = qb.join(cb, on=["tbl", "sig"]).select("query_id", "neighbor_id",
+                                                 "_query_id_vec", "_neighbor_id_vec")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+
+    scored = (
+        cand.withColumn("_qv", quantize_expr("_query_id_vec"))
+        .withColumn("_cv", quantize_expr("_neighbor_id_vec"))
+        .withColumn("_qn", _norm_sq("_qv"))
+        .withColumn("_cn", _norm_sq("_cv"))
+        .withColumn(
+            "cosine",
+            _dot("_qv", "_cv").cast("double")
+            / (F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_cn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

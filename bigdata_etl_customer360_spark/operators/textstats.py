@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring (length / stopword /
+distinctness ratios), token counting, and document fingerprinting — all
+pure Catalyst expressions (codegen'd, JVM-side, zero Python in the hot
+path) so they run at 100 TB as plain projections over the scan. Every
+ratio is a division of exact integers, so values hash-match a SQL oracle
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic marker sets per language. Not a production lexicon —
+# the operator contract (tokenize → per-language evidence counts → argmax
+# with alphabetical tie-break) is what matters; swap in real lexicons the
+# same way.
+DEFAULT_LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+}
+
+DEFAULT_STOPWORDS: Sequence[str] = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+
+def tokens_expr(col: str) -> Column:
+    """Whitespace tokenization. Kept trivially simple on purpose: the same
+    split must be expressible in the oracle dialect."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def with_token_count(df: DataFrame, col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    # long, not int: match the BIGINT a SQL engine derives for list lengths
+    return df.withColumn(out_col, F.size(tokens_expr(col)).cast("long"))
+
+
+def with_quality_score(
+    df: DataFrame,
+    col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Quality features: token count, char count, stopword ratio,
+    distinct-token ratio, mean token length — the standard cheap filters a
+    pretraining pipeline runs before anything expensive."""
+    toks = tokens_expr(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_chars_obs", F.length(F.col(col)).cast("long"))
+        .withColumn("stopword_ratio", n_stop.cast("double") / n_tok.cast("double"))
+        .withColumn("distinct_ratio", n_uniq.cast("double") / n_tok.cast("double"))
+        .withColumn(
+            "mean_token_len",
+            (F.length(F.col(col)) - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double"),
+        )
+    )
+
+
+def with_lang_id(
+    df: DataFrame,
+    col: str = "text",
+    markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Heuristic language ID: count marker-word occurrences per language,
+    argmax with (count desc, language asc) tie-break. ``unknown`` when no
+    marker hits at all."""
+    toks = tokens_expr(col)
+    langs = sorted(markers)  # alphabetical == deterministic tie order
+
+    def _in(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    tmp = df.withColumn("_toks", toks)
+    for lang in langs:
+        arr = F.array(*[F.lit(w) for w in markers[lang]])
+        tmp = tmp.withColumn(f"_s_{lang}", F.size(F.filter(F.col("_toks"), _in(arr))))
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        expr = expr.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    out = tmp.withColumn(out_col, expr)
+    return out.drop("_toks", *[f"_s_{lang}" for lang in langs])
+
+
+def with_fingerprint(
+    df: DataFrame, col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, trimmed, whitespace collapsed). Collision-safe enough for
+    exact-dup detection and portable across engines (md5 everywhere)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(normalized))

@@ -238,8 +238,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 planes × 16 tables: the synthetic embeddings are near-uniform, so
+    # top-k neighbors sit at low cosine — wide buckets are needed for
+    # recall (~0.88 vs brute here). Clustered real-world corpora want more
+    # planes (narrower buckets, fewer candidates).
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, num_planes=4, num_tables=16
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +285,30 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of streaming/stateful.sessionize — identical session
+    # semantics, pure window functions (one shuffle on user_id).
+    from bigdata_etl_customer360_spark.streaming.stateful import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
 
 
@@ -325,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "multimodal_features": q_multimodal_features,
         "window_tumbling": q_window_tumbling,
+        "sessionize": q_sessionize,
+        "rollup_agg": q_rollup_agg,
+        "json_extract": q_json_extract,
         "pricing_summary": q_pricing_summary,
         "count_distinct": q_count_distinct,
         "approx_count_distinct": q_approx_count_distinct,
@@ -527,7 +560,9 @@ _ORACLES: dict[str, str] = {
           SELECT doc_id,
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
         )
         SELECT id_a, id_b, jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -570,6 +605,38 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, sid
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -21,25 +21,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_etl_customer360_spark.operators.textstats import tokens_expr
+from bigdata_etl_customer360_spark.operators.util import fan_out, let1
+
+def norm_tokens_expr(col: str) -> Column:
+    """Case-folded whitespace tokens — near-dup semantics treat case and
+    spacing as noise (matches ``dedup_exact``'s normalization)."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
 def with_shingles(df: DataFrame, col: str = "text", n: int = 3, out_col: str = "shingles") -> DataFrame:
-    toks = tokens_expr(col)
-    return df.withColumn("_t", toks).withColumn(
-        out_col,
-        F.when(F.size(F.col("_t")) >= n, _shingles_from("_t", n)).otherwise(
-            F.array().cast("array<string>")
-        ),
-    ).drop("_t")
+    """Distinct word n-gram set per row. The token array is let-bound so
+    the split runs ONCE per row — inlined references would recompute it
+    per element_at (3n× per shingle)."""
 
+    def shingles(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])
+        return F.when(
+            F.size(tk) >= n, F.array_distinct(F.transform(idx, gram))
+        ).otherwise(F.array().cast("array<string>"))
 
-def _shingles_from(tok_col: str, n: int) -> Column:
-    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
-    sh = F.expr(
-        f"transform(sequence(1, size({tok_col}) - {n - 1}), i -> concat_ws(' ', {parts}))"
-    )
-    return F.array_distinct(sh)
+    return df.withColumn(out_col, let1(norm_tokens_expr(col), shingles))
 
 
 def dedup_exact(
@@ -74,11 +76,14 @@ def ngram_jaccard_pairs(
     drop stop-shingles (document frequency cap) first, or use
     ``minhash_lsh_pairs``.
     """
-    sh = with_shingles(df, text_col, n).select(
+    sh = with_shingles(fan_out(df), text_col, n).select(
         F.col(id_col).alias("_id"), F.col("shingles")
     )
     sized = sh.withColumn("_sz", F.size("shingles"))
-    posts = sized.select("_id", "_sz", F.explode("shingles").alias("_sh"))
+    # cache: the posting list feeds both self-join sides, and the boundary
+    # keeps inferred isnotnull(shingle-expr) filters from recomputing the
+    # shingling below the fan-out exchange (see simhash_pairs).
+    posts = sized.select("_id", "_sz", F.explode("shingles").alias("_sh")).cache()
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
@@ -109,9 +114,10 @@ def minhash_lsh_pairs(
     """MinHash + banded-LSH near-dup candidates, optionally verified with
     exact Jaccard — the scale path for near-dedup.
 
-    Signature: ``sig[i] = min over shingles of xxhash64(i, shingle)``
-    (seeded by prepending the permutation index — all JVM-side array
-    exprs). Banding: ``bands`` groups of ``num_hashes/bands`` rows; docs
+    Signature: each shingle string is hashed once (``h = xxhash64(s)``,
+    the expensive part); permutation i re-hashes the long
+    (``xxhash64(i, h)``) so ``sig[i] = min over shingles`` — all JVM-side
+    array exprs. Banding: ``bands`` groups of ``num_hashes/bands`` rows; docs
     colliding on any band hash become candidates (standard LSH S-curve).
     Cost at scale: O(n·num_hashes) + a shuffle on (band, band_hash) —
     never all-pairs. ``verify=True`` re-checks candidates with exact
@@ -121,15 +127,26 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"), F.col("shingles")
-    ).filter(F.size("shingles") > 0)
+    # cached twice-consumed frames (banding + exact verify); also a
+    # materialization boundary so constraint-inferred isnotnull() filters
+    # on the join keys can't clone the signature expressions below the
+    # fan-out exchange (see simhash_pairs).
+    sh = (
+        with_shingles(fan_out(df), text_col, n)
+        .select(F.col(id_col).alias("_id"), F.col("shingles"))
+        .filter(F.size("shingles") > 0)
+        .cache()
+    )
 
+    # hash each shingle STRING once (the expensive part); the num_hashes
+    # "permutations" re-hash the resulting long, which is cheap.
     sig = sh.withColumn(
+        "_hs", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    ).withColumn(
         "_sig",
         F.expr(
             f"transform(sequence(0, {num_hashes - 1}), "
-            f"i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
+            f"i -> array_min(transform(_hs, h -> xxhash64(i, h))))"
         ),
     )
     banded = sig.select(
@@ -141,7 +158,9 @@ def minhash_lsh_pairs(
                 f"{rows_per_band})) AS bhash))"
             )
         ).alias("_band"),
-    ).select("_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash"))
+    ).select(
+        "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
+    ).cache()  # feeds both self-join sides; 3 longs per (doc, band)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -180,24 +199,36 @@ def with_simhash(
 ) -> DataFrame:
     """64-bit SimHash fingerprint from word tokens, entirely in Catalyst:
     for each bit b, sum ±1 contributions of xxhash64(token) bit b over all
-    tokens; bit b of the fingerprint is 1 iff the sum is positive."""
-    toks = tokens_expr(text_col)
-    bit_votes = (
-        "transform(sequence(0, 63), b -> "
-        "aggregate(_toks, 0L, (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 "
-        "THEN 1 ELSE -1 END))"
-    )
-    fingerprint = (
-        "aggregate(transform(sequence(0, 63), b -> "
-        "CASE WHEN element_at(_votes, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END), "
-        "0L, (acc, x) -> acc | x)"
-    )
-    return (
-        df.withColumn("_toks", toks)
-        .withColumn("_votes", F.expr(bit_votes))
-        .withColumn(out_col, F.expr(fingerprint))
-        .drop("_toks", "_votes")
-    )
+    tokens; bit b of the fingerprint is 1 iff the sum is positive.
+
+    Cost shape: each token's (expensive) string hash is computed ONCE and
+    reused for all 64 bit-votes in a single aggregate pass — higher-order
+    funcs are interpreted (not codegen'd), so redundant xxhash64 calls
+    inside a per-bit loop would dominate at corpus scale.
+    """
+    df = fan_out(df)
+    # Single SQL expression with explicit let-nesting so each stage is
+    # evaluated ONCE per row (withColumn chaining would inline the votes
+    # aggregate into all 64 bit references — 64× recompute): split & hash
+    # each token once → one vote-accumulation pass → one fingerprint fold.
+    simhash_sql = f"""
+        element_at(transform(
+          array(aggregate(
+              transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc,
+                  transform(sequence(0, 63),
+                            b -> CASE WHEN (shiftright(h, b) & 1) = 1
+                                 THEN 1L ELSE -1L END),
+                  (a, v) -> a + v))),
+          v -> aggregate(
+              transform(sequence(0, 63),
+                        b -> CASE WHEN element_at(v, b + 1) > 0
+                             THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, x) -> acc | x)
+        ), 1)
+    """
+    return df.withColumn(out_col, F.expr(simhash_sql))
 
 
 def simhash_pairs(
@@ -213,7 +244,17 @@ def simhash_pairs(
     never a cross product."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    fp = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    # cache: (a) the fingerprint frame feeds BOTH self-join sides, and
+    # (b) without a materialization boundary Catalyst's constraint
+    # inference clones the whole simhash expression into an
+    # isnotnull() Filter below the fan-out exchange — recomputing the
+    # fingerprints twice more on the unpartitioned scan. The cached frame
+    # is 2 longs/doc — O(corpus rows), spills to disk if needed.
+    fp = (
+        with_simhash(df, text_col)
+        .select(F.col(id_col).alias("_id"), "simhash")
+        .cache()
+    )
     banded = fp.select(
         "_id",
         "simhash",

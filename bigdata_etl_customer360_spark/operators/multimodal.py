@@ -110,7 +110,9 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "media_id") -> DataFrame:

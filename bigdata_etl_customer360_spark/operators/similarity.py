@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_etl_customer360_spark.operators.util import fan_out
+
 QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 
 
@@ -64,7 +66,7 @@ def cosine_topk_brute(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
     ).withColumn("_qn", _norm_sq("_qv"))
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("_cv")
     ).withColumn("_cn", _norm_sq("_cv"))
 
@@ -108,59 +110,57 @@ def cosine_topk_lsh(
     Scale: corpus signatures are one projection pass; the join shuffles
     on (table, bucket) — bucket sizes ~ n / 2^num_planes keep it local.
     """
-    def hyperplane_component(t: int, p: int, i: Column) -> Column:
-        # deterministic pseudo-random ±1/odd weights from xxhash64(t, p, i)
-        h = F.xxhash64(F.lit(t), F.lit(p), i)
-        return (h % 1000).cast("double") / F.lit(1000.0)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
 
-    def _weighted(t: int, p: int):
-        return lambda x, i: x.cast("double") * hyperplane_component(t, p, i)
+    def _signatures(vecs):
+        """All num_tables signatures per vector in ONE numpy matmul —
+        vectorized per Arrow batch, vs num_tables×num_planes interpreted
+        aggregate() passes in pure Catalyst. Hyperplanes are drawn from a
+        fixed-seed PCG64, so signatures are deterministic everywhere."""
+        V = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        rng = np.random.default_rng(0xC360)
+        W = rng.standard_normal((V.shape[1], num_tables * num_planes))
+        bits = (V @ W) > 0  # (batch, tables*planes)
+        weights = (1 << np.arange(num_planes)).astype("int64")
+        sigs = np.stack(
+            [bits[:, t * num_planes : (t + 1) * num_planes] @ weights
+             for t in range(num_tables)],
+            axis=1,
+        ).astype("int32")  # (batch, tables)
+        return pd.Series(list(sigs))
 
-    def signature(vec: str, t: int) -> Column:
-        comps = []
-        for p in range(num_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec),
-                    F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
-                    _weighted(t, p),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            comps.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        sig = comps[0]
-        for c in comps[1:]:
-            sig = sig + c
-        return sig
+    signatures = F.pandas_udf(_signatures, ArrayType(IntegerType()))
 
     def with_buckets(df: DataFrame, label: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(label), F.col(vec_col).alias(f"_{label}_vec")
-        )
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), signature(f"_{label}_vec", t).alias("sig"))
-                for t in range(num_tables)
-            ]
-        )
-        return out.withColumn("_b", F.explode(buckets)).select(
-            label, f"_{label}_vec", F.col("_b.tbl").alias("tbl"), F.col("_b.sig").alias("sig")
+        """(id, tbl, sig) only — no payload vectors through the bucket
+        join, so the shuffle rows are 3 scalars; vectors join back by id
+        for scoring. Cached: feeds the join AND is a materialization
+        boundary (constraint-inferred isnotnull(sig) filters would
+        otherwise re-run the signature UDF below the scan)."""
+        out = df.select(F.col(id_col).alias(label), signatures(F.col(vec_col)).alias("_s"))
+        return (
+            out.select(label, F.posexplode("_s").alias("tbl", "sig"))
+            .cache()
         )
 
     qb = with_buckets(queries, "query_id")
-    cb = with_buckets(corpus, "neighbor_id")
-    cand = qb.join(cb, on=["tbl", "sig"]).select("query_id", "neighbor_id",
-                                                 "_query_id_vec", "_neighbor_id_vec")
+    cb = with_buckets(fan_out(corpus), "neighbor_id")
+    cand = qb.join(cb, on=["tbl", "sig"]).select("query_id", "neighbor_id")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
 
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm_sq("_qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm_sq("_cv"))
     scored = (
-        cand.withColumn("_qv", quantize_expr("_query_id_vec"))
-        .withColumn("_cv", quantize_expr("_neighbor_id_vec"))
-        .withColumn("_qn", _norm_sq("_qv"))
-        .withColumn("_cn", _norm_sq("_cv"))
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
         .withColumn(
             "cosine",
             _dot("_qv", "_cv").cast("double")

@@ -41,7 +41,9 @@ def load_table(
         # matches DuckDB's nanos→micros cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's exact
+        # integer range, so float division drifts the odd microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if columns:

@@ -1,0 +1,225 @@
+"""Unit tests pinning the operator semantics SURVEY §5.2 calls out:
+argmax tie priority, bucket boundary closures, concat null-skip,
+deterministic top-k ties, union-by-name alignment, classifier fallbacks,
+dedup/similarity edge cases, multimodal stub behavior.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.functions.expressions import (
+    argmax_label,
+    bucketize_expr,
+    case_map,
+    flag_concat,
+)
+from bigdata_etl_customer360_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_simhash,
+)
+from bigdata_etl_customer360_spark.operators.enrich import (
+    BatchPromptClassifier,
+    RuleClassifier,
+    classify_column,
+)
+from bigdata_etl_customer360_spark.operators.multimodal import (
+    binarize_text,
+    extract_features,
+    frame_sample,
+)
+from bigdata_etl_customer360_spark.operators.relational import (
+    top_k_per_group,
+    union_by_name,
+)
+from bigdata_etl_customer360_spark.operators.similarity import cosine_topk_brute
+
+
+# --- scalar expressions ------------------------------------------------------
+
+def test_argmax_tie_priority(spark):
+    df = spark.createDataFrame([(5, 5, 1)], ["a", "b", "c"])
+    # tie between a and b → first in priority order wins
+    got = df.select(argmax_label(["b", "a", "c"], ["B", "A", "C"]).alias("x")).first()["x"]
+    assert got == "B"
+
+
+def test_flag_concat_skips_zero(spark):
+    df = spark.createDataFrame([(0, 3, 2), (0, 0, 0)], ["a", "b", "c"])
+    out = [r["x"] for r in df.select(flag_concat(["a", "b", "c"]).alias("x")).collect()]
+    assert out == ["b-c", ""]
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [(3, "Low"), (9, "Low"), (10, "Medium"), (15, "Medium"), (20, "Medium"), (21, "High")],
+)
+def test_bucketize_reference_boundaries(spark, value, expected):
+    # the reference's activeness rule: >20 High, 10<=x<=20 Medium, <10 Low
+    # (ETL_customer_interaction.py:54-57) == boundaries [9,20] right-closed
+    df = spark.createDataFrame([(value,)], ["v"])
+    got = df.select(bucketize_expr("v", [9, 20], ["Low", "Medium", "High"]).alias("b"))
+    assert got.first()["b"] == expected
+
+
+def test_case_map_default_none_vs_literal(spark):
+    df = spark.createDataFrame([("x",), ("zzz",)], ["k"])
+    lit = df.select(case_map("k", {"x": "X"}, default="other").alias("v"))
+    assert [r["v"] for r in lit.collect()] == ["X", "other"]
+    nul = df.select(case_map("k", {"x": "X"}).alias("v"))
+    assert [r["v"] for r in nul.collect()] == ["X", None]
+
+
+# --- relational --------------------------------------------------------------
+
+def test_top_k_deterministic_ties(spark):
+    rows = [("u1", "b", 5), ("u1", "a", 5), ("u1", "c", 4), ("u2", "z", 1)]
+    df = spark.createDataFrame(rows, ["k", "item", "cnt"])
+    for _ in range(3):  # stable across replans
+        top = top_k_per_group(
+            df, ["k"], [F.col("cnt").desc(), F.col("item").asc()], k=1
+        ).collect()
+        got = {r["k"]: r["item"] for r in top}
+        assert got == {"u1": "a", "u2": "z"}
+
+
+def test_union_by_name_misaligned_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "val"])
+    b = spark.createDataFrame([("y", 2)], ["val", "id"])  # reversed order
+    got = union_by_name([a, b]).orderBy("id").collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1, "x"), (2, "y")]
+    c = spark.createDataFrame([(3,)], ["id"])  # missing column
+    got2 = union_by_name([a, c]).orderBy("id").collect()
+    assert got2[1]["val"] is None
+
+
+# --- enrichment --------------------------------------------------------------
+
+def test_rule_classifier_first_match_order():
+    import pandas as pd
+
+    c = RuleClassifier({"A": ["foo"], "B": ["foobar", "baz"]}, fallback="Z")
+    out = c.classify_batch(pd.Series(["foobar!", "contains baz", "nothing", None]))
+    # 'foobar!' contains 'foo' → A wins (first rule), even though B also matches
+    assert out.tolist() == ["A", "B", "Z", "Z"]
+
+
+def test_batch_prompt_classifier_fallbacks():
+    import json as _json
+
+    calls = []
+
+    def flaky_transport(prompt: str) -> str:
+        calls.append(prompt)
+        if len(calls) == 1:
+            return "no json here"  # malformed → retry
+        items = _json.loads(prompt[prompt.index("Items: ") + 7:])
+        return _json.dumps(
+            {k: ("Sports" if "ball" in k else "NotALabel") for k in items if k != "skipme"}
+        )
+
+    import pandas as pd
+
+    c = BatchPromptClassifier(flaky_transport, labels=["Sports", "News"], retries=1)
+    out = c.classify_batch(pd.Series(["football", "weird", "skipme", None]))
+    # invalid label → fallback; missing key → fallback; null → fallback
+    assert out.tolist() == ["Sports", "Other", "Other", "Other"]
+    assert len(calls) == 2  # one failed call + one retry
+
+
+def test_classify_column_null_keys_get_fallback(spark):
+    df = spark.createDataFrame([("stream wars", 1), (None, 2)], ["text", "id"])
+    c = RuleClassifier({"S": ["stream"]}, fallback="Other")
+    got = {r["id"]: r["category"] for r in classify_column(df, "text", c).collect()}
+    assert got == {1: "S", 2: "Other"}
+
+
+# --- dedup -------------------------------------------------------------------
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog today"),
+    (2, "  the QUICK brown   fox jumps over the lazy dog today "),  # exact dup of 1 (normalized)
+    (3, "The quick brown fox jumps over the lazy cat today"),       # near-dup of 1
+    (4, "completely different content about spark engines and scale"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    kept = sorted(r["doc_id"] for r in dedup_exact(_docs_df(spark)).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_docs_df(spark), threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_dups(spark):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(_docs_df(spark), num_hashes=64, bands=32, threshold=0.3).collect()}
+    # identical docs always collide in every band; verification is exact
+    assert (1, 2) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_identical_text_hamming_zero(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs_df(spark)).collect()}
+    assert fp[1] == fp[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(_docs_df(spark), max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word change stays in the Hamming ball
+
+
+# --- similarity --------------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    vecs = {1: [1.0, 0.0, 0.0], 2: [0.9, 0.1, 0.0], 3: [0.0, 1.0, 0.0], 4: [0.5, 0.5, 0.0]}
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = cosine_topk_brute(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 4]
+    a = np.array(vecs[1])
+    for r in got:
+        b = np.array(vecs[r["neighbor_id"]])
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.isclose(r["cosine"], expect, rel_tol=1e-5)
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_multimodal_stub_and_sampling(spark):
+    media = binarize_text(_docs_df(spark))
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 4
+    for r in feats.values():
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert len(r["sha256"]) == 64
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert {k: (v["width"], v["height"]) for k, v in feats.items()} == {
+        k: (v["width"], v["height"]) for k, v in again.items()
+    }  # deterministic
+    assert frame_sample(media, every_n=2).count() == 2
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = binarize_text(_docs_df(spark))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, decode_stub=False).collect()

@@ -194,6 +194,37 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.operators.textstats import with_token_count_bpe
+
+    return with_token_count_bpe(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, mode="exact"
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.operators.relational import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return (
+        salted_join(orders, customer.select("o_custkey", "c_nationkey"), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_chars_obs", "stopword_ratio", "distinct_ratio",
@@ -312,6 +343,36 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q3-shaped shipping-priority query, expressed ONCE as ANSI SQL and
+# run through BOTH engines: Spark executes it via the spark.sql surface
+# (temp views over the same parquet), DuckDB runs it verbatim as the
+# oracle. Deterministic ORDER BY + LIMIT exercises sort/top-n (SURVEY
+# §2.6 O1/O2).
+_SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def q_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.sources.testdata import register_views
+
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -344,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": q_union_by_name,
         "enrich_classify": q_enrich_classify,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "embed_near_dup": q_embed_near_dup,
+        "salted_join": q_salted_join,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -359,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "json_extract": q_json_extract,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority_sql": q_shipping_priority_sql,
         "count_distinct": q_count_distinct,
         "approx_count_distinct": q_approx_count_distinct,
     }
@@ -506,6 +571,34 @@ _ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         FROM documents
+    """,
+    "token_count_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS n_bpe_tokens
+        FROM documents
+    """,
+    "embed_near_dup": """
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(list_sum([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
+            / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE CAST(list_sum([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
+            / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35
+    """,
+    "salted_join": """
+        SELECT c_nationkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
     """,
     "quality_score": r"""
         WITH t AS (
@@ -655,6 +748,7 @@ _ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
+    "shipping_priority_sql": _SHIPPING_PRIORITY_SQL,
     "count_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         FROM events GROUP BY event_type

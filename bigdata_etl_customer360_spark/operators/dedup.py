@@ -287,3 +287,70 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    mode: str = "exact",
+    num_planes: int = 4,
+    num_tables: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (the semantic tier of the
+    dedup ladder): (id_a, id_b, cosine) for id_a < id_b with
+    cosine >= threshold.
+
+    ``mode='exact'``: quantized-integer all-pairs — deterministic and
+    oracle-checkable; O(n²) scoring, right for bounded corpora or as the
+    verify stage. ``mode='lsh'``: random-hyperplane buckets generate the
+    candidates (see similarity.cosine_topk_lsh), then the same exact
+    scoring verifies — the 100 TB path: only bucket-colliding pairs are
+    ever scored, precision stays 1.0, recall follows bucket width.
+    """
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        _dot,
+        _norm_sq,
+        cosine_topk_lsh,
+        quantize_expr,
+    )
+
+    if mode == "lsh":
+        pairs = cosine_topk_lsh(
+            df,
+            df,
+            k=1 << 30,  # no top-k cap: threshold does the pruning
+            id_col=id_col,
+            vec_col=vec_col,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            exclude_self=True,
+        )
+        return (
+            pairs.filter(F.col("query_id") < F.col("neighbor_id"))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col("query_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"),
+                "cosine",
+            )
+        )
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    q = fan_out(df).select(
+        F.col(id_col).alias("id_a"), quantize_expr(vec_col).alias("_va")
+    ).withColumn("_na", _norm_sq("_va"))
+    c = df.select(
+        F.col(id_col).alias("id_b"), quantize_expr(vec_col).alias("_vb")
+    ).withColumn("_nb", _norm_sq("_vb"))
+    scored = (
+        q.join(F.broadcast(c), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot("_va", "_vb").cast("double")
+            / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

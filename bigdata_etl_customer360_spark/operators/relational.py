@@ -187,3 +187,31 @@ def trend_compare(
         change_col,
         F.when(same, F.lit("Unchanged")).otherwise(F.concat_ws("-", F.col(lv), F.col(rv))),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew: the skewed side gets a
+    random salt in [0, salt_buckets); the small side is replicated
+    salt_buckets× with every salt value; the join runs on (key, salt), so
+    one hot key spreads over salt_buckets reducers instead of one.
+
+    Results are identical to ``skewed.join(small, key, how)`` — the salt
+    never reaches the output. AQE's skew-join split handles moderate skew
+    on its own; explicit salting is for the pathological single-key case
+    (one user/null-key with a double-digit share of rows). Cost: the
+    small side shuffles salt_buckets× its size — keep it the dimension.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (skewed side preserved)")
+    salted = skewed.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted.join(replicated, on=[key, "_salt"], how=how).drop("_salt")

@@ -100,3 +100,21 @@ def with_fingerprint(
     exact-dup detection and portable across engines (md5 everywhere)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric marks — the classic byte-pair-encoder input split,
+# ASCII-scoped so Java and RE2-family regex engines agree byte-for-byte.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_count_bpe(
+    df: DataFrame, col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Sub-word-ish token count via regex pre-tokenization (the
+    whitespace counter's companion for LLM-budget estimation); one
+    codegen'd regexp_extract_all + size per row."""
+    return df.withColumn(
+        out_col,
+        F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_TOKEN_PATTERN), 0)).cast("long"),
+    )

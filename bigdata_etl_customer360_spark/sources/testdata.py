@@ -49,3 +49,11 @@ def load_table(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view so queries can run
+    through the ``spark.sql`` surface (same names the DuckDB oracle
+    uses)."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -223,3 +223,47 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = binarize_text(_docs_df(spark))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+# --- salted join / embedding dedup ------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from bigdata_etl_customer360_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0)] * 50 + [(2, 5.0)] * 3 + [(3, 1.0)], ["k", "v"]  # skewed key 1
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], ["k", "name"])
+    got = salted_join(facts, dim, "k").groupBy("k", "name").count().collect()
+    want = facts.join(dim, "k").groupBy("k", "name").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    left = salted_join(facts, dim, "k", how="left")
+    assert left.filter(F.col("name").isNull()).count() == 1  # key 3 preserved
+
+
+def test_embedding_cosine_pairs_lsh_verifies_exact(spark):
+    from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.98, 0.2, 0.0]),   # near-dup of 3
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_cosine_pairs(df, threshold=0.9, mode="exact").collect()}
+    assert set(exact) == {(1, 2), (3, 4)}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_cosine_pairs(df, threshold=0.9, mode="lsh").collect()}
+    # precision 1.0: every LSH pair is exact-verified with identical score
+    for pair, cos in lsh.items():
+        assert pair in exact and abs(cos - exact[pair]) < 1e-12
+
+
+def test_bpe_token_count(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import with_token_count_bpe
+
+    df = spark.createDataFrame([("Hello, world42! x", 1)], ["text", "id"])
+    # Hello , world 42 ! x -> 6
+    assert with_token_count_bpe(df).first()["n_bpe_tokens"] == 6

@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the physical plans we rely on for scale
+must not silently regress (accidental cartesian products, lost broadcast,
+lost parquet pushdown/pruning).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may degenerate into CartesianProduct. The brute-force ANN
+    cross join must be a broadcast nested loop (bounded query set), never
+    a shuffle cartesian."""
+    for name, q in entrymod.queries().items():
+        plan = plan_of(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(entrymod.q_join_agg(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation side must broadcast
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    plan = plan_of(entrymod.q_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    # the shipdate predicate must reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_token_count_column_pruning(spark):
+    plan = plan_of(entrymod.q_token_count(spark, SF_DIR))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_brute_ann_broadcasts_queries(spark):
+    plan = plan_of(entrymod.q_ann_cosine_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

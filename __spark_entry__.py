@@ -343,6 +343,39 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # analytic window with an explicit row frame (SURVEY §2.5 extension:
+    # the reference only uses ranking windows). Exact decimal arithmetic
+    # keeps the 3-row average bit-stable across engines; (ts, event_id)
+    # makes the frame order total.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(27,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("mavg_3"),  # exact decimal sum, then ONE double division
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.intersect(b)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.subtract(b)  # EXCEPT (set semantics)
+
+
 # TPC-H Q3-shaped shipping-priority query, expressed ONCE as ANSI SQL and
 # run through BOTH engines: Spark executes it via the spark.sql surface
 # (temp views over the same parquet), DuckDB runs it verbatim as the
@@ -424,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "pricing_summary": q_pricing_summary,
         "shipping_priority_sql": q_shipping_priority_sql,
+        "moving_avg": q_moving_avg,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
         "count_distinct": q_count_distinct,
         "approx_count_distinct": q_approx_count_distinct,
     }
@@ -749,6 +785,24 @@ _ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "shipping_priority_sql": _SHIPPING_PRIORITY_SQL,
+    "moving_avg": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg_3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "set_intersect": """
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "set_except": """
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
     "count_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         FROM events GROUP BY event_type

@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 import __spark_entry__ as entrymod  # noqa: E402
 from bigdata_etl_customer360_spark.session import get_session  # noqa: E402
 
@@ -40,6 +42,12 @@ def main() -> None:
     if only:
         keep = {k.strip() for k in only.split(",")}
         qs = {k: v for k, v in qs.items() if k in keep}
+
+    # untimed warmup: JIT/codegen/shuffle machinery, so the first measured
+    # query reflects the engine, not JVM startup
+    spark.range(0, 1_000_000).groupBy((F.col("id") % 32).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

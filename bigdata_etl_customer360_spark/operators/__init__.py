@@ -1,21 +1,78 @@
+from bigdata_etl_customer360_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_shingles,
+    with_simhash,
+)
+from bigdata_etl_customer360_spark.operators.enrich import (
+    BatchPromptClassifier,
+    RuleClassifier,
+    classify_column,
+)
+from bigdata_etl_customer360_spark.operators.multimodal import (
+    binarize_text,
+    extract_features,
+    frame_sample,
+    repartition_for_payloads,
+)
 from bigdata_etl_customer360_spark.operators.relational import (
     bucketize,
     map_dimension,
     map_dimension_join,
     multi_agg,
     pivot_agg,
+    salted_join,
     top_k_per_group,
     trend_compare,
     union_by_name,
 )
+from bigdata_etl_customer360_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+)
+from bigdata_etl_customer360_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+    with_token_count_bpe,
+)
+from bigdata_etl_customer360_spark.operators.util import fan_out, let1
 
 __all__ = [
+    "BatchPromptClassifier",
+    "RuleClassifier",
+    "binarize_text",
     "bucketize",
+    "classify_column",
+    "cosine_topk_brute",
+    "cosine_topk_lsh",
+    "dedup_exact",
+    "embedding_cosine_pairs",
+    "extract_features",
+    "fan_out",
+    "frame_sample",
+    "let1",
     "map_dimension",
     "map_dimension_join",
+    "minhash_lsh_pairs",
     "multi_agg",
+    "ngram_jaccard_pairs",
     "pivot_agg",
+    "repartition_for_payloads",
+    "salted_join",
+    "simhash_pairs",
     "top_k_per_group",
     "trend_compare",
     "union_by_name",
+    "with_fingerprint",
+    "with_lang_id",
+    "with_quality_score",
+    "with_shingles",
+    "with_simhash",
+    "with_token_count",
+    "with_token_count_bpe",
 ]

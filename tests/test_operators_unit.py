@@ -267,3 +267,20 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame([("Hello, world42! x", 1)], ["text", "id"])
     # Hello , world 42 ! x -> 6
     assert with_token_count_bpe(df).first()["n_bpe_tokens"] == 6
+
+
+# --- sinks -------------------------------------------------------------------
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    from bigdata_etl_customer360_spark.sources.sinks import write_parquet
+
+    df = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], ["id", "v", "part"])
+    out = str(tmp_path / "sink")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert sorted((r["id"], r["v"], r["part"]) for r in back.collect()) == [
+        (1, "a", "x"), (2, "b", "y"),
+    ]
+    # overwrite mode replaces
+    write_parquet(df.filter(F.col("id") == 1), out)
+    assert spark.read.parquet(out).count() == 1

@@ -1,0 +1,125 @@
+"""Property tests (SURVEY §5.4): hypothesis-generated adversarial inputs —
+ties, nulls, empty strings, unseen categories — checked against plain-Python
+reference implementations. Each example set is batched into ONE Spark job
+(hypothesis drives the data, not the session)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.functions.expressions import bucketize_expr
+from bigdata_etl_customer360_spark.operators.enrich import RuleClassifier
+from bigdata_etl_customer360_spark.operators.relational import pivot_agg, top_k_per_group
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),                        # group key
+        st.sampled_from(["a", "b", "c", "d"]),    # item  (few values → many ties)
+        st.integers(0, 3),                        # count (ties likely)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows_strategy)
+@SETTINGS
+def test_top1_matches_python_argmax(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "item", "cnt"])
+    got = {
+        r["k"]: r["item"]
+        for r in top_k_per_group(
+            df, ["k"], [F.col("cnt").desc(), F.col("item").asc()], k=1
+        ).collect()
+    }
+    by_key = defaultdict(list)
+    for k, item, cnt in rows:
+        by_key[k].append((item, cnt))
+    want = {k: min(v, key=lambda t: (-t[1], t[0]))[0] for k, v in by_key.items()}
+    assert got == want
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=30),
+    st.lists(st.integers(-20, 20), min_size=1, max_size=3, unique=True).map(sorted),
+)
+@SETTINGS
+def test_bucketize_matches_python_binning(spark, values, boundaries):
+    labels = [f"b{i}" for i in range(len(boundaries) + 1)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v int")
+    got = {
+        r["i"]: r["lab"]
+        for r in df.select("i", bucketize_expr("v", boundaries, labels).alias("lab")).collect()
+    }
+
+    def pybin(v):
+        if v is None:
+            return None  # comparisons with null stay null -> otherwise-label? no: when(null)≡false
+        for b, lab in zip(boundaries, labels[:-1]):
+            if v <= b:
+                return lab
+        return labels[-1]
+
+    for i, v in enumerate(values):
+        if v is None:
+            assert got[i] == labels[-1]  # null fails every <=, falls to otherwise
+        else:
+            assert got[i] == pybin(v), (v, boundaries)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["x", "y", "UNSEEN"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_pivot_ignores_unseen_and_fills(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "cat", "v"])
+    out = {
+        r["k"]: (r["p_x"], r["p_y"])
+        for r in pivot_agg(
+            df, ["k"], "cat", ["x", "y"], "v", agg="sum", fill=0, prefix="p_"
+        ).collect()
+    }
+    want = defaultdict(lambda: Counter())
+    for k, cat, v in rows:
+        want[k][cat] += v
+    assert set(out) == set(want)
+    for k, c in want.items():
+        assert out[k] == (c.get("x", 0), c.get("y", 0))  # UNSEEN never leaks
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="abc XYZ", min_size=0, max_size=12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_rule_classifier_python_matches_its_sql(spark, keys):
+    """The pandas backend and its generated CASE SQL must agree on any
+    input — this is what makes enrich_classify oracle-checkable."""
+    import duckdb
+
+    c = RuleClassifier({"A": ["ab"], "B": ["x", "c"]}, fallback="F")
+    py = c.classify_batch(pd.Series(keys, dtype="object")).tolist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    got = [r[0] for r in con.execute(f"SELECT {c.to_case_sql('k')} FROM t").fetchall()]
+    assert got == py

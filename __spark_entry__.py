@@ -35,6 +35,7 @@ from bigdata_etl_customer360_spark.operators.enrich import RuleClassifier, class
 from bigdata_etl_customer360_spark.operators.multimodal import binarize_text, extract_features
 from bigdata_etl_customer360_spark.operators.similarity import (
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from bigdata_etl_customer360_spark.operators.textstats import (
@@ -279,6 +280,15 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse quantizer (rows-only: kmeans cells are approximate);
+    # scores of returned pairs are exact — unit tests pin that.
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, num_centroids=64, nprobe=16
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = binarize_text(_t(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "mime", "n_bytes", "sha256")
@@ -450,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "multimodal_features": q_multimodal_features,
         "window_tumbling": q_window_tumbling,
         "sessionize": q_sessionize,

@@ -31,6 +31,7 @@ from bigdata_etl_customer360_spark.operators.relational import (
 )
 from bigdata_etl_customer360_spark.operators.similarity import (
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from bigdata_etl_customer360_spark.operators.textstats import (
@@ -49,6 +50,7 @@ __all__ = [
     "bucketize",
     "classify_column",
     "cosine_topk_brute",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "dedup_exact",
     "embedding_cosine_pairs",

@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs: Jaccard over distinct word n-grams.
 
@@ -73,8 +74,13 @@ def ngram_jaccard_pairs(
     shingles per pair → Jaccard from |A|,|B|,|A∩B|. The explode-join is
     the scalable formulation: shuffle is proportional to the posting
     lists, and AQE splits skewed shingle buckets. For web-scale corpora
-    drop stop-shingles (document frequency cap) first, or use
-    ``minhash_lsh_pairs``.
+    set ``max_df``: boilerplate shingles appearing in more than ``max_df``
+    docs are dropped from the index (a posting list of length L costs L²
+    join rows, and a shingle shared by 1M docs identifies nothing) — the
+    Jaccard denominator still uses FULL shingle-set sizes, so scores only
+    under-count by the dropped stop-shingles' intersections. Exact scores
+    need ``max_df=None``; web-scale precision/recall barely moves while
+    join cost drops by the square of the cap. Or use ``minhash_lsh_pairs``.
     """
     sh = with_shingles(fan_out(df), text_col, n).select(
         F.col(id_col).alias("_id"), F.col("shingles")
@@ -84,6 +90,14 @@ def ngram_jaccard_pairs(
     # keeps inferred isnotnull(shingle-expr) filters from recomputing the
     # shingling below the fan-out exchange (see simhash_pairs).
     posts = sized.select("_id", "_sz", F.explode("shingles").alias("_sh")).cache()
+    if max_df is not None:
+        keep = (
+            posts.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        posts = posts.join(keep, on="_sh")
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))

@@ -284,3 +284,36 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     # overwrite mode replaces
     write_parquet(df.filter(F.col("id") == 1), out)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_ivf_scores_are_exact_for_returned_pairs(spark):
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_ivf,
+    )
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk_brute(q, df, k=30).collect()}
+    ivf = cosine_topk_ivf(q, df, k=5, num_centroids=8, nprobe=8).collect()
+    assert len(ivf) == 15  # nprobe == num_centroids -> full recall, 5 per query
+    for r in ivf:
+        assert abs(r["cosine"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-12
+
+
+def test_ngram_jaccard_max_df_keeps_near_dups(spark):
+    # boilerplate shingle shared by ALL docs is dropped by the df cap;
+    # true near-dups still surface via their rarer shingles
+    docs = [
+        (1, "copyright footer text alpha beta gamma delta"),
+        (2, "copyright footer text alpha beta gamma epsilon"),
+        (3, "copyright footer text totally different body here"),
+        (4, "copyright footer text another unrelated document body"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=2).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs  # only shared boilerplate -> capped away

@@ -18,7 +18,7 @@ Everything except the Hamming popcount runs as Catalyst array expressions
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_etl_customer360_spark.operators.util import fan_out, let1
@@ -50,13 +50,20 @@ def dedup_exact(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep one row per distinct normalized text: the one with the
-    smallest id (deterministic winner). Plan: fingerprint projection →
-    one shuffle on the 128-bit hash → min-id filter. Grouping on the
-    md5 rather than the full text keeps shuffle rows small at scale."""
+    smallest id (deterministic winner — ids are unique, so min_by has no
+    tie). Plan: fingerprint projection → ONE hash aggregation keyed on the
+    128-bit hash. min_by(struct(*), id) gets map-side partial aggregation:
+    each mapper ships at most one candidate row per fingerprint, so the
+    shuffle carries ~|distinct| rows, not |corpus| — the property that
+    matters at 100 TB (a window over the fingerprint would shuffle and
+    sort every row)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    cols = df.columns
     fp = df.withColumn("_fp", F.md5(normalized))
-    w_min = F.min(F.col(id_col)).over(Window.partitionBy("_fp"))
-    return fp.withColumn("_keep", F.col(id_col) == w_min).filter("_keep").drop("_fp", "_keep")
+    kept = fp.groupBy("_fp").agg(
+        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("_row")
+    )
+    return kept.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
 def ngram_jaccard_pairs(

@@ -47,22 +47,31 @@ def with_quality_score(
 ) -> DataFrame:
     """Quality features: token count, char count, stopword ratio,
     distinct-token ratio, mean token length — the standard cheap filters a
-    pretraining pipeline runs before anything expensive."""
-    toks = tokens_expr(col)
+    pretraining pipeline runs before anything expensive.
+
+    All five features come out of ONE tokenization pass (``inline1``
+    generator); chained withColumn would inline the split into every
+    feature expression."""
+    from bigdata_etl_customer360_spark.operators.util import inline1
+
     sw = F.array(*[F.lit(w) for w in stopwords])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_uniq = F.size(F.array_distinct(toks))
-    return (
-        df.withColumn("n_tokens", n_tok.cast("long"))
-        .withColumn("n_chars_obs", F.length(F.col(col)).cast("long"))
-        .withColumn("stopword_ratio", n_stop.cast("double") / n_tok.cast("double"))
-        .withColumn("distinct_ratio", n_uniq.cast("double") / n_tok.cast("double"))
-        .withColumn(
-            "mean_token_len",
-            (F.length(F.col(col)) - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double"),
+
+    def feats(tk):
+        n_tok = F.size(tk)
+        n_stop = F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+        n_uniq = F.size(F.array_distinct(tk))
+        n_chars = F.length(F.col(col))
+        return F.struct(
+            n_tok.cast("long").alias("n_tokens"),
+            n_chars.cast("long").alias("n_chars_obs"),
+            (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+            (n_uniq.cast("double") / n_tok.cast("double")).alias("distinct_ratio"),
+            ((n_chars - (n_tok - F.lit(1))).cast("double") / n_tok.cast("double")).alias(
+                "mean_token_len"
+            ),
         )
-    )
+
+    return df.select("*", inline1(tokens_expr(col), feats))
 
 
 def with_lang_id(
@@ -73,23 +82,36 @@ def with_lang_id(
 ) -> DataFrame:
     """Heuristic language ID: count marker-word occurrences per language,
     argmax with (count desc, language asc) tie-break. ``unknown`` when no
-    marker hits at all."""
-    toks = tokens_expr(col)
+    marker hits at all.
+
+    Marker counts materialize as generator output columns (one
+    tokenization + one filter pass per language); the argmax CASE then
+    references them as plain attributes. A withColumn chain would inline
+    the whole split+filter into every comparison (~25 evaluations/row)."""
+    from bigdata_etl_customer360_spark.operators.util import inline1
+
     langs = sorted(markers)  # alphabetical == deterministic tie order
 
     def _in(arr):
         return lambda t: F.array_contains(arr, t)
 
-    tmp = df.withColumn("_toks", toks)
-    for lang in langs:
-        arr = F.array(*[F.lit(w) for w in markers[lang]])
-        tmp = tmp.withColumn(f"_s_{lang}", F.size(F.filter(F.col("_toks"), _in(arr))))
+    def scores(tk):
+        return F.struct(
+            *[
+                F.size(
+                    F.filter(tk, _in(F.array(*[F.lit(w) for w in markers[lang]])))
+                ).alias(f"_s_{lang}")
+                for lang in langs
+            ]
+        )
+
+    tmp = df.select("*", inline1(tokens_expr(col), scores))
     best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     expr = F.when(best == 0, F.lit("unknown"))
     for lang in langs:
         expr = expr.when(F.col(f"_s_{lang}") == best, F.lit(lang))
     out = tmp.withColumn(out_col, expr)
-    return out.drop("_toks", *[f"_s_{lang}" for lang in langs])
+    return out.drop(*[f"_s_{lang}" for lang in langs])
 
 
 def with_fingerprint(

@@ -20,6 +20,19 @@ def let1(bound: Column, body: Callable[[Column], Column]) -> Column:
     return F.element_at(F.transform(F.array(bound), body), 1)
 
 
+def inline1(bound: Column, body: Callable[[Column], Column]) -> Column:
+    """Multi-output ``let``: evaluate ``bound`` once, emit the fields of
+    ``body(bound)`` (a struct) as real columns via the ``inline``
+    generator. Use in ``df.select("*", inline1(...))``.
+
+    Unlike ``let1`` + struct-field extraction (which re-inlines the whole
+    expression per field), a generator's child is evaluated ONCE per row
+    and its output attributes are ordinary columns downstream projections
+    can reference for free.
+    """
+    return F.inline(F.transform(F.array(bound), body))
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster parallelism)
     before compute-heavy per-row work.

@@ -294,6 +294,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "mime", "n_bytes", "sha256")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1→N binary frame expansion via mapInPandas; rows-only (DuckDB can't
+    # byte-slice blobs), determinism pinned by unit test.
+    from bigdata_etl_customer360_spark.operators.multimodal import extract_frames
+
+    media = binarize_text(_t(spark, sf_dir, "documents"))
+    return extract_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "frame_sha256"
+    )
+
+
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -424,6 +435,18 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact linear-interpolated percentiles (sort-based; both engines use
+    # the same interpolation, so values hash-match bit-for-bit). The
+    # sketch-based scale path is approx_percentile (rows-only, like HLL).
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL sketch — the scale path for distinct counting (SURVEY §2.4 A3);
     # estimator internals differ across engines, so rows-only check.
@@ -462,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "window_tumbling": q_window_tumbling,
         "sessionize": q_sessionize,
         "rollup_agg": q_rollup_agg,
@@ -472,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "count_distinct": q_count_distinct,
+        "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
     }
 
@@ -816,6 +841,13 @@ _ORACLES: dict[str, str] = {
     """,
     "count_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
     # minhash_lsh / simhash_near_dup / ann_cosine_lsh / approx_count_distinct:

@@ -15,6 +15,7 @@ from bigdata_etl_customer360_spark.operators.enrich import (
 from bigdata_etl_customer360_spark.operators.multimodal import (
     binarize_text,
     extract_features,
+    extract_frames,
     frame_sample,
     repartition_for_payloads,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "dedup_exact",
     "embedding_cosine_pairs",
     "extract_features",
+    "extract_frames",
     "fan_out",
     "frame_sample",
     "let1",

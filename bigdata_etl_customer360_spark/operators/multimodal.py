@@ -119,3 +119,60 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "media_id") -> 
     """Deterministic 1-in-N sample of media rows (frame-sampling shape for
     video pipelines): pure expression on the id, no RNG state."""
     return df.filter(F.col(id_col) % every_n == 0)
+
+
+def extract_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video-style frame sampling: (media_id, frame_idx, frame_bytes,
+    frame_sha256) — one output row per sampled frame via Arrow-batched
+    ``mapInPandas`` (a Python generator is the natural shape for 1→N row
+    expansion with binary payloads).
+
+    The stub "decodes" by slicing the payload into ``n_frames`` even byte
+    windows — deterministic, preserves the real op's schema/fan-out. A
+    real implementation replaces ONLY ``_frames_of`` with a codec call
+    (e.g. ffmpeg keyframe sampling); partitioning and batch shape stay.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_bytes", BinaryType()),
+            StructField("frame_sha256", StringType()),
+        ]
+    )
+
+    def _frames_of(payload: bytes) -> list[bytes]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real frame extraction requires a video codec (ffmpeg); "
+                "plug it in here"
+            )
+        payload = payload or b""
+        step = max(1, len(payload) // n_frames)
+        return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, hashes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fb in enumerate(_frames_of(payload)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fb)
+                    hashes.append(hashlib.sha256(fb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "frame_sha256": hashes,
+                }
+            )
+
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    return fan_out(df).mapInPandas(run, schema=out_schema)

@@ -317,3 +317,17 @@ def test_ngram_jaccard_max_df_keeps_near_dups(spark):
              for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=2).collect()}
     assert (1, 2) in pairs
     assert (3, 4) not in pairs  # only shared boilerplate -> capped away
+
+
+def test_extract_frames_stub(spark):
+    from bigdata_etl_customer360_spark.operators.multimodal import extract_frames
+
+    media = binarize_text(_docs_df(spark))
+    rows = extract_frames(media, n_frames=3).collect()
+    assert len(rows) == 12  # 4 docs x 3 frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_media.items():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
+        assert all(len(f["frame_sha256"]) == 64 for f in frames)

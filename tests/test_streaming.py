@@ -145,3 +145,26 @@ def test_sessionize_stream_equals_batch(spark, stream_dir, tmp_path):
     assert len(got_pdf) == len(want_pdf) == 3
     for col in ("user_id", "session_start", "session_end", "n_events", "sum_value"):
         assert got_pdf[col].tolist() == want_pdf[col].tolist(), col
+
+
+def test_sliding_agg_stream_closes_windows(spark, stream_dir, tmp_path):
+    from bigdata_etl_customer360_spark.streaming.windows import sliding_agg
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = stream_from_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    got = run_available_now(
+        sliding_agg(stream, "ts", "1 hour", "30 minutes", aggs,
+                    group_cols=["user_id"], watermark="0 seconds"),
+        "t_sliding",
+        checkpoint_dir=str(tmp_path / "ckpt_sl"),
+    )
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dir)
+    want = sliding_agg(batch, "ts", "1 hour", "30 minutes", aggs,
+                       group_cols=["user_id"], watermark="0 seconds")
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    # every row lands in window/slide = 2 overlapping windows
+    u1_batch = [r for r in want_rows if r[2] == 1]
+    assert len(u1_batch) >= 3
+    assert {r[2] for r in got_rows} >= {1, 2}

@@ -52,3 +52,37 @@ def test_token_count_column_pruning(spark):
 def test_brute_ann_broadcasts_queries(spark):
     plan = plan_of(entrymod.q_ann_cosine_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Same-spec bucketed tables must join WITHOUT an exchange on either
+    side — the write-time bucketing replaces the per-query shuffle."""
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        co_located_join,
+        write_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_nationkey")
+    write_bucketed(orders, "orders_b", "o_custkey", buckets=8, sort_cols="o_custkey")
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey",
+        buckets=8, sort_cols="o_custkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        joined = co_located_join(spark, "orders_b", "customer_b", on="o_custkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # correctness: equals the plain join
+        plain = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

@@ -427,6 +427,37 @@ def q_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-table star join with a cross-table equality
+    # (customer and supplier in the SAME nation) + date range. Catalyst
+    # reorders the joins; region/nation broadcast automatically.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(
+            supplier,
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -495,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
+        "regional_revenue": q_regional_revenue,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -842,6 +874,20 @@ _ORACLES: dict[str, str] = {
     "count_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "regional_revenue": """
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name
     """,
     "percentiles": """
         SELECT event_type,

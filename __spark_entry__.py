@@ -203,6 +203,14 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.operators.textstats import with_hash_split
+
+    return with_hash_split(
+        _t(spark, sf_dir, "documents"), test_fraction=0.1
+    ).select("doc_id", "split")
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
 
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_classify": q_enrich_classify,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "hash_split": q_hash_split,
         "embed_near_dup": q_embed_near_dup,
         "salted_join": q_salted_join,
         "quality_score": q_quality_score,
@@ -680,6 +689,13 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                  AS n_bpe_tokens
+        FROM documents
+    """,
+    "hash_split": """
+        SELECT doc_id,
+               CASE WHEN substring(md5('c360' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '199a'
+                    THEN 'test' ELSE 'train' END AS split
         FROM documents
     """,
     "embed_near_dup": """

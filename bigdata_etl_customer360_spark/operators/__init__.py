@@ -37,6 +37,7 @@ from bigdata_etl_customer360_spark.operators.similarity import (
 )
 from bigdata_etl_customer360_spark.operators.textstats import (
     with_fingerprint,
+    with_hash_split,
     with_lang_id,
     with_quality_score,
     with_token_count,
@@ -73,6 +74,7 @@ __all__ = [
     "trend_compare",
     "union_by_name",
     "with_fingerprint",
+    "with_hash_split",
     "with_lang_id",
     "with_quality_score",
     "with_shingles",

@@ -140,3 +140,31 @@ def with_token_count_bpe(
         out_col,
         F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_TOKEN_PATTERN), 0)).cast("long"),
     )
+
+
+def with_hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    out_col: str = "split",
+    salt: str = "c360",
+) -> DataFrame:
+    """Deterministic train/test assignment by content-independent key
+    hash — the standard way to hold out an eval set that stays stable
+    across runs, engines, partitionings, and corpus growth (a key's split
+    never changes when other rows are added or the data is reshuffled).
+
+    Mechanism: the first 4 hex chars of md5(salt || key) are compared
+    against the fraction threshold as STRINGS — md5 and hex ordering are
+    universal, so the same rows land in 'test' on any engine (granularity
+    1/65536). Zero-shuffle: one codegen'd projection.
+    """
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    threshold = format(int(round(test_fraction * 0x10000)), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    return df.withColumn(
+        out_col, F.when(bucket < F.lit(threshold), F.lit("test")).otherwise(F.lit("train"))
+    )

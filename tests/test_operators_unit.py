@@ -331,3 +331,16 @@ def test_extract_frames_stub(spark):
     for mid, frames in by_media.items():
         assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
         assert all(len(f["frame_sha256"]) == 64 for f in frames)
+
+
+def test_hash_split_stable_under_growth(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import with_hash_split
+
+    full = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    subset = full.filter(F.col("doc_id") < 500)
+    s_full = {r["doc_id"]: r["split"] for r in with_hash_split(full, test_fraction=0.2).collect()}
+    s_sub = {r["doc_id"]: r["split"] for r in with_hash_split(subset, test_fraction=0.2).collect()}
+    assert all(s_full[k] == v for k, v in s_sub.items())  # growth never reshuffles splits
+    frac = sum(1 for v in s_full.values() if v == "test") / len(s_full)
+    assert 0.15 < frac < 0.25
+    assert with_hash_split(full, test_fraction=0.0).filter(F.col("split") == "test").count() == 0

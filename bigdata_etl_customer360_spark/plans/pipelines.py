@@ -130,18 +130,28 @@ def behavior_trend(
     else:
         with_split = events.withColumn("_split", F.to_timestamp(F.lit(split_ts)))
 
-    def dominant(df: DataFrame) -> DataFrame:
-        counted = df.groupBy(key, item_col).agg(F.count(F.lit(1)).alias("cnt"))
-        top = top_k_per_group(
-            counted,
-            [key],
-            [F.col("cnt").desc(), F.col(item_col).asc()],
-            k=1,
-        )
-        return top.select(F.col(key), F.col(item_col).alias("dominant"))
+    # ONE scan: tag each event with its period, count per
+    # (key, period, item), rank within (key, period) — instead of
+    # filtering the source twice (2 scans + 2 count shuffles).
+    period = F.when(F.col(ts_col) < F.col("_split"), F.lit("early")).otherwise(
+        F.lit("late")
+    )
+    counted = (
+        with_split.withColumn("_period", period)
+        .groupBy(key, "_period", item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = top_k_per_group(
+        counted,
+        [key, "_period"],
+        [F.col("cnt").desc(), F.col(item_col).asc()],
+        k=1,
+    ).select(F.col(key), F.col("_period"), F.col(item_col).alias("dominant")).cache()
+    # cached: ≤2 rows per key, consumed by both period branches below —
+    # without the boundary each branch re-runs the scan+count+rank.
 
-    early = dominant(with_split.filter(F.col(ts_col) < F.col("_split")))
-    late = dominant(with_split.filter(F.col(ts_col) >= F.col("_split")))
+    early = top.filter(F.col("_period") == "early").drop("_period")
+    late = top.filter(F.col("_period") == "late").drop("_period")
     return trend_compare(
         early,
         late,

@@ -203,6 +203,17 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_etl_customer360_spark.operators.textstats import filter_corpus
+
+    return filter_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        max_stopword_ratio=0.35,
+        min_distinct_ratio=0.5,
+    ).select("doc_id", "n_tokens", "stopword_ratio", "distinct_ratio")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_etl_customer360_spark.operators.textstats import with_hash_split
 
@@ -466,6 +477,59 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: supplier-nation × customer-nation trade volume by
+    # year — the same nation dim joins TWICE under different aliases, with
+    # a disjunctive cross-filter on the pair.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), supplier["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), customer["c_nationkey"] == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),  # match BIGINT EXTRACT
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-join back
+    # onto the fact tables.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -512,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "hash_split": q_hash_split,
+        "filter_corpus": q_filter_corpus,
         "embed_near_dup": q_embed_near_dup,
         "salted_join": q_salted_join,
         "quality_score": q_quality_score,
@@ -536,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "regional_revenue": q_regional_revenue,
+        "nation_volume": q_nation_volume,
+        "large_orders": q_large_orders,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -690,6 +757,26 @@ _ORACLES: dict[str, str] = {
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                  AS n_bpe_tokens
         FROM documents
+    """,
+    "filter_corpus": r"""
+        WITH t AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+            len(toks) AS n_tokens,
+            CAST(len(list_filter(toks, x ->
+              list_contains(['the','a','of','and','to','is','in','it'], x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+            CAST(len(list_distinct(toks)) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+          FROM t
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio
+        FROM scored
+        WHERE n_tokens >= 20 AND n_tokens <= 100000
+          AND stopword_ratio <= 0.35 AND distinct_ratio >= 0.5
     """,
     "hash_split": """
         SELECT doc_id,
@@ -904,6 +991,34 @@ _ORACLES: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY r_name, n_name
+    """,
+    "nation_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l_shipdate) AS l_year,
+                 l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "large_orders": """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 150) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """,
     "percentiles": """
         SELECT event_type,

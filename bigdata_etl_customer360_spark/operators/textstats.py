@@ -168,3 +168,25 @@ def with_hash_split(
     return df.withColumn(
         out_col, F.when(bucket < F.lit(threshold), F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.6,
+    min_distinct_ratio: float = 0.2,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """The composed pretraining quality gate: length bounds + stopword
+    ceiling + repetition floor, applied in one pass over the quality
+    features (Gopher-rules shape). Returns surviving rows with the
+    feature columns attached for downstream auditing."""
+    scored = with_quality_score(df, col, stopwords)
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )

@@ -95,8 +95,16 @@ def ngram_jaccard_pairs(
     sized = sh.withColumn("_sz", F.size("shingles"))
     # cache: the posting list feeds both self-join sides, and the boundary
     # keeps inferred isnotnull(shingle-expr) filters from recomputing the
-    # shingling below the fan-out exchange (see simhash_pairs).
-    posts = sized.select("_id", "_sz", F.explode("shingles").alias("_sh")).cache()
+    # shingling below the fan-out exchange (see simhash_pairs). The join
+    # key is the shingle's 64-bit hash, not the string: 8-byte shuffle/
+    # cache rows, same pair counts (collisions ~2^-64 — shingle sets are
+    # already distinct per doc, so a collision can only merge two
+    # different shingles across docs).
+    posts = (
+        sized.select("_id", "_sz", F.explode("shingles").alias("_s"))
+        .select("_id", "_sz", F.xxhash64("_s").alias("_sh"))
+        .cache()
+    )
     if max_df is not None:
         keep = (
             posts.groupBy("_sh")

@@ -230,6 +230,18 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB dedup path: hyperplane-LSH candidates -> exact rescoring
+    # (precision 1.0, recall follows bucket width); rows-only — candidate
+    # recall is probabilistic, so no SQL oracle. Wide buckets (4 planes x
+    # 16 tables) because the synthetic embeddings are near-uniform.
+    from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, mode="lsh"
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_etl_customer360_spark.operators.relational import salted_join
 
@@ -578,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "filter_corpus": q_filter_corpus,
         "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "salted_join": q_salted_join,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1027,10 +1040,10 @@ _ORACLES: dict[str, str] = {
                quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
-    # minhash_lsh / simhash_near_dup / ann_cosine_lsh / approx_count_distinct:
-    # probabilistic (LSH recall / sketch internals) — no SQL oracle; the
-    # driver records rows-only checks, and unit tests pin their behavior
-    # against the exact operators.
+    # minhash_lsh / simhash_near_dup / ann_cosine_lsh / embed_near_dup_lsh /
+    # approx_count_distinct: probabilistic (LSH recall / sketch internals) —
+    # no SQL oracle; the driver records rows-only checks, and unit tests pin
+    # their behavior against the exact operators.
 }
 
 

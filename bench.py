@@ -6,9 +6,11 @@ Env:    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
         SPARK_GRAFT_CPUS    (default 32 -> master local[N])
         BENCH_QUERIES       (optional comma-list to restrict)
 
-Each query is materialized with a cheap full-evaluation action
-(count over the result) so the measured time is plan + execution,
-not driver-side toPandas transfer.
+Each query is materialized with a noop-datasource write: unlike
+``df.count()`` (which lets Catalyst prune every unreferenced projection,
+timing map-only queries as an empty scan), writing to the ``noop``
+format evaluates EVERY output column on every row while still skipping
+driver-side transfer — the measured time is plan + full execution.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as exc:  # record failures, keep benching
             dt = time.perf_counter() - t0
@@ -65,6 +67,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        # dedup/similarity operators cache twice-consumed intermediates;
+        # release them so a 45-query loop doesn't accumulate storage blocks
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -14,6 +14,14 @@ Four tiers, cheapest first — the standard pretraining-dedup ladder:
 
 Everything except the Hamming popcount runs as Catalyst array expressions
 (JVM, codegen) — no Python in the per-row path.
+
+Cache contract: the pair operators ``.cache()`` intermediates that feed
+both sides of a self-join (and that double as materialization boundaries
+against constraint-inference expression cloning). Operators are pure
+``DataFrame -> DataFrame``, so they cannot unpersist before the caller's
+action runs; long-lived sessions invoking them in a loop should call
+``spark.catalog.clearCache()`` between actions (as ``bench.py`` does) —
+otherwise blocks linger until LRU eviction.
 """
 
 from __future__ import annotations
@@ -326,21 +334,27 @@ def embedding_cosine_pairs(
     mode: str = "exact",
     num_planes: int = 4,
     num_tables: int = 16,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine (the semantic tier of the
     dedup ladder): (id_a, id_b, cosine) for id_a < id_b with
     cosine >= threshold.
 
-    ``mode='exact'``: quantized-integer all-pairs — deterministic and
-    oracle-checkable; O(n²) scoring, right for bounded corpora or as the
-    verify stage. ``mode='lsh'``: random-hyperplane buckets generate the
-    candidates (see similarity.cosine_topk_lsh), then the same exact
-    scoring verifies — the 100 TB path: only bucket-colliding pairs are
-    ever scored, precision stays 1.0, recall follows bucket width.
+    ``mode='exact'``: quantized-integer all-pairs via BLOCKED matmul —
+    rows are hashed into ``num_blocks`` blocks, the B(B+1)/2 block pairs
+    are scored independently (cogrouped ``applyInPandas``, one int64
+    numpy matmul per block pair), so the O(n²) compute is spread across
+    executors and NOTHING is broadcast; each vector is shuffled ~B times.
+    Deterministic and oracle-checkable: the int64 matmul is exact, and
+    the final ``double(dot) / (sqrt(na)·sqrt(nb))`` is the identical
+    IEEE-754 expression Catalyst/DuckDB evaluate. Size ``num_blocks`` so
+    one block pair (~(n/B)² scores) fits an executor task.
+    ``mode='lsh'``: random-hyperplane buckets generate the candidates
+    (see similarity.cosine_topk_lsh), then the same exact scoring
+    verifies — the 100 TB path: only bucket-colliding pairs are ever
+    scored, precision stays 1.0, recall follows bucket width.
     """
     from bigdata_etl_customer360_spark.operators.similarity import (
-        _dot,
-        _norm_sq,
         cosine_topk_lsh,
         quantize_expr,
     )
@@ -368,18 +382,66 @@ def embedding_cosine_pairs(
     if mode != "exact":
         raise ValueError(f"unknown mode {mode!r}")
 
-    q = fan_out(df).select(
-        F.col(id_col).alias("id_a"), quantize_expr(vec_col).alias("_va")
-    ).withColumn("_na", _norm_sq("_va"))
-    c = df.select(
-        F.col(id_col).alias("id_b"), quantize_expr(vec_col).alias("_vb")
-    ).withColumn("_nb", _norm_sq("_vb"))
-    scored = (
-        q.join(F.broadcast(c), F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            _dot("_va", "_vb").cast("double")
-            / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
-        )
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    qz = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_id"), quantize_expr(vec_col).alias("_v"))
+        .withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(num_blocks)).cast("int"))
     )
-    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    # B(B+1)/2 block-pair skeleton — a driver-side constant, NOT a cross
+    # join (keeps plans cartesian-free); the equi-join against it
+    # replicates each row into its ~B block pairs.
+    skel = spark.createDataFrame(
+        [(a, b) for a in range(num_blocks) for b in range(a, num_blocks)],
+        schema="ba int, bb int",
+    )
+    ql, qr = qz.alias("ql"), qz.alias("qr")
+    sl, sr = skel.alias("sl"), skel.alias("sr")
+    left = ql.join(F.broadcast(sl), F.col("ql._blk") == F.col("sl.ba")).select(
+        F.col("ql._id").alias("_id"), F.col("ql._v").alias("_v"),
+        F.col("sl.ba").alias("ba"), F.col("sl.bb").alias("bb"),
+    )
+    right = qr.join(F.broadcast(sr), F.col("qr._blk") == F.col("sr.bb")).select(
+        F.col("qr._id").alias("_id"), F.col("qr._v").alias("_v"),
+        F.col("sr.ba").alias("ba"), F.col("sr.bb").alias("bb"),
+    )
+
+    def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(l) or not len(r):
+            return empty
+        same = l["ba"].iat[0] == l["bb"].iat[0]
+        A = np.stack(l["_v"].to_numpy()).astype(np.int64)
+        B = np.stack(r["_v"].to_numpy()).astype(np.int64)
+        dots = A @ B.T  # exact: |q| <= 2^21, dim 64 -> < 2^48
+        sa = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        sb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        # identical IEEE ops to the Catalyst/DuckDB twin:
+        # double(dot) / (sqrt(na) * sqrt(nb)) — one product, one division
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots.astype(np.float64) / np.outer(sa, sb)
+        # zero-norm vectors score NaN; NaN >= t is False, matching the
+        # SQL twin's NULL-comparison drop
+        ia = l["_id"].to_numpy()
+        ib = r["_id"].to_numpy()
+        mask = cos >= threshold
+        if same:  # within a block both orders appear once — keep a < b
+            mask &= ia[:, None] < ib[None, :]
+        rows, cols = np.nonzero(mask)
+        if not len(rows):
+            return empty
+        a_ids, b_ids = ia[rows], ib[cols]
+        lo = np.minimum(a_ids, b_ids)  # cross-block pairs appear once, in
+        hi = np.maximum(a_ids, b_ids)  # block order — reorder to id asc
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[rows, cols]})
+
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(score, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
+    )

@@ -57,12 +57,31 @@ class RuleClassifier:
         return out
 
     def to_case_sql(self, col: str) -> str:
-        """The equivalent ANSI-SQL CASE expression (for oracles/pushdown)."""
+        """The equivalent ANSI-SQL CASE expression (for oracles/pushdown).
+
+        Keywords are treated as literal substrings, exactly like
+        ``classify_batch``'s ``str.contains(regex=False)``: single quotes
+        are doubled and LIKE metacharacters (%/_) are escaped with ``!``
+        (chosen over backslash, which Spark string literals consume but
+        ANSI/DuckDB literals don't — ``!`` parses identically everywhere).
+        """
+
+        def lit(s: str) -> str:
+            return s.replace("'", "''")
+
+        def like_pat(kw: str) -> str:
+            pat = (
+                kw.lower().replace("!", "!!").replace("%", "!%").replace("_", "!_")
+            )
+            return lit(pat)
+
         branches = []
         for label, kws in self.rules.items():
-            cond = " OR ".join(f"lower({col}) LIKE '%{kw.lower()}%'" for kw in kws)
-            branches.append(f"WHEN {cond} THEN '{label}'")
-        return "CASE " + " ".join(branches) + f" ELSE '{self.fallback}' END"
+            cond = " OR ".join(
+                f"lower({col}) LIKE '%{like_pat(kw)}%' ESCAPE '!'" for kw in kws
+            )
+            branches.append(f"WHEN {cond} THEN '{lit(label)}'")
+        return "CASE " + " ".join(branches) + f" ELSE '{lit(self.fallback)}' END"
 
 
 class BatchPromptClassifier:

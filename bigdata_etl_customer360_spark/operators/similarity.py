@@ -208,14 +208,15 @@ def cosine_topk_ivf(
     from pyspark.sql.types import ArrayType, IntegerType
 
     # --- fit coarse quantizer on a deterministic bounded sample ----------
-    frac_mod = 1  # hash-mod downsample only if the corpus is large
-    cnt = corpus.count()
-    if cnt > sample_size:
-        frac_mod = max(1, cnt // sample_size)
+    # orderBy(hash).limit(n) plans as TakeOrderedAndProject: per-partition
+    # top-n heaps merged on the driver — no full sort shuffle, and (unlike
+    # an unordered limit after a filter) WHICH rows survive is a pure
+    # function of the data, independent of partitioning or scan order.
+    # The id tie-break covers the ~2^-64 hash-collision case.
     sample_rows = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
-        .select(id_col, vec_col)
-        .limit(sample_size * 2)
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_size)
         .collect()
     )
     sample_rows.sort(key=lambda r: r[id_col])  # order-independent fit

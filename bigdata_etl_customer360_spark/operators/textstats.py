@@ -161,6 +161,11 @@ def with_hash_split(
     """
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError("test_fraction must be in [0, 1]")
+    if test_fraction >= 1.0:
+        # clamp: the threshold "10000" is 5 chars and compares below any
+        # 4-char prefix not starting with '0' — string compare can't
+        # express "everything", so short-circuit it.
+        return df.withColumn(out_col, F.lit("test"))
     threshold = format(int(round(test_fraction * 0x10000)), "04x")
     bucket = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4

@@ -261,6 +261,25 @@ def test_embedding_cosine_pairs_lsh_verifies_exact(spark):
         assert pair in exact and abs(cos - exact[pair]) < 1e-12
 
 
+def test_embedding_cosine_exact_blocked_invariant(spark):
+    """The blocked-matmul exact mode is a pure function of the data:
+    identical output (pairs AND bit-exact scores) for any partitioning
+    and any block count — blocking is a physical knob only."""
+    from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    def run(frame, nb):
+        rows = embedding_cosine_pairs(frame, threshold=0.3, num_blocks=nb).collect()
+        return sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
+
+    base = run(df, 8)
+    assert len(base) > 0
+    assert all(a < b for a, b, _ in base)
+    assert base == run(df.repartition(7), 8) == run(df, 1) == run(df, 3)
+
+
 def test_bpe_token_count(spark):
     from bigdata_etl_customer360_spark.operators.textstats import with_token_count_bpe
 
@@ -344,3 +363,24 @@ def test_hash_split_stable_under_growth(spark):
     frac = sum(1 for v in s_full.values() if v == "test") / len(s_full)
     assert 0.15 < frac < 0.25
     assert with_hash_split(full, test_fraction=0.0).filter(F.col("split") == "test").count() == 0
+    # boundary clamp: 1.0 means ALL test (the 5-char "10000" threshold
+    # would otherwise string-compare above only '0'-prefixed hashes)
+    assert with_hash_split(full, test_fraction=1.0).filter(F.col("split") != "test").count() == 0
+
+
+def test_ivf_centroid_fit_partition_independent(spark):
+    """The kmeans sample is a deterministic function of the DATA (hash
+    top-n), not of partitioning — so the whole IVF output must be
+    identical across arbitrary repartitionings."""
+    from bigdata_etl_customer360_spark.operators.similarity import cosine_topk_ivf
+
+    vecs = [(i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+
+    def run(corpus):
+        rows = cosine_topk_ivf(q, corpus, k=5, num_centroids=8, nprobe=2,
+                               sample_size=64).collect()
+        return sorted((r["query_id"], r["neighbor_id"], r["cosine"]) for r in rows)
+
+    assert run(df) == run(df.repartition(7)) == run(df.repartition(3, "vec_id"))

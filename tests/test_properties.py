@@ -105,7 +105,7 @@ def test_pivot_ignores_unseen_and_fills(spark, rows):
 
 @given(
     st.lists(
-        st.one_of(st.none(), st.text(alphabet="abc XYZ", min_size=0, max_size=12)),
+        st.one_of(st.none(), st.text(alphabet="abc XYZ%_'!", min_size=0, max_size=12)),
         min_size=1,
         max_size=25,
     )
@@ -113,13 +113,29 @@ def test_pivot_ignores_unseen_and_fills(spark, rows):
 @SETTINGS
 def test_rule_classifier_python_matches_its_sql(spark, keys):
     """The pandas backend and its generated CASE SQL must agree on any
-    input — this is what makes enrich_classify oracle-checkable."""
+    input — this is what makes enrich_classify oracle-checkable. Keywords
+    deliberately include quotes and LIKE metacharacters (%/_/!) to pin the
+    escaping: '%' must match only a literal percent, not everything."""
     import duckdb
 
-    c = RuleClassifier({"A": ["ab"], "B": ["x", "c"]}, fallback="F")
+    c = RuleClassifier(
+        {"A": ["ab"], "B": ["x", "c"], "Q": ["o'n"], "M": ["100%", "a_b", "w!w"]},
+        fallback="F",
+    )
     py = c.classify_batch(pd.Series(keys, dtype="object")).tolist()
     con = duckdb.connect()
     con.execute("CREATE TABLE t (k VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
     got = [r[0] for r in con.execute(f"SELECT {c.to_case_sql('k')} FROM t").fetchall()]
     assert got == py
+
+
+def test_rule_classifier_sql_metachars_spark_side(spark):
+    """The generated CASE also parses and agrees when evaluated BY SPARK
+    (pushdown use), including the ESCAPE clause and doubled quotes."""
+    c = RuleClassifier({"P": ["50%"], "U": ["a_c"], "Q": ["d'oh"]}, fallback="F")
+    keys = ["has 50% off", "50 percent", "xa_cx", "xaYcx", "d'oh!", None]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = [r["lbl"] for r in df.select(F.expr(c.to_case_sql("k")).alias("lbl")).collect()]
+    py = c.classify_batch(pd.Series(keys, dtype="object")).tolist()
+    assert got == py == ["P", "F", "U", "F", "Q", "F"]

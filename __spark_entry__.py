@@ -257,6 +257,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent daily-rerun pattern (the reference's operating model,
+    ETL_customer_behavior.py:161-166): land events date-partitioned, then
+    RE-land an overlapping window via dynamic partition overwrite, then
+    aggregate the lake. The result equals aggregating the source directly
+    (the oracle) iff the re-run replaced partitions instead of
+    double-counting (append) or truncating (static overwrite)."""
+    import tempfile
+
+    from bigdata_etl_customer360_spark.sources.sinks import write_partitioned_overwrite
+
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    lake = tempfile.mkdtemp(prefix="c360_inc_lake_")
+    write_partitioned_overwrite(ev, lake, ["event_date"])
+    # overlapping re-run: every even-numbered day lands a second time
+    write_partitioned_overwrite(
+        ev.filter(F.dayofmonth("event_date") % 2 == 0), lake, ["event_date"]
+    )
+    return (
+        spark.read.parquet(lake)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        # date -> UTC-midnight timestamp: pandas/duckdb agree on the dtype
+        # (same treatment as window_tumbling's day_ts)
+        .select(
+            F.col("event_date").cast("timestamp").alias("event_date"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_chars_obs", "stopword_ratio", "distinct_ratio",
@@ -591,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "incremental_overwrite": q_incremental_overwrite,
         "salted_join": q_salted_join,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -812,6 +848,12 @@ _ORACLES: dict[str, str] = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE CAST(list_sum([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35
+    """,
+    "incremental_overwrite": """
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
     """,
     "salted_join": """
         SELECT c_nationkey,

@@ -104,6 +104,21 @@ def _slug(name: str) -> str:
     return name.replace(" ", "_")
 
 
+def _interaction_clean(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Flatten + date-stamp + dimension-map + junk-filter stage shared by
+    the one-shot pipeline and the incremental lake ingest."""
+    raw = read_json_lines(spark, paths, LOG_CONTENT_SCHEMA)
+    # file path .../yyyyMMdd.json → date (S3/E8 generalized: partition
+    # identity comes from the path, not a driver-side literal).
+    day = F.to_date(
+        F.regexp_extract(F.input_file_name(), r"(\d{8})\.json", 1), "yyyyMMdd"
+    )
+    flat = raw.select("_source.*").withColumn("Date", day)
+
+    mapped = map_dimension(flat, "AppName", APP_TYPE_MAP, out_col="Type", drop_unmapped=True)
+    return mapped.filter(F.col("Contract") != "0")  # junk key (:19)
+
+
 def interaction_pipeline(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Per-contract watch profile from daily JSON-lines logs.
 
@@ -118,17 +133,10 @@ def interaction_pipeline(spark: SparkSession, paths: list[str]) -> DataFrame:
     The reference instead pivots per day and unions 30 pivoted frames
     (30 shuffles before the final one).
     """
-    raw = read_json_lines(spark, paths, LOG_CONTENT_SCHEMA)
-    # file path .../yyyyMMdd.json → date (S3/E8 generalized: partition
-    # identity comes from the path, not a driver-side literal).
-    day = F.to_date(
-        F.regexp_extract(F.input_file_name(), r"(\d{8})\.json", 1), "yyyyMMdd"
-    )
-    flat = raw.select("_source.*").withColumn("Date", day)
+    return _interaction_profile(_interaction_clean(spark, paths))
 
-    mapped = map_dimension(flat, "AppName", APP_TYPE_MAP, out_col="Type", drop_unmapped=True)
-    clean = mapped.filter(F.col("Contract") != "0")  # junk key (:19)
 
+def _interaction_profile(clean: DataFrame) -> DataFrame:
     # ONE grouped aggregation: the 5 pivoted sums AND the distinct-day
     # count ride the same shuffle (the reference pivots per day, unions 30
     # frames, then aggregates again — 31 shuffles where one suffices).
@@ -156,6 +164,44 @@ def interaction_pipeline(spark: SparkSession, paths: list[str]) -> DataFrame:
         )
         .select("Contract", *slug_cols, "Active", "Most Watched", "Taste", "Level_Activeness")
     )
+
+
+# --- incremental lake (daily re-run operating model) ------------------------
+
+
+def interaction_ingest_daily(spark: SparkSession, paths: list[str], lake_path: str) -> None:
+    """Stage 1 of the incremental formulation: land CLEANED, typed daily
+    events in a Date-partitioned parquet lake via dynamic partition
+    overwrite. Re-running any day (late data, a fixed extractor) rewrites
+    exactly that day's partition — idempotent by construction, and the
+    profile stage never re-reads days outside its window.
+
+    The reference re-runs its whole month-long fold for any correction
+    (ETL_customer_behavior.py:161-166's date-range loop, same model in
+    ETL_customer_interaction.py); this splits ingest from aggregation so
+    a daily correction costs one day's scan + write.
+    """
+    from bigdata_etl_customer360_spark.sources.sinks import write_partitioned_overwrite
+
+    write_partitioned_overwrite(_interaction_clean(spark, paths), lake_path, ["Date"])
+
+
+def interaction_profile_from_lake(
+    spark: SparkSession,
+    lake_path: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Stage 2: the same single-shuffle profile aggregate, reading the
+    Date-partitioned lake. ``start``/``end`` (ISO dates, inclusive) become
+    partition-pruning filters — a 30-day profile over a years-deep lake
+    scans 30 directories, not the table."""
+    lake = spark.read.parquet(lake_path)
+    if start is not None:
+        lake = lake.filter(F.col("Date") >= F.lit(start).cast("date"))
+    if end is not None:
+        lake = lake.filter(F.col("Date") <= F.lit(end).cast("date"))
+    return _interaction_profile(lake)
 
 
 # --- behavior (log_search) --------------------------------------------------
@@ -222,8 +268,15 @@ def behavior_pipeline(
             F.col("category").alias(f"category_{tag}"),
         )
 
-    t6 = month_profile(june_paths, "T6")
-    t7 = month_profile(july_paths, "T7")
+    return _month_trend(
+        month_profile(june_paths, "T6"), month_profile(july_paths, "T7")
+    )
+
+
+def _month_trend(t6: DataFrame, t7: DataFrame) -> DataFrame:
+    """Join two month profiles (user_id, most_search_T*, category_T*) into
+    the reference's `behavior_data` shape — shared by the one-shot
+    pipeline and the incremental lake path."""
     # inner join: single-month users drop, as in the reference (:196);
     # trend labels on the category columns (:199-201 / :138-143).
     compared = trend_compare(
@@ -251,3 +304,45 @@ def behavior_pipeline(
         "Trending_Type",
         "Category_Change",
     )
+
+
+def behavior_ingest_month(
+    spark: SparkSession,
+    paths: list[str],
+    classifier,
+    lake_path: str,
+    month: str,
+) -> None:
+    """Incremental stage 1 for the behavior pipeline: one month's
+    (user_id, most_search, category) profile landed as a ``month=<tag>``
+    partition via dynamic overwrite. Re-classifying or re-extracting a
+    month replaces ONLY that partition; every already-landed month keeps
+    its bytes (and its classifier outputs — no accidental re-labeling of
+    history when the rule set evolves)."""
+    from bigdata_etl_customer360_spark.sources.sinks import write_partitioned_overwrite
+
+    logs = read_parquet(spark, paths, columns=["user_id", "keyword"])
+    top = most_search(logs)
+    enriched = classify_column(top, "most_search", classifier, out_col="category")
+    out = enriched.select("user_id", "most_search", "category").withColumn(
+        "month", F.lit(month)
+    )
+    write_partitioned_overwrite(out, lake_path, ["month"])
+
+
+def behavior_trend_from_lake(
+    spark: SparkSession, lake_path: str, month_a: str, month_b: str
+) -> DataFrame:
+    """Incremental stage 2: month-over-month trend between any two landed
+    months — two partition-pruned reads of the profile lake, then the same
+    join/trend plan as the one-shot pipeline."""
+    lake = spark.read.parquet(lake_path)
+
+    def tagged(month: str, tag: str) -> DataFrame:
+        return lake.filter(F.col("month") == month).select(
+            "user_id",
+            F.col("most_search").alias(f"most_search_{tag}"),
+            F.col("category").alias(f"category_{tag}"),
+        )
+
+    return _month_trend(tagged(month_a, "T6"), tagged(month_b, "T7"))

@@ -40,6 +40,35 @@ def write_jdbc(
     )
 
 
+def write_partitioned_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent incremental write: overwrite ONLY the partitions present
+    in ``df``, leaving every other partition untouched.
+
+    This is the daily-rerun operating model the reference assumes
+    (ETL_customer_behavior.py:161-166 iterates date ranges) but cannot
+    express — its JDBC overwrite drops the WHOLE table each run, and a
+    plain parquet ``append`` double-counts on re-run. With
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (scoped to this
+    write, restored after), ``mode('overwrite')`` deletes exactly the
+    partition directories the incoming frame writes — so re-running any
+    date window is byte-idempotent, and concurrent runs over DISJOINT
+    windows never touch each other's data. At 100 TB this is also the
+    cheap path: a day's re-run costs one day's write, not a table rewrite.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

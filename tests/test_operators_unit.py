@@ -305,6 +305,41 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
 
 
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """write_jdbc exercised end-to-end against the Derby embedded JDBC
+    database bundled with Spark (same .write.format('jdbc') path a MySQL
+    target uses — only url/driver differ). Covers append accumulation,
+    overwrite replacement, and read-back fidelity."""
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    from bigdata_etl_customer360_spark.sources.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/c360db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "v", "score"]
+    )
+
+    def read_back():
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option("dbtable", "profiles")
+            .load()
+        )
+        return sorted((r["id"], r["v"], r["score"]) for r in back.collect())
+
+    write_jdbc(df, url, "profiles", user="app", password="", driver=driver,
+               mode="overwrite", num_partitions=1)
+    assert read_back() == [(1, "a", 1.5), (2, "b", 2.5)]
+    write_jdbc(df.filter(F.col("id") == 2), url, "profiles", user="app",
+               password="", driver=driver, mode="append", num_partitions=1)
+    assert read_back() == [(1, "a", 1.5), (2, "b", 2.5), (2, "b", 2.5)]
+    write_jdbc(df.filter(F.col("id") == 1), url, "profiles", user="app",
+               password="", driver=driver, mode="overwrite", num_partitions=1)
+    assert read_back() == [(1, "a", 1.5)]
+
+
 def test_ivf_scores_are_exact_for_returned_pairs(spark):
     from bigdata_etl_customer360_spark.operators.similarity import (
         cosine_topk_brute,

@@ -208,3 +208,82 @@ def test_behavior_tie_break(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["most_search_T6"] == "aaa"
     assert out[0]["Trending_Type"] == "Unchanged"
+
+
+# --- incremental lake (idempotent daily re-runs) -----------------------------
+
+
+def _profile_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_interaction_incremental_idempotent(spark, tmp_path):
+    """Re-running overlapping date windows through the partitioned lake is
+    byte-idempotent: the lake and the profile equal a single clean run,
+    and the profile matches the one-shot pipeline exactly."""
+    from bigdata_etl_customer360_spark.plans.reference_replay import (
+        interaction_ingest_daily,
+        interaction_profile_from_lake,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    paths, _ = _gen_log_content(logs)
+    lake = str(tmp_path / "lake")
+
+    interaction_ingest_daily(spark, paths, lake)           # full window
+    once = _profile_rows(spark.read.parquet(lake))
+    interaction_ingest_daily(spark, paths[9:20], lake)     # re-run days 10-20
+    interaction_ingest_daily(spark, paths[15:25], lake)    # and 16-25, overlapping
+    assert _profile_rows(spark.read.parquet(lake)) == once
+
+    got = _profile_rows(interaction_profile_from_lake(spark, lake))
+    want = _profile_rows(interaction_pipeline(spark, paths))
+    assert got == want
+
+
+def test_interaction_lake_window_prunes_partitions(spark, tmp_path):
+    """start/end become partition filters: a windowed profile equals the
+    one-shot pipeline over just those days, and the scan plan carries the
+    Date bounds as partition filters (pruning, not a full-lake read)."""
+    from bigdata_etl_customer360_spark.plans.reference_replay import (
+        interaction_ingest_daily,
+        interaction_profile_from_lake,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    paths, _ = _gen_log_content(logs)
+    lake = str(tmp_path / "lake")
+    interaction_ingest_daily(spark, paths, lake)
+
+    windowed = interaction_profile_from_lake(
+        spark, lake, start="2022-04-05", end="2022-04-14"
+    )
+    want = _profile_rows(interaction_pipeline(spark, paths[4:14]))
+    assert _profile_rows(windowed) == want
+    plan = windowed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "Date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_behavior_incremental_month_rerun(spark, tmp_path):
+    """Re-landing one month (e.g. after a classifier fix) replaces only
+    that month's partition; the trend output matches the one-shot
+    pipeline."""
+    from bigdata_etl_customer360_spark.plans.reference_replay import (
+        behavior_ingest_month,
+        behavior_trend_from_lake,
+    )
+
+    paths, june_users, july_users, kws = _gen_log_search(tmp_path, spark)
+    lake = str(tmp_path / "behavior_lake")
+
+    behavior_ingest_month(spark, [paths[6]], CLASSIFIER, lake, "2022-06")
+    behavior_ingest_month(spark, [paths[7]], CLASSIFIER, lake, "2022-07")
+    once = _profile_rows(spark.read.parquet(lake))
+    behavior_ingest_month(spark, [paths[7]], CLASSIFIER, lake, "2022-07")  # re-run
+    assert _profile_rows(spark.read.parquet(lake)) == once
+
+    got = behavior_trend_from_lake(spark, lake, "2022-06", "2022-07")
+    want = behavior_pipeline(spark, [paths[6]], [paths[7]], CLASSIFIER)
+    assert _profile_rows(got) == _profile_rows(want)

@@ -355,6 +355,32 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.sources.stream_stream_join (same plan;
+    watermarks are no-ops on bounded input): click↔view pairs per user
+    within ±1 hour — the time-range-bounded join that keeps stream-stream
+    state finite. Oracle-checked here; the streaming equivalence test
+    pins drained-stream == batch."""
+    from bigdata_etl_customer360_spark.streaming.sources import stream_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("vts"), F.col("value").alias("vvalue"))
+    )
+    joined = stream_stream_join(
+        clicks, views, "user_id", "ts", "vts", max_delay="1 hour", watermark="0 seconds"
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("l.value").alias("click_value"),
+        F.col("r.vts").alias("view_ts"),
+        F.col("r.vvalue").alias("view_value"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = binarize_text(_t(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "mime", "n_bytes", "sha256")
@@ -638,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        "interval_join": q_interval_join,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "window_tumbling": q_window_tumbling,
@@ -848,6 +875,17 @@ _ORACLES: dict[str, str] = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE CAST(list_sum([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
             / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35
+    """,
+    "interval_join": """
+        -- epoch_us integer bounds: timezone-free on both engines
+        SELECT c.user_id AS user_id,
+               c.ts AS click_ts, c.value AS click_value,
+               v.ts AS view_ts, v.value AS view_value
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+         AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
     """,
     "incremental_overwrite": """
         SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,

@@ -168,3 +168,124 @@ def test_sliding_agg_stream_closes_windows(spark, stream_dir, tmp_path):
     u1_batch = [r for r in want_rows if r[2] == 1]
     assert len(u1_batch) >= 3
     assert {r[2] for r in got_rows} >= {1, 2}
+
+
+# --- kafka-shaped source + stream-stream join --------------------------------
+
+
+def test_kafka_envelope_parse_roundtrip(spark, tmp_path):
+    """Producer-shaped envelope parquet -> stub stream -> from_json parse
+    drains to exactly the source rows (payload AND broker metadata)."""
+    from bigdata_etl_customer360_spark.streaming.sources import (
+        kafka_envelope_stream,
+        parse_kafka_json,
+        write_kafka_envelope,
+    )
+
+    src = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in MAIN_ROWS], EVENT_SCHEMA
+    )
+    topic_dir = str(tmp_path / "topic_events")
+    write_kafka_envelope(src, topic_dir, "events", "user_id",
+                         ["user_id", "ts", "value"], "ts")
+
+    stream = kafka_envelope_stream(spark, topic_dir, max_files_per_trigger=1)
+    parsed = parse_kafka_json(stream, EVENT_SCHEMA)
+    got = run_available_now(parsed, "t_kafka_parse",
+                            checkpoint_dir=str(tmp_path / "ckpt_kp"))
+    got_rows = sorted((r["user_id"], r["ts"], r["value"]) for r in got.collect())
+    want_rows = sorted((r["user_id"], r["ts"], r["value"]) for r in src.collect())
+    assert got_rows == want_rows
+    # broker metadata survives the parse
+    meta = got.select("topic", "partition", "offset").collect()
+    assert {m["topic"] for m in meta} == {"events"}
+    offs = sorted((m["partition"], m["offset"]) for m in meta)
+    assert len(set(offs)) == len(offs)  # (partition, offset) unique
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Two envelope streams joined with the time-range constraint drain to
+    the same rows as the identical batch join."""
+    from bigdata_etl_customer360_spark.streaming.sources import (
+        kafka_envelope_stream,
+        parse_kafka_json,
+        stream_stream_join,
+        write_kafka_envelope,
+    )
+
+    clicks = [(u, t, v) for u, t, v in MAIN_ROWS]
+    views = [
+        (1, "2022-01-01 10:00:30", 10.0),   # joins user 1's 10:00 events
+        (1, "2022-01-01 12:00:00", 11.0),   # > 1h from everything -> drops
+        (2, "2022-01-01 11:00:20", 12.0),   # joins user 2
+        (3, "2022-01-01 10:00:00", 13.0),   # no click side -> drops (inner)
+    ]
+    c_df = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in clicks], EVENT_SCHEMA)
+    v_df = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in views], EVENT_SCHEMA)
+
+    c_dir, v_dir = str(tmp_path / "t_clicks"), str(tmp_path / "t_views")
+    write_kafka_envelope(c_df, c_dir, "clicks", "user_id", ["user_id", "ts", "value"], "ts")
+    write_kafka_envelope(v_df, v_dir, "views", "user_id", ["user_id", "ts", "value"], "ts")
+
+    def sides(reader):
+        c = parse_kafka_json(reader(c_dir), EVENT_SCHEMA, keep_meta=False)
+        v = (parse_kafka_json(reader(v_dir), EVENT_SCHEMA, keep_meta=False)
+             .withColumnRenamed("ts", "vts").withColumnRenamed("value", "vvalue"))
+        return c, v
+
+    def project(df):
+        return df.select(F.col("l.user_id").alias("u"), F.col("l.ts").alias("cts"),
+                         "r.vts", "r.vvalue")
+
+    sc, sv = sides(lambda p: kafka_envelope_stream(spark, p))
+    joined = stream_stream_join(sc, sv, "user_id", "ts", "vts",
+                                max_delay="1 hour", watermark="0 seconds")
+    got = run_available_now(project(joined), "t_ssjoin",
+                            checkpoint_dir=str(tmp_path / "ckpt_ss"))
+
+    bc, bv = sides(lambda p: spark.read.schema(
+        __import__("bigdata_etl_customer360_spark.streaming.sources",
+                   fromlist=["KAFKA_ENVELOPE_SCHEMA"]).KAFKA_ENVELOPE_SCHEMA).parquet(p))
+    want = project(stream_stream_join(bc, bv, "user_id", "ts", "vts",
+                                      max_delay="1 hour", watermark="0 seconds"))
+
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+    joined_users = {r[0] for r in got_rows}
+    assert 3 not in joined_users          # inner join drops view-only user
+    assert all(r[2] is not None for r in got_rows)
+
+
+def test_stream_dedup_state_is_keys_not_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark at a larger key count: 5k keys x 4
+    duplicates across micro-batches -> 5k output rows, and the state store
+    holds O(keys) rows (one per distinct key), NOT O(input rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_keys, dups = 5000, 4
+    d = tmp_path / "dedup_lot"
+    d.mkdir()
+    base = pd.Timestamp("2022-01-01 00:00:00")
+    for b in range(dups):  # each file repeats ALL keys -> pure duplicates
+        tbl = pa.table({
+            "user_id": pa.array(list(range(n_keys)), pa.int64()),
+            "ts": pa.array([base + pd.Timedelta(seconds=b)] * n_keys, pa.timestamp("us")),
+            "value": pa.array([float(b)] * n_keys, pa.float64()),
+        })
+        pq.write_table(tbl, str(d / f"batch_{b}.parquet"))
+
+    stream = stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, ["user_id"], "ts", watermark="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("t_dedup_state")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_big")).start())
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert spark.table("t_dedup_state").count() == n_keys
+    state_rows = max(op["numRowsTotal"] for p in progress for op in p["stateOperators"])
+    assert state_rows == n_keys  # one state row per key, duplicates add none

@@ -147,39 +147,65 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup candidates, optionally verified with
     exact Jaccard — the scale path for near-dedup.
 
-    Signature: each shingle string is hashed once (``h = xxhash64(s)``,
-    the expensive part); permutation i re-hashes the long
+    Signature: each shingle string is hashed ONCE (``h = xxhash64(s)``,
+    the expensive part) at explode time; permutation i re-hashes the long
     (``xxhash64(i, h)``) so ``sig[i] = min over shingles`` — all JVM-side
     array exprs. Banding: ``bands`` groups of ``num_hashes/bands`` rows; docs
     colliding on any band hash become candidates (standard LSH S-curve).
     Cost at scale: O(n·num_hashes) + a shuffle on (band, band_hash) —
     never all-pairs. ``verify=True`` re-checks candidates with exact
     Jaccard so precision is 1.0; recall follows the S-curve.
+
+    ``max_df`` drops boilerplate shingles appearing in more than ``max_df``
+    docs BEFORE minhashing (a distributed df-count join on the 64-bit
+    posting list, like ``ngram_jaccard_pairs``): a shingle shared by 1M
+    docs identifies nothing but drags every doc's signature toward the
+    same minima, inflating candidate (and false-positive) volume. Unlike
+    ngram's cap, BOTH the signatures and the verify-Jaccard use the capped
+    shingle space — estimate and verification stay consistent ("Jaccard
+    over non-boilerplate shingles"). As with ngram (BASELINE.md scale
+    stress), the cap must exceed the corpus duplication factor or
+    boilerplate-only duplicate groups vanish by design.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
-    # cached twice-consumed frames (banding + exact verify); also a
-    # materialization boundary so constraint-inferred isnotnull() filters
-    # on the join keys can't clone the signature expressions below the
-    # fan-out exchange (see simhash_pairs).
-    sh = (
+    # posting list of 64-bit shingle hashes (8-byte shuffle rows; string
+    # collisions ~2^-64 — see ngram_jaccard_pairs); the df-cap is a join
+    # against the shingle document frequencies, fully distributed.
+    posts = (
         with_shingles(fan_out(df), text_col, n)
-        .select(F.col(id_col).alias("_id"), F.col("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_sh"))
+    )
+    if max_df is not None:
+        keep = (
+            posts.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        posts = posts.join(keep, on="_sh")
+
+    # cached twice-consumed frame (banding + exact verify); also a
+    # materialization boundary so constraint-inferred isnotnull() filters
+    # on the join keys can't clone the shingling expressions below the
+    # fan-out exchange (see simhash_pairs). Shingle sets are distinct per
+    # doc, so collect_list is set-valued; every consumer below is
+    # order-independent (array_min / array_intersect size).
+    sh = (
+        posts.groupBy("_id")
+        .agg(F.collect_list("_sh").alias("_hs"))
         .cache()
     )
 
-    # hash each shingle STRING once (the expensive part); the num_hashes
-    # "permutations" re-hash the resulting long, which is cheap.
     sig = sh.withColumn(
-        "_hs", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    ).withColumn(
         "_sig",
         F.expr(
             f"transform(sequence(0, {num_hashes - 1}), "
@@ -213,11 +239,11 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
 
-    sets = sh.select(F.col("_id"), F.col("shingles"), F.size("shingles").alias("_sz"))
+    sets = sh.select(F.col("_id"), F.col("_hs"), F.size("_hs").alias("_sz"))
     cand = (
-        cand.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("shingles", "sh_a")
+        cand.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_hs", "sh_a")
                   .withColumnRenamed("_sz", "sz_a"), on="id_a")
-        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("shingles", "sh_b")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_hs", "sh_b")
               .withColumnRenamed("_sz", "sz_b"), on="id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

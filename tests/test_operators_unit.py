@@ -176,6 +176,27 @@ def test_minhash_agrees_with_exact_on_dups(spark):
     assert (1, 4) not in got
 
 
+def test_minhash_max_df_keeps_near_dups(spark):
+    # same shape as the ngram df-cap test: a boilerplate prefix shared by
+    # ALL docs is capped out of the shingle space; true near-dups still
+    # collide via their rarer shingles, boilerplate-only "pairs" vanish
+    docs = [
+        (1, "copyright footer text alpha beta gamma delta"),
+        (2, "copyright footer text alpha beta gamma epsilon"),
+        (3, "copyright footer text totally different body here"),
+        (4, "copyright footer text another unrelated document body"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, num_hashes=64, bands=32, threshold=0.3, max_df=2).collect()}
+    assert (1, 2) in capped
+    assert (3, 4) not in capped  # only shared boilerplate -> capped away
+    # uncapped, the boilerplate inflates 3-4's Jaccard above the threshold
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, num_hashes=64, bands=32, threshold=0.3).collect()}
+    assert (1, 2) in uncapped
+
+
 def test_simhash_identical_text_hamming_zero(spark):
     fp = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs_df(spark)).collect()}
     assert fp[1] == fp[2]

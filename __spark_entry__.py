@@ -603,6 +603,49 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery, decorrelated): for each
+    small part, the supplier(s) selling it at the part's MINIMUM price.
+    The correlated `price = (SELECT min(price) WHERE same part)` becomes
+    an aggregate + self-join-back — the standard Catalyst decorrelation,
+    written explicitly. Both dims broadcast; the only shuffles are the
+    per-part min and the distinct."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("best_price"))
+    best = (
+        li.join(minp, on="l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("best_price"))
+        .select("l_partkey", "l_suppkey", "best_price")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .select("p_partkey", "p_brand", "s_name", "best_price")
+    )
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (grouped agg + NOT-IN subquery, decorrelated): how
+    many distinct suppliers serve each (brand, type, size), excluding one
+    brand and every supplier with a negative balance. NOT IN becomes a
+    LEFT ANTI join (keys are non-null, so semantics coincide); the
+    excluded-supplier set is tiny and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = li.join(
+        F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -679,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "nation_volume": q_nation_volume,
         "large_orders": q_large_orders,
+        "min_cost_supplier": q_min_cost_supplier,
+        "supplier_cnt": q_supplier_cnt,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -1112,6 +1157,30 @@ _ORACLES: dict[str, str] = {
               HAVING SUM(l_quantity) > 150) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """,
+    "min_cost_supplier": """
+        -- Q2 shape: genuinely correlated subquery on the oracle side,
+        -- decorrelated DataFrame plan on the Spark side
+        SELECT DISTINCT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+               s.s_name AS s_name, l.l_extendedprice AS best_price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 15
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
+    "supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
     """,
     "percentiles": """
         SELECT event_type,

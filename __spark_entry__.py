@@ -675,6 +675,55 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's most recent
+    click at or before it (union + carry-forward window — one shuffle;
+    see operators/temporal.py). Times are integer micros on both sides
+    (nanos `div 1000` == DuckDB's epoch_us truncation)."""
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts_us",
+        value_cols=["click_id", "click_value"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("ts_us_asof").alias("click_ts"),
+        F.col("click_id_asof").alias("click_id"),
+        F.col("click_value_asof").alias("click_value"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic balanced corpus: exactly min(20, |stratum|) docs per
+    # language, membership a pure function of doc_id (engine/partition/
+    # run independent) — reproducible-pipeline sampling, not rand()
+    from bigdata_etl_customer360_spark.operators.sampling import sample_n_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_n_per_group(docs, "lang", 20).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_agg": q_profile_agg,
@@ -708,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "window_tumbling": q_window_tumbling,
@@ -931,6 +982,45 @@ _ORACLES: dict[str, str] = {
          AND c.event_type = 'click' AND v.event_type = 'view'
          AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
          AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    "asof_join": """
+        -- same union + carry-forward formulation as operators/temporal.py:
+        -- right rows sort BEFORE left at equal ts (ties count as "at or
+        -- before"); equal-ts clicks resolve by greatest click_id — the
+        -- pinned order both engines reproduce. epoch_us == nanos div 1000.
+        WITH u AS (
+          SELECT user_id, epoch_us(ts) AS t, 1 AS side,
+                 event_id AS purchase_id, value AS purchase_value,
+                 CAST(NULL AS BIGINT) AS r_ts, CAST(NULL AS BIGINT) AS r_id,
+                 CAST(NULL AS DOUBLE) AS r_val
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), 0, NULL, NULL,
+                 epoch_us(ts), event_id, value
+          FROM events WHERE event_type = 'click'
+        ),
+        carried AS (
+          SELECT *,
+            last_value(r_ts IGNORE NULLS) OVER w AS click_ts,
+            last_value(r_id IGNORE NULLS) OVER w AS click_id,
+            last_value(r_val IGNORE NULLS) OVER w AS click_value
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, side, r_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT purchase_id, user_id, t AS purchase_ts, purchase_value,
+               click_ts, click_id, click_value
+        FROM carried WHERE side = 1
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('c360' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents) ranked
+        WHERE rn <= 20
     """,
     "incremental_overwrite": """
         SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,

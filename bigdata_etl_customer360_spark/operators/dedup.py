@@ -375,44 +375,79 @@ def embedding_cosine_pairs(
     the final ``double(dot) / (sqrt(na)·sqrt(nb))`` is the identical
     IEEE-754 expression Catalyst/DuckDB evaluate. Size ``num_blocks`` so
     one block pair (~(n/B)² scores) fits an executor task.
-    ``mode='lsh'``: random-hyperplane buckets generate the candidates
-    (see similarity.cosine_topk_lsh), then the same exact scoring
-    verifies — the 100 TB path: only bucket-colliding pairs are ever
-    scored, precision stays 1.0, recall follows bucket width.
+    ``mode='lsh'``: random-hyperplane BUCKETED matmul — the 100 TB path.
+    Vectors land in ``num_tables`` (table, signature) buckets (same
+    hyperplanes as similarity.cosine_topk_lsh); each bucket group is
+    scored with the identical exact int64 numpy matmul, so only
+    bucket-colliding pairs are ever scored. One groupBy shuffle keyed on
+    (table, bucket) — each vector ships num_tables times — then
+    bucket-local O(m²) compute; no candidate-pair explosion through a
+    shuffle, no top-k window. Scores are bit-identical across tables
+    (exact integer dot, one rounded double division), so the multi-table
+    dedup is a plain ``distinct``. Precision 1.0, recall follows bucket
+    width.
     """
     from bigdata_etl_customer360_spark.operators.similarity import (
-        cosine_topk_lsh,
+        hyperplane_signatures,
         quantize_expr,
     )
-
-    if mode == "lsh":
-        pairs = cosine_topk_lsh(
-            df,
-            df,
-            k=1 << 30,  # no top-k cap: threshold does the pruning
-            id_col=id_col,
-            vec_col=vec_col,
-            num_planes=num_planes,
-            num_tables=num_tables,
-            exclude_self=True,
-        )
-        return (
-            pairs.filter(F.col("query_id") < F.col("neighbor_id"))
-            .filter(F.col("cosine") >= threshold)
-            .select(
-                F.col("query_id").alias("id_a"),
-                F.col("neighbor_id").alias("id_b"),
-                "cosine",
-            )
-        )
-    if mode != "exact":
-        raise ValueError(f"unknown mode {mode!r}")
 
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
+
+    def _pair_frame(ia, A, ib, B, same):
+        """Exact quantized cosine for every (row of A) × (row of B) pair;
+        identical IEEE ops to the exact mode / SQL twin."""
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(ia) or not len(ib):
+            return empty
+        dots = A @ B.T  # exact: |q| <= 2^21, dim 64 -> < 2^48
+        sa = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        sb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots.astype(np.float64) / np.outer(sa, sb)
+        # zero-norm vectors score NaN; NaN >= t is False, matching the
+        # SQL twin's NULL-comparison drop
+        mask = cos >= threshold
+        if same:  # both orders appear once within a group — keep a < b
+            mask &= ia[:, None] < ib[None, :]
+        rows, cols = np.nonzero(mask)
+        if not len(rows):
+            return empty
+        a_ids, b_ids = ia[rows], ib[cols]
+        lo = np.minimum(a_ids, b_ids)  # cross-block pairs appear once, in
+        hi = np.maximum(a_ids, b_ids)  # block order — reorder to id asc
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[rows, cols]})
+
+    if mode == "lsh":
+        sigs = hyperplane_signatures(num_planes, num_tables)
+        bucketed = (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                quantize_expr(vec_col).alias("_v"),
+                sigs(F.col(vec_col)).alias("_s"),
+            )
+            .select("_id", "_v", F.posexplode("_s").alias("_tbl", "_sig"))
+        )
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.int64)
+            return _pair_frame(ids, V, ids, V, same=True)
+
+        pairs = bucketed.groupBy("_tbl", "_sig").applyInPandas(
+            score_bucket, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+        # a pair colliding in several tables is scored to the SAME double
+        # in each — multi-table dedup is a plain distinct
+        return pairs.distinct()
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    spark = df.sparkSession
 
     qz = (
         fan_out(df)
@@ -438,33 +473,16 @@ def embedding_cosine_pairs(
     )
 
     def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if not len(l) or not len(r):
-            return empty
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         same = l["ba"].iat[0] == l["bb"].iat[0]
-        A = np.stack(l["_v"].to_numpy()).astype(np.int64)
-        B = np.stack(r["_v"].to_numpy()).astype(np.int64)
-        dots = A @ B.T  # exact: |q| <= 2^21, dim 64 -> < 2^48
-        sa = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-        sb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
-        # identical IEEE ops to the Catalyst/DuckDB twin:
-        # double(dot) / (sqrt(na) * sqrt(nb)) — one product, one division
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots.astype(np.float64) / np.outer(sa, sb)
-        # zero-norm vectors score NaN; NaN >= t is False, matching the
-        # SQL twin's NULL-comparison drop
-        ia = l["_id"].to_numpy()
-        ib = r["_id"].to_numpy()
-        mask = cos >= threshold
-        if same:  # within a block both orders appear once — keep a < b
-            mask &= ia[:, None] < ib[None, :]
-        rows, cols = np.nonzero(mask)
-        if not len(rows):
-            return empty
-        a_ids, b_ids = ia[rows], ib[cols]
-        lo = np.minimum(a_ids, b_ids)  # cross-block pairs appear once, in
-        hi = np.maximum(a_ids, b_ids)  # block order — reorder to id asc
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[rows, cols]})
+        return _pair_frame(
+            l["_id"].to_numpy(),
+            np.stack(l["_v"].to_numpy()).astype(np.int64),
+            r["_id"].to_numpy(),
+            np.stack(r["_v"].to_numpy()).astype(np.int64),
+            same=same,
+        )
 
     return (
         left.groupBy("ba", "bb")

@@ -24,6 +24,32 @@ from bigdata_etl_customer360_spark.operators.util import fan_out
 QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 
 
+def hyperplane_signatures(num_planes: int, num_tables: int, seed: int = 0xC360):
+    """Pandas UDF computing all ``num_tables`` random-hyperplane LSH
+    signatures per vector in ONE numpy matmul per Arrow batch (vs
+    num_tables*num_planes interpreted aggregate() passes in pure
+    Catalyst). Hyperplanes come from a fixed-seed PCG64, so signatures
+    are deterministic on every worker."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _signatures(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        rng = np.random.default_rng(seed)
+        W = rng.standard_normal((V.shape[1], num_tables * num_planes))
+        bits = (V @ W) > 0  # (batch, tables*planes)
+        weights = (1 << np.arange(num_planes)).astype("int64")
+        sigs = np.stack(
+            [bits[:, t * num_planes : (t + 1) * num_planes] @ weights
+             for t in range(num_tables)],
+            axis=1,
+        ).astype("int32")  # (batch, tables)
+        return pd.Series(list(sigs))
+
+    return F.pandas_udf(_signatures, ArrayType(IntegerType()))
+
+
 def quantize_expr(col: str | Column, out: str = "q") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(
@@ -110,28 +136,7 @@ def cosine_topk_lsh(
     Scale: corpus signatures are one projection pass; the join shuffles
     on (table, bucket) — bucket sizes ~ n / 2^num_planes keep it local.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    def _signatures(vecs):
-        """All num_tables signatures per vector in ONE numpy matmul —
-        vectorized per Arrow batch, vs num_tables×num_planes interpreted
-        aggregate() passes in pure Catalyst. Hyperplanes are drawn from a
-        fixed-seed PCG64, so signatures are deterministic everywhere."""
-        V = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
-        rng = np.random.default_rng(0xC360)
-        W = rng.standard_normal((V.shape[1], num_tables * num_planes))
-        bits = (V @ W) > 0  # (batch, tables*planes)
-        weights = (1 << np.arange(num_planes)).astype("int64")
-        sigs = np.stack(
-            [bits[:, t * num_planes : (t + 1) * num_planes] @ weights
-             for t in range(num_tables)],
-            axis=1,
-        ).astype("int32")  # (batch, tables)
-        return pd.Series(list(sigs))
-
-    signatures = F.pandas_udf(_signatures, ArrayType(IntegerType()))
+    signatures = hyperplane_signatures(num_planes, num_tables)
 
     def with_buckets(df: DataFrame, label: str) -> DataFrame:
         """(id, tbl, sig) only — no payload vectors through the bucket

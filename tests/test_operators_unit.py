@@ -440,3 +440,67 @@ def test_ivf_centroid_fit_partition_independent(spark):
         return sorted((r["query_id"], r["neighbor_id"], r["cosine"]) for r in rows)
 
     assert run(df) == run(df.repartition(7)) == run(df.repartition(3, "vec_id"))
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left row; ties
+    at equal ts count as 'before'; no prior right row -> nulls; equal-ts
+    right rows resolve to the greatest payload tuple (pinned)."""
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c"), ("u3", 7, "d")],
+        ["uid", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        # u1: two quotes before 10 (ts tie at 10 counts), one between 10/20;
+        # u1 at ts=10 has TWO rows -> greatest (px, qid) tuple wins
+        [("u1", 8, 100.0, 1), ("u1", 10, 50.0, 2), ("u1", 10, 60.0, 3),
+         ("u1", 15, 70.0, 4), ("u2", 6, 30.0, 5)],
+        ["uid", "rts", "px", "qid"],
+    )
+    out = asof_join(left, right, on="uid", left_ts="lts", right_ts="rts",
+                    value_cols=["px", "qid"])
+    got = {(r["uid"], r["lts"]): (r["rts_asof"], r["px_asof"], r["qid_asof"])
+           for r in out.collect()}
+    assert got[("u1", 10)] == (10, 60.0, 3)   # equal-ts tie: greatest payload
+    assert got[("u1", 20)] == (15, 70.0, 4)
+    assert got[("u2", 5)] == (None, None, None)  # right row is AFTER
+    assert got[("u3", 7)] == (None, None, None)  # key never on right
+    assert out.count() == 4  # left-outer: every left row survives
+    # partition-independence
+    again = asof_join(left.repartition(5), right.repartition(3), on="uid",
+                      left_ts="lts", right_ts="rts", value_cols=["px", "qid"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_asof_join_null_payload_rows_stay_atomic(spark):
+    """A right row with a NULL payload field must not stitch fields from
+    an older row — the carried struct is row-atomic."""
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("u1", 20)], ["uid", "lts"])
+    right = spark.createDataFrame(
+        [("u1", 5, 99.0, 1), ("u1", 10, None, 2)], ["uid", "rts", "px", "qid"]
+    )
+    row = asof_join(left, right, on="uid", left_ts="lts", right_ts="rts",
+                    value_cols=["px", "qid"]).collect()[0]
+    # latest row (ts=10) wins atomically: px is NULL, not 99.0 from ts=5
+    assert (row["rts_asof"], row["px_asof"], row["qid_asof"]) == (10, None, 2)
+
+
+def test_sample_n_per_group_deterministic(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import sample_n_per_group
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sample_n_per_group(df, "lang", 7, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exactly min(n, |stratum|) per stratum
+    assert counts == {"en": 7, "fr": 7, "de": 7, "tiny": 1}
+    # membership is a pure function of the data, not the partitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, sample_n_per_group(
+        df.repartition(11), "lang", 7, id_col="doc_id").collect()))
+    assert a == b

@@ -11,6 +11,14 @@ Each query is materialized with a noop-datasource write: unlike
 timing map-only queries as an empty scan), writing to the ``noop``
 format evaluates EVERY output column on every row while still skipping
 driver-side transfer — the measured time is plan + full execution.
+
+Each query runs in TWO full passes and reports the per-query BEST time
+(hyperfine/JMH-style min-of-N): single-shot wall clocks on a shared host
+fold in CPU-steal noise an order of magnitude larger than the engine
+differences being measured (observed: the same map-only query at 1.4s
+and 21.9s across runs with zero code change). The min is the
+least-noise estimator of the plan's actual cost; both raw passes go to
+stderr for inspection.
 """
 
 from __future__ import annotations
@@ -52,24 +60,30 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-        except Exception as exc:  # record failures, keep benching
-            dt = time.perf_counter() - t0
-            print(f"# {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
-        # dedup/similarity operators cache twice-consumed intermediates;
-        # release them so a 45-query loop doesn't accumulate storage blocks
-        spark.catalog.clearCache()
+    failed: set[str] = set()
+    for pass_no in (1, 2):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+            except Exception as exc:  # record failures, keep benching
+                dt = time.perf_counter() - t0
+                print(f"# {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
+                timings[name] = -1.0
+                failed.add(name)
+                continue
+            best = min(timings.get(name, dt), dt)
+            timings[name] = round(best, 3)
+            print(f"# pass{pass_no} {name}: {dt:.2f}s (best {best:.2f}s)",
+                  file=sys.stderr)
+            # dedup/similarity operators cache twice-consumed intermediates;
+            # release them so the query loop doesn't accumulate storage blocks
+            spark.catalog.clearCache()
+    total = sum(t for t in timings.values() if t > 0)
 
     print(
         json.dumps(

@@ -257,6 +257,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_LAKE_DIRS: dict[str, str] = {}
+
+
+def _inc_lake_dir(sf_dir: str) -> str:
+    """One session-scoped scratch lake per sf_dir, removed at exit —
+    repeated invocations (bench best-of-2, driver re-runs) overwrite the
+    same partitions instead of leaking a fresh full-table copy per call
+    (the overwrite is what the query is proving anyway)."""
+    if sf_dir not in _INC_LAKE_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="c360_inc_lake_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _INC_LAKE_DIRS[sf_dir] = d
+    return _INC_LAKE_DIRS[sf_dir]
+
+
 def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent daily-rerun pattern (the reference's operating model,
     ETL_customer_behavior.py:161-166): land events date-partitioned, then
@@ -264,12 +283,10 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate the lake. The result equals aggregating the source directly
     (the oracle) iff the re-run replaced partitions instead of
     double-counting (append) or truncating (static overwrite)."""
-    import tempfile
-
     from bigdata_etl_customer360_spark.sources.sinks import write_partitioned_overwrite
 
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    lake = tempfile.mkdtemp(prefix="c360_inc_lake_")
+    lake = _inc_lake_dir(sf_dir)
     write_partitioned_overwrite(ev, lake, ["event_date"])
     # overlapping re-run: every even-numbered day lands a second time
     write_partitioned_overwrite(
@@ -988,29 +1005,33 @@ _ORACLES: dict[str, str] = {
         -- right rows sort BEFORE left at equal ts (ties count as "at or
         -- before"); equal-ts clicks resolve by greatest click_id — the
         -- pinned order both engines reproduce. epoch_us == nanos div 1000.
-        WITH u AS (
-          SELECT user_id, epoch_us(ts) AS t, 1 AS side,
-                 event_id AS purchase_id, value AS purchase_value,
-                 CAST(NULL AS BIGINT) AS r_ts, CAST(NULL AS BIGINT) AS r_id,
-                 CAST(NULL AS DOUBLE) AS r_val
-          FROM events WHERE event_type = 'purchase'
-          UNION ALL
-          SELECT user_id, epoch_us(ts), 0, NULL, NULL,
-                 epoch_us(ts), event_id, value
+        -- ROW-ATOMIC carry (matches the operator's struct payload): only
+        -- the non-null click id is carried forward; ts/value are joined
+        -- back from that id's own row, so a NULL in one payload field can
+        -- never stitch in an earlier row's value.
+        WITH clicks AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id, value
           FROM events WHERE event_type = 'click'
         ),
+        u AS (
+          SELECT user_id, epoch_us(ts) AS t, 1 AS side,
+                 event_id AS purchase_id, value AS purchase_value,
+                 CAST(NULL AS BIGINT) AS r_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, t, 0, NULL, NULL, event_id FROM clicks
+        ),
         carried AS (
-          SELECT *,
-            last_value(r_ts IGNORE NULLS) OVER w AS click_ts,
-            last_value(r_id IGNORE NULLS) OVER w AS click_id,
-            last_value(r_val IGNORE NULLS) OVER w AS click_value
+          SELECT *, last_value(r_id IGNORE NULLS) OVER w AS click_id
           FROM u
           WINDOW w AS (PARTITION BY user_id ORDER BY t, side, r_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
-        SELECT purchase_id, user_id, t AS purchase_ts, purchase_value,
-               click_ts, click_id, click_value
-        FROM carried WHERE side = 1
+        SELECT c.purchase_id, c.user_id, c.t AS purchase_ts, c.purchase_value,
+               k.t AS click_ts, c.click_id, k.value AS click_value
+        FROM carried c LEFT JOIN clicks k
+          ON c.click_id = k.event_id AND c.user_id = k.user_id
+        WHERE c.side = 1
     """,
     "stratified_sample": """
         SELECT doc_id, lang, source FROM (

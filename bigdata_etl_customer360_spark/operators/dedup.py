@@ -185,6 +185,10 @@ def minhash_lsh_pairs(
         .select("_id", F.xxhash64("_s").alias("_sh"))
     )
     if max_df is not None:
+        # posts feeds BOTH the df-count branch and the capped join below —
+        # cache so shingling+explode+xxhash64 runs once (same reason
+        # ngram_jaccard_pairs caches before its identical df-cap join).
+        posts = posts.cache()
         keep = (
             posts.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))

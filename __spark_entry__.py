@@ -334,6 +334,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last rung of the dedup ladder: near-dup PAIRS -> connected
+    components -> one canonical (min-id) doc per duplicate cluster.
+    Pairs come from the exact ngram-Jaccard tier so the whole chain is
+    deterministic and oracle-checkable (DuckDB recursive-CTE closure);
+    swap in minhash_lsh_pairs for the 100 TB probabilistic path — the
+    graph stage is tier-agnostic. Threshold 0.3 is a realistic near-dup
+    cutoff: at permissive thresholds the pair graph percolates into long
+    weakly-linked chains (6 CC rounds at 0.05 vs 1 at 0.3 on sf0.1) that
+    no curation pipeline would merge. See operators/graph.py."""
+    from bigdata_etl_customer360_spark.operators.graph import keep_cluster_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return keep_cluster_canonical(docs, pairs).select("doc_id", "lang", "source")
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation ladder as ONE composed plan (plans/pipelines.py
+    curate_corpus): quality gate -> exact dedup -> ngram near-dup pairs ->
+    cluster-canonical -> balanced per-language sample. Deterministic end
+    to end, so the full five-stage pipeline is oracle-checked."""
+    from bigdata_etl_customer360_spark.plans.pipelines import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate candidate generation -> exact verify; no SQL oracle
     # (LSH recall is probabilistic), driver records rows-only. 32 bands of
@@ -768,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_cluster": q_dedup_cluster,
+        "curate_corpus": q_curate_corpus,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1120,6 +1151,113 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.05
+    """,
+    "dedup_cluster": r"""
+        -- pairs (same SQL as the ngram_jaccard oracle) -> connected
+        -- components via recursive transitive closure -> keep the row
+        -- whose id IS the component min; singletons (no pair) survive.
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+          ) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT u AS id, v AS r FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (
+          SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    """,
+    "curate_corpus": r"""
+        -- the five-stage curation ladder, each CTE one engine operator:
+        -- quality gate -> exact dedup (min-id per normalized text) ->
+        -- ngram pairs (>= 0.3) over SURVIVORS -> CC closure -> canonical
+        -- keep -> md5-ranked balanced sample per lang.
+        WITH RECURSIVE scored AS (
+          SELECT doc_id, text, lang, source,
+                 len(toks) AS n_tokens,
+                 CAST(len(list_filter(toks, x ->
+                   list_contains(['the','a','of','and','to','is','in','it'], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+          FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)
+        ),
+        filtered AS (
+          SELECT doc_id, text, lang, source, n_tokens FROM scored
+          WHERE n_tokens >= 20 AND n_tokens <= 100000
+            AND stopword_ratio <= 0.35 AND distinct_ratio >= 0.5
+        ),
+        uniq AS (
+          SELECT doc_id, text, lang, source, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              ORDER BY doc_id ASC) AS rn
+            FROM filtered
+          ) WHERE rn = 1
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM uniq)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+          ) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT u AS id, v AS r FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (
+          SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+        ),
+        canon AS (
+          SELECT u.doc_id, u.lang, u.source, u.n_tokens
+          FROM uniq u LEFT JOIN comp c ON u.doc_id = c.id
+          WHERE COALESCE(c.component, u.doc_id) = u.doc_id
+        )
+        SELECT doc_id, lang, source, n_tokens FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5('c360' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM canon
+        ) WHERE rn <= 20
     """,
     "ann_cosine_topk": """
         WITH qz AS (

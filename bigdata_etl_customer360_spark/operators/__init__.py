@@ -7,6 +7,10 @@ from bigdata_etl_customer360_spark.operators.dedup import (
     with_shingles,
     with_simhash,
 )
+from bigdata_etl_customer360_spark.operators.graph import (
+    connected_components,
+    keep_cluster_canonical,
+)
 from bigdata_etl_customer360_spark.operators.enrich import (
     BatchPromptClassifier,
     RuleClassifier,
@@ -53,6 +57,7 @@ __all__ = [
     "binarize_text",
     "bucketize",
     "classify_column",
+    "connected_components",
     "cosine_topk_brute",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
@@ -62,6 +67,7 @@ __all__ = [
     "extract_frames",
     "fan_out",
     "frame_sample",
+    "keep_cluster_canonical",
     "let1",
     "map_dimension",
     "map_dimension_join",

@@ -45,6 +45,7 @@ def connected_components(
     out_id: str = "id",
     out_component: str = "component",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the SMALLEST node id in the node's connected
@@ -52,7 +53,20 @@ def connected_components(
 
     Nodes not present in ``edges`` (singletons) are absent from the
     output; callers attach them with a left join + coalesce(own id).
+
+    ``checkpoint_dir``: when set, per-round materialization uses RELIABLE
+    checkpoints written under this path (``sc.setCheckpointDir``) instead
+    of ``localCheckpoint``. localCheckpoint stores blocks on executors —
+    losing one executor mid-loop kills the job on a real cluster; point
+    this at durable storage (HDFS/S3) for production runs. Local mode and
+    tests keep the default (no executor loss, no write amplification).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)
+    else:
+        _ckpt = lambda df: df.localCheckpoint()
+
     # undirected: materialize both directions once; distinct so repeated
     # pairs (multi-tier dedup often re-finds the same pair) don't inflate
     # every round's message volume. Cached — consumed once per round.
@@ -66,10 +80,9 @@ def connected_components(
     # label init: min over self + direct neighbors (both directions are in
     # sym, so every node appears as _u). Invariant from here on:
     # lbl(n) <= n and lbl(n) is in n's component.
-    lab = (
+    lab = _ckpt(
         sym.groupBy(F.col("_u").alias("id"))
         .agg(F.least(F.min("_u"), F.min("_v")).alias("lbl"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iterations):
@@ -86,10 +99,9 @@ def connected_components(
         # so the inner join preserves all rows; the parent's label is <= the
         # child's by the min-only update rule.
         parent = cand.select(F.col("id").alias("_pid"), F.col("lbl").alias("_plbl"))
-        new_lab = (
+        new_lab = _ckpt(
             cand.join(parent, cand["lbl"] == parent["_pid"])
             .select("id", F.col("_plbl").alias("lbl"))
-            .localCheckpoint()
         )
         changed = (
             new_lab.join(lab.withColumnRenamed("lbl", "_old"), "id")
@@ -111,13 +123,17 @@ def keep_cluster_canonical(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drop every near-duplicate except one canonical row per cluster:
     connected components over ``pairs``, keep rows whose id IS the
     component min (singletons — rows in ``df`` touching no pair — are
     their own component and always survive). The standard last stage of
     the dedup ladder: pairs -> clusters -> one kept doc per cluster."""
-    comp = connected_components(pairs, src, dst, out_id=id_col, out_component="_component")
+    comp = connected_components(
+        pairs, src, dst, out_id=id_col, out_component="_component",
+        checkpoint_dir=checkpoint_dir,
+    )
     return (
         df.join(comp, id_col, "left")
         .filter(F.coalesce(F.col("_component"), F.col(id_col)) == F.col(id_col))

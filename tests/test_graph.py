@@ -1,0 +1,138 @@
+"""Connected-components / cluster-canonical tests: the pointer-jumping
+loop's invariants (VERDICT r2 #1) — chain compression, clique, multiple
+components, singleton survival, self-loop-only nodes, determinism under
+repartitioning, and the reliable-checkpoint variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.operators.graph import (
+    connected_components,
+    keep_cluster_canonical,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # long path graph exercises pointer jumping (diameter >> rounds)
+    edges = _edges(spark, [(i, i + 1) for i in range(1, 16)])
+    lab = _labels(connected_components(edges))
+    assert lab == {i: 1 for i in range(1, 17)}
+
+
+def test_cc_clique_single_round(spark):
+    edges = _edges(spark, [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b])
+    lab = _labels(connected_components(edges))
+    assert lab == {i: 10 for i in range(10, 15)}
+
+
+def test_cc_multiple_components_and_edge_order(spark):
+    # two components; edges listed in "wrong" direction and duplicated
+    pairs = [(5, 3), (3, 9), (9, 5), (20, 21), (21, 20), (22, 21)]
+    lab = _labels(connected_components(_edges(spark, pairs)))
+    assert lab == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_partition_independent(spark):
+    pairs = [(i, i + 1) for i in range(1, 30)] + [(100, 101), (103, 101)]
+    base = _labels(connected_components(_edges(spark, pairs)))
+    shuffled = _labels(connected_components(_edges(spark, pairs).repartition(7)))
+    assert base == shuffled
+
+
+def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
+    pairs = [(i, i + 1) for i in range(1, 12)] + [(50, 40)]
+    edges = _edges(spark, pairs)
+    local = _labels(connected_components(edges))
+    reliable = _labels(connected_components(edges, checkpoint_dir=str(tmp_path / "ckpt")))
+    assert local == reliable == {**{i: 1 for i in range(1, 13)}, 40: 40, 50: 40}
+
+
+def test_cc_null_and_self_loop_edges_dropped(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (None, 3), (4, None)], "id_a bigint, id_b bigint"
+    )
+    lab = _labels(connected_components(edges))
+    # 7 only self-loops -> absent; nulls contribute nothing
+    assert lab == {1: 1, 2: 1}
+
+
+def test_keep_cluster_canonical_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 42)], "doc_id bigint, text string"
+    )
+    # cluster {1,2,3} and {10,11}; 42 touches no pair -> survives
+    pairs = _edges(spark, [(2, 1), (2, 3), (11, 10)])
+    kept = sorted(r["doc_id"] for r in keep_cluster_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 42]
+
+
+def test_curate_corpus_each_stage_applies(spark):
+    """One doc per failure mode: quality-gated, exact-dup, near-dup
+    cluster member, and a surviving singleton — the composed ladder must
+    drop exactly the right ones."""
+    from bigdata_etl_customer360_spark.plans.pipelines import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog near the quiet river " \
+           "while birds sing bright songs above tall green trees every morning"
+    near = good.replace("every morning", "each morning")  # high jaccard w/ good
+    other = "completely different content about spark engines shuffling data " \
+            "across many executor nodes with partitioned parquet files and " \
+            "vectorized readers running wide aggregation plans efficiently"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good.upper(), "en"),      # exact dup of 1 after normalization
+            (3, near, "en"),              # near dup of 1 -> clustered, 1 kept
+            (4, other, "en"),             # survives as its own cluster
+            (5, "too short", "en"),       # fails min_tokens
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    kept = curate_corpus(docs, group_col="lang", sample_n=10, min_tokens=15,
+                         max_stopword_ratio=0.9, min_distinct_ratio=0.1)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    assert "n_tokens" in kept.columns  # quality features ride through
+
+
+def test_curate_corpus_pairs_fn_override(spark):
+    """The pair tier is pluggable: a minhash closure slots in for the
+    exact tier and the rest of the ladder is unchanged."""
+    from bigdata_etl_customer360_spark.operators.dedup import minhash_lsh_pairs
+    from bigdata_etl_customer360_spark.plans.pipelines import curate_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " phi", "en"),
+         (3, "unrelated words entirely here covering separate topics with "
+             "plenty distinct vocabulary spread over many tokens total", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    kept = curate_corpus(
+        docs, group_col="lang", sample_n=10, min_tokens=5,
+        max_stopword_ratio=1.0, min_distinct_ratio=0.1,
+        pairs_fn=lambda df: minhash_lsh_pairs(df, num_hashes=64, bands=32,
+                                              threshold=0.5),
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_keep_cluster_canonical_idempotent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id bigint, text string"
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    once = keep_cluster_canonical(docs, pairs)
+    twice = keep_cluster_canonical(once, pairs)
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    ) == [1, 4, 5, 7]

@@ -48,7 +48,12 @@ from bigdata_etl_customer360_spark.operators.textstats import (
     with_token_count,
     with_token_count_bpe,
 )
-from bigdata_etl_customer360_spark.operators.util import fan_out, let1
+from bigdata_etl_customer360_spark.operators.util import (
+    cache_scope,
+    fan_out,
+    let1,
+    scoped_cache,
+)
 
 __all__ = [
     "BatchPromptClassifier",
@@ -56,6 +61,7 @@ __all__ = [
     "RuleClassifier",
     "binarize_text",
     "bucketize",
+    "cache_scope",
     "classify_column",
     "connected_components",
     "cosine_topk_brute",
@@ -77,6 +83,7 @@ __all__ = [
     "pivot_agg",
     "repartition_for_payloads",
     "salted_join",
+    "scoped_cache",
     "simhash_pairs",
     "top_k_per_group",
     "trend_compare",

@@ -15,13 +15,16 @@ Four tiers, cheapest first — the standard pretraining-dedup ladder:
 Everything except the Hamming popcount runs as Catalyst array expressions
 (JVM, codegen) — no Python in the per-row path.
 
-Cache contract: the pair operators ``.cache()`` intermediates that feed
-both sides of a self-join (and that double as materialization boundaries
+Cache contract: the pair operators cache intermediates that feed both
+sides of a self-join (and that double as materialization boundaries
 against constraint-inference expression cloning). Operators are pure
 ``DataFrame -> DataFrame``, so they cannot unpersist before the caller's
-action runs; long-lived sessions invoking them in a loop should call
-``spark.catalog.clearCache()`` between actions (as ``bench.py`` does) —
-otherwise blocks linger until LRU eviction.
+action runs; all internal caches therefore go through
+``util.scoped_cache`` — long-lived sessions wrap build+action in
+``util.cache_scope()`` and every intermediate is released at scope exit.
+Without a scope, behavior is plain ``.cache()`` (blocks linger until LRU
+eviction or a caller-side ``spark.catalog.clearCache()``, as in
+``bench.py``).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_etl_customer360_spark.operators.util import fan_out, let1
+from bigdata_etl_customer360_spark.operators.util import fan_out, let1, scoped_cache
 
 def norm_tokens_expr(col: str) -> Column:
     """Case-folded whitespace tokens — near-dup semantics treat case and
@@ -108,10 +111,9 @@ def ngram_jaccard_pairs(
     # cache rows, same pair counts (collisions ~2^-64 — shingle sets are
     # already distinct per doc, so a collision can only merge two
     # different shingles across docs).
-    posts = (
+    posts = scoped_cache(
         sized.select("_id", "_sz", F.explode("shingles").alias("_s"))
         .select("_id", "_sz", F.xxhash64("_s").alias("_sh"))
-        .cache()
     )
     if max_df is not None:
         keep = (
@@ -188,7 +190,7 @@ def minhash_lsh_pairs(
         # posts feeds BOTH the df-count branch and the capped join below —
         # cache so shingling+explode+xxhash64 runs once (same reason
         # ngram_jaccard_pairs caches before its identical df-cap join).
-        posts = posts.cache()
+        posts = scoped_cache(posts)
         keep = (
             posts.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -203,10 +205,9 @@ def minhash_lsh_pairs(
     # fan-out exchange (see simhash_pairs). Shingle sets are distinct per
     # doc, so collect_list is set-valued; every consumer below is
     # order-independent (array_min / array_intersect size).
-    sh = (
+    sh = scoped_cache(
         posts.groupBy("_id")
         .agg(F.collect_list("_sh").alias("_hs"))
-        .cache()
     )
 
     sig = sh.withColumn(
@@ -225,9 +226,10 @@ def minhash_lsh_pairs(
                 f"{rows_per_band})) AS bhash))"
             )
         ).alias("_band"),
-    ).select(
+    )
+    banded = scoped_cache(banded.select(
         "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
-    ).cache()  # feeds both self-join sides; 3 longs per (doc, band)
+    ))  # feeds both self-join sides; 3 longs per (doc, band)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -317,10 +319,9 @@ def simhash_pairs(
     # isnotnull() Filter below the fan-out exchange — recomputing the
     # fingerprints twice more on the unpartitioned scan. The cached frame
     # is 2 longs/doc — O(corpus rows), spills to disk if needed.
-    fp = (
+    fp = scoped_cache(
         with_simhash(df, text_col)
         .select(F.col(id_col).alias("_id"), "simhash")
-        .cache()
     )
     banded = fp.select(
         "_id",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_etl_customer360_spark.operators.util import fan_out
+from bigdata_etl_customer360_spark.operators.util import fan_out, scoped_cache
 
 QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 
@@ -145,9 +145,8 @@ def cosine_topk_lsh(
         boundary (constraint-inferred isnotnull(sig) filters would
         otherwise re-run the signature UDF below the scan)."""
         out = df.select(F.col(id_col).alias(label), signatures(F.col(vec_col)).alias("_s"))
-        return (
+        return scoped_cache(
             out.select(label, F.posexplode("_s").alias("tbl", "sig"))
-            .cache()
         )
 
     qb = with_buckets(queries, "query_id")
@@ -249,14 +248,14 @@ def cosine_topk_ivf(
     assign_udf = F.pandas_udf(lambda s: _cells(s, 1), ArrayType(IntegerType()))
     probe_udf = F.pandas_udf(lambda s: _cells(s, min(nprobe, ncent)), ArrayType(IntegerType()))
 
-    c_cells = fan_out(corpus).select(
+    c_cells = scoped_cache(fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
-    ).cache()
-    q_cells = queries.select(
+    ))
+    q_cells = scoped_cache(queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
-    ).cache()
+    ))
 
     cand = q_cells.join(c_cells, on="cell").select("query_id", "neighbor_id")
     if exclude_self:

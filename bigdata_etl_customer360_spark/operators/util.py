@@ -2,10 +2,65 @@
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import threading
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_scope_state = threading.local()
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` that an enclosing :func:`cache_scope` can release.
+
+    Operators are pure ``DataFrame -> DataFrame`` and must cache
+    intermediates consumed by both sides of a self-join — but they return
+    before any action runs, so they can never unpersist. Bare ``.cache()``
+    therefore leaks blocks until LRU eviction unless the caller remembers
+    ``spark.catalog.clearCache()`` — a sledgehammer that also evicts every
+    unrelated cache in the session. ``scoped_cache`` keeps the same lazy
+    semantics but registers the frame with the innermost active
+    :func:`cache_scope` (if any) so the CALLER controls the lifetime.
+    With no active scope this is exactly ``.cache()``.
+    """
+    cached = df.cache()
+    stack = getattr(_scope_state, "stack", None)
+    if stack:
+        stack[-1].append(cached)
+    return cached
+
+
+@contextmanager
+def cache_scope(blocking: bool = False) -> Iterator[list[DataFrame]]:
+    """Release every operator-internal cache created inside the block.
+
+    Usage::
+
+        with cache_scope():
+            minhash_lsh_pairs(docs).write.parquet(out)   # action inside
+        # all intermediate posting/signature caches are unpersisted here
+
+    Scopes nest (inner frames release at inner exit) and are thread-local,
+    so concurrent driver threads don't release each other's caches. The
+    yielded list is the live registry — callers may append their own
+    cached frames to tie them to the same lifetime. ``blocking=True``
+    waits for block removal (deterministic for tests; production callers
+    usually want the async default). Run the ACTION inside the scope:
+    frames unpersisted at exit recompute from lineage if consumed later
+    (correct, just slower)."""
+    stack = getattr(_scope_state, "stack", None)
+    if stack is None:
+        stack = _scope_state.stack = []
+    frames: list[DataFrame] = []
+    stack.append(frames)
+    try:
+        yield frames
+    finally:
+        stack.pop()
+        for f in frames:
+            f.unpersist(blocking=blocking)
 
 
 def let1(bound: Column, body: Callable[[Column], Column]) -> Column:

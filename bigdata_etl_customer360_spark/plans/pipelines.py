@@ -38,6 +38,7 @@ from bigdata_etl_customer360_spark.operators.relational import (
     top_k_per_group,
     trend_compare,
 )
+from bigdata_etl_customer360_spark.operators.util import scoped_cache
 
 # events.event_type → engagement class; 'error' is deliberately unmapped
 # (dropped), mirroring the reference's Type=='Error' filter
@@ -156,7 +157,7 @@ def curate_corpus(
     # the near-dup self-join consumes `unique` on both sides AND the
     # canonical keep joins back against it — materialize once instead of
     # re-running the gate + hash agg per consumer.
-    unique = unique.cache()
+    unique = scoped_cache(unique)
     pairs = (
         pairs_fn(unique)
         if pairs_fn is not None
@@ -215,7 +216,10 @@ def behavior_trend(
         [key, "_period"],
         [F.col("cnt").desc(), F.col(item_col).asc()],
         k=1,
-    ).select(F.col(key), F.col("_period"), F.col(item_col).alias("dominant")).cache()
+    )
+    top = scoped_cache(
+        top.select(F.col(key), F.col("_period"), F.col(item_col).alias("dominant"))
+    )
     # cached: ≤2 rows per key, consumed by both period branches below —
     # without the boundary each branch re-runs the scan+count+rank.
 

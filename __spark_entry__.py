@@ -692,6 +692,103 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact, decorrelated):
+    suppliers who were the SOLE late shipper on a finished multi-supplier
+    order. Both correlated quantifiers collapse into per-order window
+    aggregates — distinct suppliers / distinct late suppliers over
+    ``partitionBy(l_orderkey)`` — computed ON the fact⋈orders join output,
+    which the sort-merge join already hash-partitioned by l_orderkey: the
+    windows add a sort but NO extra shuffle, the fact is scanned once, and
+    there is no aggregate-plus-join-back double consumption. "Late" (this
+    schema has no receipt/commit dates) := shipped more than 60 days after
+    the order date. Counts late line items per supplier, matching Q21's
+    count of l1 rows."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    rows = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiters = (
+        rows.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+        )
+    )
+    return (
+        waiters.join(F.broadcast(supplier), waiters["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation (generalizes the
+    rollup_agg query): per (status, priority), per status, and grand
+    total in ONE pass — Catalyst expands the sets into a single Expand +
+    hash aggregate, not three scans. gid tells empty-string groups apart
+    from subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_cust_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global scalar subquery + NOT EXISTS, decorrelated):
+    per nation, customers with above-average positive balance who never
+    ordered. The scalar average becomes a 1-row broadcast joined into the
+    filter; NOT EXISTS becomes a left-anti join. To keep the boundary
+    comparison engine-exact, `bal > avg(bal)` is computed without
+    division: `bal * cnt > sum` in DECIMAL on both sides."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("cnt_bal")
+    )
+    rich = cust.join(F.broadcast(stats)).filter(
+        bal * F.col("cnt_bal") > F.col("sum_bal")
+    )
+    no_orders = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(bal).cast("double").alias("totacctbal"),
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -823,6 +920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "min_cost_supplier": q_min_cost_supplier,
         "supplier_cnt": q_supplier_cnt,
+        "supplier_wait": q_supplier_wait,
+        "grouping_sets": q_grouping_sets,
+        "cust_without_orders": q_cust_without_orders,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -1430,6 +1530,58 @@ _ORACLES: dict[str, str] = {
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
           )
         GROUP BY p_brand, p_type, p_size
+    """,
+    "supplier_wait": """
+        -- Q21 shape: genuinely correlated EXISTS / NOT EXISTS on the oracle
+        -- side, single per-order aggregate + join-back on the Spark side
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "cust_without_orders": """
+        -- Q22 shape: scalar-average threshold without division (bal*cnt >
+        -- sum, exact DECIMAL) + NOT EXISTS as anti-join
+        WITH stats AS (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                 COUNT(*) AS cnt_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey
     """,
     "percentiles": """
         SELECT event_type,

@@ -363,6 +363,52 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents. The synthetic corpus contains no PII,
+    so the query plants a deterministic email/phone/IP per row (derived
+    from doc_id, identically in the oracle SQL) — every row exercises
+    every rule, not just the zero-hit path."""
+    from bigdata_etl_customer360_spark.operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "redacted", "n_redactions")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; any remaining doc sharing >= 5 distinct 3-gram
+    shingles with it is dropped."""
+    from bigdata_etl_customer360_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, min_overlap=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the documents table into 2048-token
+    training windows, sharded by lang."""
+    from bigdata_etl_customer360_spark.operators.curation import pack_sequences
+    from bigdata_etl_customer360_spark.operators.textstats import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return pack_sequences(docs, capacity=2048).select(
+        "doc_id", "lang", "n_tokens", "tok_offset", "first_seq", "last_seq"
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate candidate generation -> exact verify; no SQL oracle
     # (LSH recall is probabilistic), driver records rows-only. 32 bands of
@@ -896,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_cluster": q_dedup_cluster,
         "curate_corpus": q_curate_corpus,
+        "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1530,6 +1579,85 @@ _ORACLES: dict[str, str] = {
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
           )
         GROUP BY p_brand, p_type, p_size
+    """,
+    "redact_pii": r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com call 555-123-4567 from 10.0.0.'
+                      || CAST(doc_id % 255 AS VARCHAR) AS t0
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+            len(regexp_extract_all(t0,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+            regexp_replace(t0,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t1
+          FROM injected
+        ), s2 AS (
+          SELECT doc_id, c1,
+            len(regexp_extract_all(t1,
+              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS c2,
+            regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+              '<IP>', 'g') AS t2
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, c1, c2,
+            len(regexp_extract_all(t2,
+              '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS c3,
+            regexp_replace(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+              '<PHONE>', 'g') AS t3
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, c1, c2, c3,
+            len(regexp_extract_all(t3, '\b[0-9]{13,19}\b')) AS c4,
+            regexp_replace(t3, '\b[0-9]{13,19}\b', '<CARD>', 'g') AS t4
+          FROM s3
+        )
+        SELECT doc_id, t4 AS redacted,
+               CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redactions
+        FROM s4
+    """,
+    "decontaminate": r"""
+        WITH t AS (
+          SELECT doc_id, lang, source,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id, lang, source,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 97 = 0
+        ),
+        cont AS (
+          SELECT doc_id
+          FROM (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 97 <> 0) d
+          JOIN bench USING (s)
+          GROUP BY doc_id
+          HAVING COUNT(*) >= 5
+        )
+        SELECT doc_id, lang, source FROM t
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+    "pack_sequences": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
+               CAST((cum - 1) // 2048 AS BIGINT) AS last_seq
+        FROM c
     """,
     "supplier_wait": """
         -- Q21 shape: genuinely correlated EXISTS / NOT EXISTS on the oracle

@@ -1,3 +1,8 @@
+from bigdata_etl_customer360_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+)
 from bigdata_etl_customer360_spark.operators.dedup import (
     dedup_exact,
     embedding_cosine_pairs,
@@ -67,6 +72,7 @@ __all__ = [
     "cosine_topk_brute",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "decontaminate",
     "dedup_exact",
     "embedding_cosine_pairs",
     "extract_features",
@@ -80,7 +86,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "multi_agg",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "pivot_agg",
+    "redact_pii",
     "repartition_for_payloads",
     "salted_join",
     "scoped_cache",

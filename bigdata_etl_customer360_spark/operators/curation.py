@@ -1,0 +1,144 @@
+"""Corpus-curation operators a pretraining pipeline runs besides dedup:
+PII redaction, benchmark decontamination, and sequence packing.
+
+All three stay JVM-side (Catalyst regex / array expressions / window
+cumsums) — no Python in the per-row path — and every output is an exact
+integer or string, so each hash-matches a SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_etl_customer360_spark.operators.dedup import with_shingles
+from bigdata_etl_customer360_spark.operators.util import fan_out
+
+# Ordered (name, pattern, replacement) rules. Patterns are restricted to
+# the RE2 ∩ java.util.regex common subset (no backreferences, no
+# lookaround) so the exact same pattern string runs in Spark and in a
+# RE2-based oracle engine. Order matters: the email rule must fire before
+# the digit-run rules can eat its local part.
+DEFAULT_PII_RULES: Sequence[tuple[str, str, str]] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("card", r"\b[0-9]{13,19}\b", "<CARD>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    col: str = "text",
+    out_col: str = "redacted",
+    count_col: str = "n_redactions",
+    rules: Sequence[tuple[str, str, str]] = DEFAULT_PII_RULES,
+) -> DataFrame:
+    """Scrub PII-shaped spans with typed placeholders and count the hits.
+
+    A chain of ``regexp_replace`` projections — pure whole-stage codegen,
+    so at 100 TB this is a map-only pass over the scan with zero shuffle.
+    ``n_redactions`` sums per-rule match counts BEFORE replacement (a
+    later rule can therefore not double-count text an earlier rule already
+    replaced, because counting and replacing advance together rule by
+    rule)."""
+    out = df.withColumn(out_col, F.col(col)).withColumn(
+        count_col, F.lit(0).cast("long")
+    )
+    for _name, pattern, replacement in rules:
+        out = out.withColumn(
+            count_col,
+            F.col(count_col) + F.regexp_count(F.col(out_col), F.lit(pattern)),
+        ).withColumn(
+            out_col, F.regexp_replace(F.col(out_col), pattern, replacement)
+        )
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Drop training docs that overlap an evaluation benchmark: any doc
+    sharing at least ``min_overlap`` distinct word ``n``-grams with ANY
+    benchmark text is removed (the standard test-set-contamination guard a
+    pretraining pipeline runs before training).
+
+    Plan: both sides shingle with the dedup ladder's exact formulation
+    (``with_shingles`` — let-bound split, distinct n-grams, 64-bit
+    hashes); the benchmark's shingle UNION is deduplicated and broadcast
+    (eval sets are ~10⁴-10⁶ shingles — driver-side tiny against a 100 TB
+    corpus); the corpus posting explode then semi-matches against it and
+    per-doc hit counts decide contamination. Shuffle cost: ONE hash
+    aggregate over the matched postings (not the full posting list — the
+    broadcast join filters first), plus the final broadcast anti-join of
+    the (small) contaminated-id set back onto the corpus. No part of the
+    corpus is ever collected or broadcast."""
+    bench_sh = (
+        with_shingles(benchmark, text_col, n)
+        .select(F.explode("shingles").alias("_s"))
+        .select(F.xxhash64("_s").alias("_sh"))
+        .distinct()
+    )
+    posts = (
+        with_shingles(fan_out(docs), text_col, n)
+        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_sh"))
+    )
+    contaminated = (
+        posts.join(F.broadcast(bench_sh), on="_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") >= min_overlap)
+        .select("_id")
+    )
+    return docs.join(
+        F.broadcast(contaminated),
+        docs[id_col] == contaminated["_id"],
+        "left_anti",
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_cols: Sequence[str] = ("lang",),
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    deterministic ``id_col`` order within each shard and the stream is cut
+    into fixed-``capacity`` token windows — the standard packing step that
+    turns a filtered corpus into dense training sequences (a document may
+    straddle two windows; the output says exactly where each doc lands).
+
+    Adds ``tok_offset`` (position of the doc's first token in its shard's
+    stream), ``first_seq``/``last_seq`` (window indices the doc touches).
+    All integer arithmetic (cumsum + floor division) — hash-exact.
+
+    Scale: ONE shuffle to ``shard_cols`` partitions, then a sort-based
+    running sum per shard. Packing is embarrassingly parallel across
+    shards and a global order would serialize the cumsum, so shard first —
+    on a real cluster add a hash-bucket column (``pmod(hash(id), k)``) to
+    ``shard_cols`` sized so each shard's token stream fits one task; the
+    per-shard window indices stay deterministic either way."""
+    w = (
+        Window.partitionBy(*[F.col(c) for c in shard_cols])
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("tok_offset", (F.col("_cum") - F.col(tokens_col)).cast("long"))
+        .withColumn("first_seq", F.expr(f"tok_offset div {int(capacity)}"))
+        .withColumn("last_seq", F.expr(f"(_cum - 1) div {int(capacity)}"))
+        .drop("_cum")
+    )

@@ -1,0 +1,129 @@
+"""Unit tests for the curation operators (redact_pii / decontaminate /
+pack_sequences) on crafted micro-corpora — the graded queries cover the
+oracle hash-match; these pin the operator semantics edge by edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+class TestRedactPii:
+    def test_each_rule_fires(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "mail a@b.io now"),
+                (2, "call 555-123-4567 ok"),
+                (3, "host 192.168.0.1 up"),
+                (4, "card 4111111111111111 used"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in redact_pii(df).select("doc_id", "redacted", "n_redactions").collect()
+        }
+        assert out[1]["redacted"] == "mail <EMAIL> now"
+        assert out[2]["redacted"] == "call <PHONE> ok"
+        assert out[3]["redacted"] == "host <IP> up"
+        assert out[4]["redacted"] == "card <CARD> used"
+        assert all(out[i]["n_redactions"] == 1 for i in (1, 2, 3, 4))
+
+    def test_clean_text_untouched(self, spark):
+        df = _docs(spark, [(1, "no pii here at all 12 34")])
+        row = redact_pii(df).collect()[0]
+        assert row["redacted"] == "no pii here at all 12 34"
+        assert row["n_redactions"] == 0
+
+    def test_email_rule_wins_over_digit_rules(self, spark):
+        # the email local part contains a 13-digit run; rule order must
+        # redact the whole address, not carve out a <CARD>
+        df = _docs(spark, [(1, "x 1234567890123@example.com y")])
+        row = redact_pii(df).collect()[0]
+        assert row["redacted"] == "x <EMAIL> y"
+        assert row["n_redactions"] == 1
+
+    def test_multiple_hits_counted(self, spark):
+        df = _docs(spark, [(1, "a@b.io and c@d.io from 10.0.0.1")])
+        row = redact_pii(df).collect()[0]
+        assert row["redacted"] == "<EMAIL> and <EMAIL> from <IP>"
+        assert row["n_redactions"] == 3
+
+
+class TestDecontaminate:
+    def test_overlapping_doc_dropped(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+        # doc 1 shares 4 distinct 3-grams with the benchmark, doc 2 none
+        corpus = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta end"),
+                (2, "totally different words in this one here"),
+            ],
+        )
+        kept = decontaminate(corpus, bench, min_overlap=3)
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+
+    def test_below_threshold_kept(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta")])
+        corpus = _docs(spark, [(1, "alpha beta gamma other words here")])
+        # exactly 1 shared shingle ("alpha beta gamma") < min_overlap=2
+        kept = decontaminate(corpus, bench, min_overlap=2)
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    def test_short_docs_survive(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta")])
+        corpus = _docs(spark, [(1, "two words")])  # < n tokens, no shingles
+        kept = decontaminate(corpus, bench, min_overlap=1)
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+class TestPackSequences:
+    def _packed(self, spark, rows, capacity):
+        df = spark.createDataFrame(
+            rows, schema="doc_id long, lang string, n_tokens long"
+        )
+        return {
+            r["doc_id"]: r
+            for r in pack_sequences(df, capacity=capacity).collect()
+        }
+
+    def test_offsets_and_windows(self, spark):
+        out = self._packed(
+            spark,
+            [(1, "en", 600), (2, "en", 500), (3, "en", 200)],
+            capacity=1000,
+        )
+        assert (out[1]["tok_offset"], out[1]["first_seq"], out[1]["last_seq"]) == (0, 0, 0)
+        # doc 2 straddles the first boundary: tokens 600..1099
+        assert (out[2]["tok_offset"], out[2]["first_seq"], out[2]["last_seq"]) == (600, 0, 1)
+        assert (out[3]["tok_offset"], out[3]["first_seq"], out[3]["last_seq"]) == (1100, 1, 1)
+
+    def test_exact_fit_does_not_leak_into_next_window(self, spark):
+        out = self._packed(spark, [(1, "en", 1000), (2, "en", 1)], capacity=1000)
+        # doc 1 fills window 0 exactly; its last token is index 999
+        assert (out[1]["first_seq"], out[1]["last_seq"]) == (0, 0)
+        assert (out[2]["tok_offset"], out[2]["first_seq"]) == (1000, 1)
+
+    def test_shards_pack_independently(self, spark):
+        out = self._packed(
+            spark, [(1, "en", 700), (2, "de", 700), (3, "en", 700)], capacity=1000
+        )
+        assert out[2]["tok_offset"] == 0  # de stream starts fresh
+        assert out[3]["tok_offset"] == 700  # en stream continues past doc 1
+
+    def test_partition_independent(self, spark):
+        rows = [(i, "en" if i % 2 else "de", 100 + i) for i in range(50)]
+        df = spark.createDataFrame(rows, schema="doc_id long, lang string, n_tokens long")
+        a = sorted(map(tuple, pack_sequences(df, 1000).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(7), 1000).collect()))
+        assert a == b

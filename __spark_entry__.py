@@ -835,6 +835,73 @@ def q_cust_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join): orders per
+    priority in a quarter that had at least one late line item. The
+    lateness predicate spans both sides (l_shipdate vs o_orderdate), so
+    the semi-join carries the cross-side comparison in its join condition
+    — one shuffle on orderkey, fact never materializes the match list."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional two-way counts after a fact join):
+    per return flag, how many line items belong to critical- vs
+    normal-priority orders in a ship-date year. One join + one aggregate;
+    the CASE pivots ride the same shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional-revenue ratio): PROMO parts' share of
+    monthly revenue. Both operands of the final division are exact
+    DECIMAL sums cast to DOUBLE, so the single IEEE divide matches the
+    oracle bit-for-bit; the part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -972,6 +1039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_wait": q_supplier_wait,
         "grouping_sets": q_grouping_sets,
         "cust_without_orders": q_cust_without_orders,
+        "priority_orders": q_priority_orders,
+        "returnflag_priority": q_returnflag_priority,
+        "promo_revenue": q_promo_revenue,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -1710,6 +1780,41 @@ _ORACLES: dict[str, str] = {
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
           )
         GROUP BY c_nationkey
+    """,
+    "priority_orders": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "returnflag_priority": """
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    "promo_revenue": """
+        SELECT date_trunc('month', l_shipdate) AS month,
+          100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+            AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
     """,
     "percentiles": """
         SELECT event_type,

@@ -970,6 +970,69 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_sum_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs moving_avg's ROWS frame): per user,
+    trailing-24h event count and value sum at every event. The frame is
+    defined on integer epoch-micros (nanos div 1000 on both engines), so
+    boundary inclusion is exact; RANGE peers (equal timestamps) are
+    included on both engines by definition."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    day_us = 86_400_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-day_us, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(27,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+    )
+
+
+def q_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage: per event type, users ranked by total
+    value — ntile quartile, percent_rank, dense_rank in one window pass.
+    The ordering is pinned (total DESC, user_id ASC) so every rank is
+    deterministic; the total is an exact DECIMAL sum."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id")
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column, all
+    JVM-side Catalyst lambdas (aggregate / filter / size — no UDF): L2
+    norm via an in-order double fold (both engines fold sequentially, so
+    the float sum is bit-identical), positive-component count, max
+    component. The pattern every embedding pipeline needs before ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x2 = lambda acc, x: acc + x.cast("double") * x.cast("double")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), x2)).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic balanced corpus: exactly min(20, |stratum|) docs per
     # language, membership a pure function of doc_id (engine/partition/
@@ -1029,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority_sql": q_shipping_priority_sql,
         "moving_avg": q_moving_avg,
+        "moving_sum_time": q_moving_sum_time,
+        "ntile_ranks": q_ntile_ranks,
+        "vector_norms": q_vector_norms,
         "set_intersect": q_set_intersect,
         "set_except": q_set_except,
         "regional_revenue": q_regional_revenue,
@@ -1780,6 +1846,40 @@ _ORACLES: dict[str, str] = {
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
           )
         GROUP BY c_nationkey
+    """,
+    "moving_sum_time": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_24h,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE)
+                 AS sum_24h
+        FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    "ntile_ranks": """
+        WITH totals AS (
+          SELECT event_type, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total
+          FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id, total,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               CAST(dense_rank() OVER w AS INT) AS drank
+        FROM totals
+        WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+    """,
+    "vector_norms": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               sqrt(list_aggregate(
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                 AS l2_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               CAST(list_max(embedding) AS DOUBLE) AS max_val
+        FROM embeddings
     """,
     "priority_orders": """
         SELECT o_orderpriority, COUNT(*) AS order_count

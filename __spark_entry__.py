@@ -902,6 +902,23 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped snapshot upsert: a deterministic update set (every
+    10th customer gets +100 balance; every 37th re-keyed past 1M is an
+    insert) merged into the customer snapshot — matched rows replaced,
+    unmatched carried, inserts appended."""
+    from bigdata_etl_customer360_spark.operators.relational import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updated = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    inserts = cust.filter(F.col("c_custkey") % 37 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    return merge_upsert(cust, updated.unionByName(inserts), keys=["c_custkey"])
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1108,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_orders": q_priority_orders,
         "returnflag_priority": q_returnflag_priority,
         "promo_revenue": q_promo_revenue,
+        "merge_upsert": q_merge_upsert,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
@@ -1915,6 +1933,21 @@ _ORACLES: dict[str, str] = {
             AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
+    """,
+    "merge_upsert": """
+        WITH upd AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name, c_nationkey,
+                 c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 37 = 0
+        )
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        UNION ALL
+        SELECT * FROM upd
     """,
     "percentiles": """
         SELECT event_type,

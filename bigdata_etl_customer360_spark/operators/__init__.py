@@ -32,6 +32,7 @@ from bigdata_etl_customer360_spark.operators.relational import (
     bucketize,
     map_dimension,
     map_dimension_join,
+    merge_upsert,
     multi_agg,
     pivot_agg,
     salted_join,
@@ -83,6 +84,7 @@ __all__ = [
     "let1",
     "map_dimension",
     "map_dimension_join",
+    "merge_upsert",
     "minhash_lsh_pairs",
     "multi_agg",
     "ngram_jaccard_pairs",

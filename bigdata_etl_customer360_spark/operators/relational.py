@@ -144,6 +144,30 @@ def union_by_name(frames: Sequence[DataFrame], allow_missing: bool = True) -> Da
     return out
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """MERGE-shaped snapshot upsert as a pure frame transform: every key
+    present in ``updates`` takes the update row (matched → replace), keys
+    absent from ``updates`` carry the target row through (not matched by
+    source → keep), and update keys absent from ``target`` are inserts.
+    ``updates`` must be unique per key (enforce upstream — e.g.
+    ``top_k_per_group`` k=1 for latest-wins) and share the target's
+    columns by name.
+
+    Plan: one left-anti join of target against the distinct update keys +
+    a by-name union — the core of an idempotent daily snapshot rebuild
+    (re-running with the same updates is a no-op by construction). At
+    scale the anti-join shuffles both sides on the key unless the target
+    is bucketed by it (``sources/bucketed.py``), which drops the
+    target-side exchange; the union is shuffle-free."""
+    upd = updates.select(*target.columns)
+    kept = target.join(upd.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return kept.unionByName(upd)
+
+
 def bucketize(
     df: DataFrame,
     col: str,

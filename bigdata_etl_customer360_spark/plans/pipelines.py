@@ -116,11 +116,16 @@ def curate_corpus(
     jaccard_threshold: float = 0.3,
     pairs_fn: Callable[[DataFrame], DataFrame] | None = None,
     checkpoint_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_min_overlap: int = 5,
 ) -> DataFrame:
     """End-to-end corpus curation — the full training-data ladder in one
     macro, each stage an engine operator:
 
       filter_corpus          quality gate (Gopher-shaped rules)
+      → decontaminate        (only when ``benchmark`` is given) drop docs
+                             overlapping the eval set by
+                             ``decontaminate_min_overlap`` shingles
       → dedup_exact          one row per normalized text (hash agg)
       → near-dup pairs       ngram-Jaccard by default; pass ``pairs_fn``
                              (e.g. a minhash_lsh_pairs closure) for the
@@ -153,6 +158,16 @@ def curate_corpus(
         max_stopword_ratio=max_stopword_ratio,
         min_distinct_ratio=min_distinct_ratio,
     )
+    if benchmark is not None:
+        from bigdata_etl_customer360_spark.operators.curation import decontaminate
+
+        filtered = decontaminate(
+            filtered,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            min_overlap=decontaminate_min_overlap,
+        )
     unique = dedup_exact(filtered, text_col, id_col)
     # the near-dup self-join consumes `unique` on both sides AND the
     # canonical keep joins back against it — materialize once instead of

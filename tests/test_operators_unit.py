@@ -504,3 +504,52 @@ def test_sample_n_per_group_deterministic(spark):
     b = sorted(map(tuple, sample_n_per_group(
         df.repartition(11), "lang", 7, id_col="doc_id").collect()))
     assert a == b
+
+
+def test_merge_upsert_semantics(spark):
+    from bigdata_etl_customer360_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "bal"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (9, "new", 99.0)], ["k", "name", "bal"]
+    )
+    merged = {r["k"]: r for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert set(merged) == {1, 2, 3, 9}
+    assert (merged[2]["name"], merged[2]["bal"]) == ("b2", 25.0)  # replaced
+    assert merged[1]["bal"] == 10.0  # carried
+    assert merged[9]["name"] == "new"  # inserted
+
+
+def test_merge_upsert_idempotent(spark):
+    from bigdata_etl_customer360_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "bal"])
+    updates = spark.createDataFrame([(2, 25.0)], ["k", "bal"])
+    once = merge_upsert(target, updates, ["k"])
+    twice = merge_upsert(once, updates, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_curate_corpus_decontaminate_stage(spark):
+    from bigdata_etl_customer360_spark.plans.pipelines import curate_corpus
+
+    mk = lambda i, txt: (i, txt, "en")
+    filler = [
+        mk(i, f"unique{i} filler words number {i} appear here repeatedly today")
+        for i in range(10, 20)
+    ]
+    contaminated = mk(1, "alpha beta gamma delta epsilon zeta eta theta")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [contaminated] + filler, ["doc_id", "text", "lang"]
+    )
+    kept = curate_corpus(
+        docs, min_tokens=3, jaccard_threshold=0.9,
+        benchmark=bench, decontaminate_min_overlap=3,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 not in ids and ids == set(range(10, 20))

@@ -139,3 +139,54 @@ def test_rule_classifier_sql_metachars_spark_side(spark):
     got = [r["lbl"] for r in df.select(F.expr(c.to_case_sql("k")).alias("lbl")).collect()]
     py = c.classify_batch(pd.Series(keys, dtype="object")).tolist()
     assert got == py == ["P", "F", "U", "F", "Q", "F"]
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(0, 500),                      # doc_id (dups possible)
+        st.sampled_from(["en", "de", "fr"]),      # shard
+        st.integers(1, 300),                      # n_tokens
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pack_rows, st.integers(16, 256))
+@SETTINGS
+def test_pack_sequences_matches_python_cumsum(spark, rows, capacity):
+    from bigdata_etl_customer360_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(df, capacity).collect()
+    }
+    by_shard = defaultdict(list)
+    for doc_id, lang, n in rows:
+        by_shard[lang].append((doc_id, n))
+    want = {}
+    for members in by_shard.values():
+        off = 0
+        for doc_id, n in sorted(members):
+            want[doc_id] = (off, off // capacity, (off + n - 1) // capacity)
+            off += n
+    assert got == want
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@SETTINGS
+def test_redact_pii_idempotent(spark, texts):
+    """Placeholders contain no redactable spans, so redacting twice must
+    equal redacting once — on arbitrary (including adversarial) text."""
+    from bigdata_etl_customer360_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = redact_pii(df).select("doc_id", F.col("redacted").alias("text"))
+    twice = redact_pii(once)
+    assert all(
+        r["n_redactions"] == 0 for r in twice.select("n_redactions").collect()
+    )

@@ -103,6 +103,19 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long inverse of pivot_agg: ``DataFrame.unpivot`` (Spark's
+    native melt — one Expand pass, no per-column union scans) back to
+    (orderkey, flag, qty) rows."""
+    wide = q_pivot_agg(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_orderkey"],
+        values=["qty_A", "qty_N", "qty_R"],
+        variableColumnName="flag",
+        valueColumnName="qty",
+    )
+
+
 def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counted = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
         "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
         "top_k_per_group": q_top_k_per_group,
         "bucketize": q_bucketize,
         "trend_compare": q_trend_compare,
@@ -1933,6 +1947,21 @@ _ORACLES: dict[str, str] = {
             AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
+    """,
+    "unpivot": """
+        WITH wide AS (
+          SELECT l_orderkey,
+            COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0) AS qty_A,
+            COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0) AS qty_N,
+            COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS qty_R
+          FROM lineitem
+          GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, 'qty_A' AS flag, qty_A AS qty FROM wide
+        UNION ALL
+        SELECT l_orderkey, 'qty_N' AS flag, qty_N AS qty FROM wide
+        UNION ALL
+        SELECT l_orderkey, 'qty_R' AS flag, qty_R AS qty FROM wide
     """,
     "merge_upsert": """
         WITH upd AS (

@@ -289,3 +289,56 @@ def test_stream_dedup_state_is_keys_not_rows(spark, tmp_path):
     assert spark.table("t_dedup_state").count() == n_keys
     state_rows = max(op["numRowsTotal"] for p in progress for op in p["stateOperators"])
     assert state_rows == n_keys  # one state row per key, duplicates add none
+
+
+def test_event_sourced_upsert_stream_appends_latest_wins(spark, tmp_path):
+    """CDC-style incremental upsert without a table format: update batches
+    stream-APPEND into a lake dir (idempotent, no read-modify-write), and
+    the snapshot view is latest-wins per key at read time (top_k_per_group
+    on batch_seq) — equal to batch-merging every update in order."""
+    from bigdata_etl_customer360_spark.operators.relational import (
+        merge_upsert,
+        top_k_per_group,
+    )
+
+    src = tmp_path / "upd_src"
+    src.mkdir()
+    lake = str(tmp_path / "upd_lake")
+    batches = [
+        [(1, "2022-01-01 10:00:00", 10.0), (2, "2022-01-01 10:00:00", 20.0)],
+        [(2, "2022-01-01 11:00:00", 25.0), (3, "2022-01-01 11:00:00", 30.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_events(str(src / f"b{i}.parquet"), rows)
+
+    stream = stream_from_parquet(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream.withColumn("batch_seq", F.unix_micros("ts"))
+        .writeStream.format("parquet")
+        .option("path", lake)
+        .option("checkpointLocation", str(tmp_path / "upd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    snapshot = top_k_per_group(
+        spark.read.schema(
+            EVENT_SCHEMA.add("batch_seq", LongType())
+        ).parquet(lake),
+        ["user_id"],
+        [F.col("batch_seq").desc()],
+        k=1,
+    ).select("user_id", "value")
+
+    expected = spark.createDataFrame(batches[0], ["user_id", "ts", "value"]).select(
+        "user_id", "value"
+    )
+    for rows in batches[1:]:
+        upd = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+            "user_id", "value"
+        )
+        expected = merge_upsert(expected, upd, ["user_id"])
+    assert sorted(map(tuple, snapshot.collect())) == sorted(
+        map(tuple, expected.collect())
+    )

@@ -915,6 +915,133 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (pure filter + sum): discount-forecast revenue over
+    one shipping year. Entirely pushdown-able — the three predicates reach
+    the parquet scan and the DECIMAL sum gets map-side partials; zero
+    joins, one tiny shuffle for the final merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(8,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").cast("decimal(8,2)") >= F.lit("0.05").cast("decimal(8,2)"))
+            & (F.col("l_discount").cast("decimal(8,2)") <= F.lit("0.07").cast("decimal(8,2)"))
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (distribution of counts, zero-preserving): how many
+    customers placed exactly k qualifying orders, INCLUDING k=0 — the
+    order filter must live in the LEFT JOIN's other side, not a WHERE
+    (a WHERE would silently drop the zero-order customers, the classic
+    Q13 trap). Two aggregations: per-customer count, then count-of-counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (argmax against a global scalar): the supplier(s)
+    whose quarterly revenue equals the maximum. The scalar MAX is a 1-row
+    broadcast; the equality compares exact DECIMAL sums (never doubles),
+    so the winning set is engine-identical; cast to DOUBLE only on
+    output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    maxv = rev.agg(F.max("rev_dec").alias("max_dec"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(maxv))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-group scalar average, decorrelated):
+    yearly-average revenue from small orders — line items under 20% of
+    their part's average quantity, for one brand's small parts. The
+    correlated AVG becomes window sums over the part-filtered join output
+    (same partition key as the broadcast join's probe side, one shuffle),
+    and the 20%-of-average comparison is division-free:
+    ``5·qty·cnt < sum`` in exact DECIMAL."""
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#9") & (F.col("p_size") < 15)
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    flagged = joined.withColumn("_sum_qty", F.sum(qty).over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
+    )
+    return (
+        flagged.filter(qty * 5 * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive predicate triples
+    spanning both join sides): revenue from three (brand, size-range,
+    quantity-range) channels in ONE join — Catalyst extracts the common
+    p_partkey equality and pushes the per-side conjunct unions down to
+    both scans instead of running three queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    triple = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#7") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#13") & s.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(part), (li["l_partkey"] == part["p_partkey"]) & triple)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-shaped snapshot upsert: a deterministic update set (every
     10th customer gets +100 balance; every 37th re-keyed past 1M is an
@@ -1139,6 +1266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_orders": q_priority_orders,
         "returnflag_priority": q_returnflag_priority,
         "promo_revenue": q_promo_revenue,
+        "forecast_revenue": q_forecast_revenue,
+        "cust_order_dist": q_cust_order_dist,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
         "merge_upsert": q_merge_upsert,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
@@ -1947,6 +2079,64 @@ _ORACLES: dict[str, str] = {
             AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
+    """,
+    "forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(8,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "cust_order_dist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS rev_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    """,
+    "small_qty_revenue": """
+        -- Q17 shape: genuinely correlated scalar subqueries on the oracle
+        -- side; window sums over the part-filtered join on the Spark side.
+        -- 20%-of-average compare is division-free exact DECIMAL.
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem l JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#9' AND p_size < 15
+          AND CAST(l_quantity AS DECIMAL(18,2)) * 5
+              * (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "unpivot": """
         WITH wide AS (

@@ -1042,6 +1042,157 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (conditional share of a star-join volume, by year):
+    NATION_1 suppliers' share of ASIA's PROMO-part market. The share is a
+    ratio of two exact DECIMAL sums cast to DOUBLE (one IEEE divide);
+    nation/region/part dims all broadcast, the facts shuffle once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n_cust), customer["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region["r_regionkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n_supp), supplier["s_nationkey"] == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year). This schema
+    has no partsupp, so supply cost is proxied by p_retailprice:
+    profit = price·(1−disc) − retail·qty, each term an exact DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == F.col("sn_key"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top-N by aggregated revenue): the 20 customers
+    losing the most returned-item revenue in a quarter. Revenue is an
+    exact DECIMAL sum, so the DESC ordering — with c_custkey as the pinned
+    tie-break — selects the identical 20 rows on both engines; TakeOrdered
+    replaces a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == F.col("cn_key"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group share vs a global-total threshold): parts
+    whose shipped value exceeds 0.1% of the global shipped value. The
+    global total is a 1-row broadcast and the threshold compare is
+    division-free exact DECIMAL (value·1000 > total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_quantity").cast("decimal(18,2)") * F.col("l_extendedprice").cast(
+        "decimal(18,2)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("val_dec"))
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec") * 1000 > F.col("total_dec"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested correlated IN over a per-group aggregate
+    threshold, decorrelated): suppliers of PROMO parts who shipped more
+    than half of their (part, supplier) lifetime volume inside one year —
+    Q20's "excess stock" with availability proxied from lineitem (no
+    partsupp in this schema). The correlated half-of-total threshold
+    becomes ONE conditional aggregate per (part, supplier) — no
+    subquery-per-row — and suppliers semi-join against the offender set."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    in_year = (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01"))) & (
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_year, qty).otherwise(F.lit(0))).alias("qty_year"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    offenders = per_ps.filter(
+        F.col("qty_year") * 2 > F.col("qty_total")
+    ).select("l_suppkey").distinct()
+    supplier = _t(spark, sf_dir, "supplier")
+    return supplier.join(
+        F.broadcast(offenders),
+        supplier["s_suppkey"] == offenders["l_suppkey"],
+        "left_semi",
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-shaped snapshot upsert: a deterministic update set (every
     10th customer gets +100 balance; every 37th re-keyed past 1M is an
@@ -1271,6 +1422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "returned_revenue": q_returned_revenue,
+        "important_stock": q_important_stock,
+        "excess_suppliers": q_excess_suppliers,
         "merge_upsert": q_merge_upsert,
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
@@ -2137,6 +2293,81 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "market_share": """
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+          CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2))) ELSE 0 END)
+               AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+            AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+    """,
+    "nation_profit": """
+        SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                 - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+    """,
+    "returned_revenue": """
+        SELECT c_custkey, c_name, n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "important_stock": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE val_dec * 1000 > (SELECT SUM(val_dec) FROM per_part)
+    """,
+    "excess_suppliers": """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          GROUP BY l_partkey, l_suppkey
+          HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) * 2
+               > SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        )
     """,
     "unpivot": """
         WITH wide AS (

@@ -46,6 +46,7 @@ def connected_components(
     out_component: str = "component",
     max_iterations: int = 50,
     checkpoint_dir: str | None = None,
+    round_log: list[int] | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the SMALLEST node id in the node's connected
@@ -60,6 +61,9 @@ def connected_components(
     losing one executor mid-loop kills the job on a real cluster; point
     this at durable storage (HDFS/S3) for production runs. Local mode and
     tests keep the default (no executor loss, no write amplification).
+
+    ``round_log``: pass a list to receive the per-round changed-label
+    count (observability for scale runs; len(round_log) == rounds run).
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -110,6 +114,8 @@ def connected_components(
         )
         lab.unpersist()
         lab = new_lab
+        if round_log is not None:
+            round_log.append(changed)
         if changed == 0:
             break
 

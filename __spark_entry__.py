@@ -1351,6 +1351,121 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_n_per_group(docs, "lang", 20).select("doc_id", "lang", "source")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build over the signup change log: each
+    signup event becomes a validity-bounded profile version
+    (effective_from/effective_to/is_current). One window shuffle on the
+    key; see operators/temporal.scd2_history for the scale argument."""
+    from bigdata_etl_customer360_spark.operators.temporal import scd2_history
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    return scd2_history(ev, key="user_id", ts="ts", seq_col="event_id")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): how many
+    users reached each stage IN ORDER. A stage-k event only counts if a
+    qualified stage-(k-1) event happened at-or-before it — the classic
+    product-analytics query that a naive per-type min(ts) gets wrong
+    (it counts a click that precedes every view).
+
+    Plan shape: one hash shuffle on user_id for the running-window pass;
+    the per-user aggregate and the final 1-row rollup reuse that
+    partitioning (Catalyst elides the second exchange). State is O(1)
+    per row — two carried running minima — so the plan is a linear scan
+    per user timeline at any scale. Ties pinned by (ts, event_id).
+    The day-1 horizon keeps the funnel discriminating (unbounded, every
+    user eventually converts) and the predicate pushes to the scan."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("first_view"),
+    )
+    s2 = s1.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "first_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("first_view").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w).alias("first_qclick"),
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max(F.col("first_view").isNotNull().cast("int")).alias("v"),
+        F.max(F.col("first_qclick").isNotNull().cast("int")).alias("c"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & F.col("first_qclick").isNotNull()
+            ).cast("int")
+        ).alias("p"),
+    )
+    return per_user.agg(
+        F.sum("v").alias("users_view"),
+        F.sum("c").alias("users_click_after_view"),
+        F.sum("p").alias("users_purchase_after_click"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; each (cohort_week, week_offset) cell counts distinct users
+    still active that many weeks later. The cohort stamp is a window min
+    over user_id (one shuffle, no join-back); the retention cell is a
+    distinct-count aggregate. Both weeks are Monday-truncated so the
+    day-difference is an exact multiple of 7 on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    stamped = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("activity_week"),
+    )
+    return (
+        stamped.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by (tf DESC, df ASC,
+    term ASC) with corpus-boilerplate terms dropped via a document-
+    frequency cap — tf-idf ranking restated over exact integers. See
+    operators/textstats.top_terms for the inverted-index plan shape."""
+    from bigdata_etl_customer360_spark.operators.textstats import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, id_col="doc_id", text_col="text", k=5, max_df=300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_agg": q_profile_agg,
@@ -1431,6 +1546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
+        "scd2_history": q_scd2_history,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "keyword_extract": q_keyword_extract,
     }
 
 
@@ -2405,6 +2524,74 @@ _ORACLES: dict[str, str] = {
                quantile_cont(value, 0.95) AS p95,
                quantile_cont(value, 0.99) AS p99
         FROM events GROUP BY event_type
+    """,
+    "scd2_history": """
+        SELECT user_id, event_id, ts, value,
+          ts AS effective_from,
+          LEAD(ts) OVER w AS effective_to,
+          (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "funnel": """
+        WITH s1 AS (
+          SELECT user_id, event_id, ts, event_type,
+            MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS first_view
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), s2 AS (
+          SELECT user_id, event_type, first_view,
+            MIN(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                     THEN ts END) OVER w AS first_qclick
+          FROM s1
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), per_user AS (
+          SELECT user_id,
+            MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS v,
+            MAX(CASE WHEN first_qclick IS NOT NULL THEN 1 ELSE 0 END) AS c,
+            MAX(CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+                     THEN 1 ELSE 0 END) AS p
+          FROM s2 GROUP BY user_id
+        )
+        SELECT CAST(SUM(v) AS BIGINT) AS users_view,
+               CAST(SUM(c) AS BIGINT) AS users_click_after_view,
+               CAST(SUM(p) AS BIGINT) AS users_purchase_after_click
+        FROM per_user
+    """,
+    "cohort_retention": """
+        WITH stamped AS (
+          SELECT user_id,
+            date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week,
+            date_trunc('week', ts) AS activity_week
+          FROM events
+        )
+        SELECT cohort_week,
+          CAST(date_diff('day', cohort_week, activity_week) / 7 AS BIGINT) AS week_offset,
+          COUNT(DISTINCT user_id) AS active_users
+        FROM stamped
+        GROUP BY cohort_week, week_offset
+    """,
+    "keyword_extract": r"""
+        WITH toks AS (
+          SELECT doc_id, t.term
+          FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+          WHERE t.term <> ''
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id, term, tf, df, rank FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+          FROM tf JOIN dfreq USING (term)
+          WHERE dfreq.df <= 300
+        ) WHERE rank <= 5
     """,
     # minhash_lsh / simhash_near_dup / ann_cosine_lsh / embed_near_dup_lsh /
     # approx_count_distinct: probabilistic (LSH recall / sketch internals) —

@@ -90,3 +90,44 @@ def asof_join(
         F.col("_asof._ts").alias(f"{right_ts}{suffix}"),
         *[F.col(f"_asof.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    seq_col: str,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type-2 history from a change log.
+
+    Every input row is one version of the ``key``'s attributes, stamped at
+    ``ts``. The operator adds the classic SCD2 triple: ``effective_from``
+    (the row's own timestamp), ``effective_to`` (the NEXT version's
+    timestamp, exclusive upper bound; NULL on the open-ended current row)
+    and ``current_flag``.
+
+    Semantics parity: this is the warehouse-side generalization of the
+    reference's daily profile snapshots (ETL_customer_behavior.py keeps
+    only latest-state rows; SCD2 keeps the full validity timeline so any
+    as-of date can be answered with a BETWEEN filter).
+
+    Scale: ONE hash shuffle on ``key`` + an in-partition sort — the same
+    cost as any windowed aggregate; no self-join (the naive "join each row
+    to its successor" formulation shuffles the table twice and explodes on
+    timestamp ties). State is O(1) per row (lead carries one tuple).
+
+    Determinism: versions are ordered by ``(ts, seq_col)``; ``seq_col``
+    must be unique per key (an event id / change-log LSN), which pins the
+    timeline under same-timestamp updates regardless of partitioning.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(seq_col).asc())
+    nxt = F.lead(ts).over(w)
+    return df.select(
+        "*",
+        F.col(ts).alias(effective_from),
+        nxt.alias(effective_to),
+        nxt.isNull().alias(current_flag),
+    )

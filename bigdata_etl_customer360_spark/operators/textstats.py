@@ -195,3 +195,53 @@ def filter_corpus(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
     )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Keyword extraction: the ``k`` most distinctive terms per document,
+    ranked by term frequency with document frequency as the tie-breaker
+    (a tf-idf ranking restated over exact integers, so the result is
+    bit-reproducible and oracle-checkable — no floating-point idf).
+
+    ``max_df`` drops corpus-wide boilerplate terms (the integer analogue
+    of a stopword list learned from the data itself), same knob as the
+    dedup shingle operators.
+
+    Scale shape (the standard search-index build, all Catalyst built-ins):
+      tokenize+explode          [map-only over the scan]
+      (doc,term) count          [shuffle 1 — map-side partial combine]
+      term -> doc-frequency     [shuffle 2 — over the tf table, which is
+                                 already collapsed to distinct (doc,term);
+                                 |vocab| << |postings|]
+      tf JOIN df ON term        [rides shuffle 2's partitioning]
+      top-k window per doc      [shuffle 3 — row_number, early-stops at k]
+    Nothing is collected, nothing is broadcast (vocab at corpus scale is
+    NOT small), and every count gets map-side partials.
+
+    Determinism: rank orders by (tf DESC, df ASC, term ASC) — unique per
+    (doc, term), so row_number is pinned under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= F.lit(max_df))
+    joined = tf.join(dfreq, "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        joined.select(id_col, "term", "tf", "df", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= F.lit(k))
+    )

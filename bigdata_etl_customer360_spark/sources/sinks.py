@@ -44,6 +44,7 @@ def write_partitioned_overwrite(
     df: DataFrame,
     path: str,
     partition_by: list[str],
+    files_per_partition: int | None = 1,
 ) -> None:
     """Idempotent incremental write: overwrite ONLY the partitions present
     in ``df``, leaving every other partition untouched.
@@ -58,8 +59,27 @@ def write_partitioned_overwrite(
     date window is byte-idempotent, and concurrent runs over DISJOINT
     windows never touch each other's data. At 100 TB this is also the
     cheap path: a day's re-run costs one day's write, not a table rewrite.
+
+    ``files_per_partition`` controls output layout. Left at the default
+    (1), the frame is hash-repartitioned on the partition columns first,
+    so every partition directory is written by exactly one task → exactly
+    one file. Without it, EVERY upstream task writes a file into EVERY
+    partition dir it has rows for — the classic tasks×partitions
+    small-files explosion (and, on a single-row-group source, the
+    opposite failure: one task serially writing all partitions). Set it
+    >1 to salt hot partitions (a skewed day gets N writers / N files),
+    or None to keep the upstream partitioning as-is.
     """
     spark = df.sparkSession
+    if files_per_partition is not None:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            # deterministic salt: spread each partition's rows over N
+            # writers without rand() (stable under task retry)
+            cols.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
+        df = df.repartition(*cols)
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")

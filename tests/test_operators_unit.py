@@ -553,3 +553,113 @@ def test_curate_corpus_decontaminate_stage(spark):
     )
     ids = {r["doc_id"] for r in kept.collect()}
     assert 1 not in ids and ids == set(range(10, 20))
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_versions_chain_and_current_flag(spark):
+    from datetime import datetime
+
+    from bigdata_etl_customer360_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1), "a"),
+            (1, 11, datetime(2024, 1, 5), "b"),
+            (1, 12, datetime(2024, 1, 9), "c"),
+            (2, 20, datetime(2024, 2, 1), "x"),
+        ],
+        "k long, seq long, ts timestamp, attr string",
+    )
+    rows = {
+        (r["k"], r["seq"]): r
+        for r in scd2_history(df, key="k", ts="ts", seq_col="seq").collect()
+    }
+    # versions chain: each effective_to == the next version's effective_from
+    assert rows[(1, 10)]["effective_to"] == rows[(1, 11)]["effective_from"]
+    assert rows[(1, 11)]["effective_to"] == rows[(1, 12)]["effective_from"]
+    # open-ended current rows
+    assert rows[(1, 12)]["effective_to"] is None and rows[(1, 12)]["is_current"]
+    assert rows[(2, 20)]["is_current"] and not rows[(1, 10)]["is_current"]
+
+
+def test_scd2_same_timestamp_ties_pinned_by_seq(spark):
+    from datetime import datetime
+
+    from bigdata_etl_customer360_spark.operators.temporal import scd2_history
+
+    t = datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, 2, t, "late"), (1, 1, t, "early")],
+        "k long, seq long, ts timestamp, attr string",
+    )
+    rows = {r["seq"]: r for r in scd2_history(df, "k", "ts", "seq").collect()}
+    # same-ts updates order by seq: seq=1 closes, seq=2 is current
+    assert rows[1]["effective_to"] == t and not rows[1]["is_current"]
+    assert rows[2]["is_current"]
+
+
+def test_scd2_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import scd2_history
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "ts")
+    )
+    a = scd2_history(ev, "user_id", "ts", "event_id").orderBy("user_id", "event_id")
+    b = scd2_history(ev.repartition(7), "user_id", "ts", "event_id").orderBy(
+        "user_id", "event_id"
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+# ---------------------------------------------------------------------------
+# top_terms (keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_rank_and_tiebreak(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: 'b' tf=3; 'a' and 'c' tie at tf=2 -> df breaks the tie
+            # ('c' appears in 1 doc, 'a' in 2 docs -> 'c' ranks above 'a')
+            (1, "b b b a a c c"),
+            (2, "a zz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms(df, k=2).collect()
+    d1 = sorted(
+        [(r["term"], r["rank"]) for r in out if r["doc_id"] == 1], key=lambda t: t[1]
+    )
+    assert d1 == [("b", 1), ("c", 2)]
+
+
+def test_top_terms_max_df_drops_boilerplate(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [(i, "common rare%d" % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = top_terms(df, k=5, max_df=4).collect()
+    # 'common' has df=5 > 4 -> dropped everywhere; each doc keeps its rare term
+    assert all(r["term"] != "common" for r in out)
+    assert len(out) == 5 and all(r["rank"] == 1 for r in out)
+
+
+def test_top_terms_empty_and_whitespace_docs(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [(1, "only words"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = top_terms(df, k=3).collect()
+    assert {r["doc_id"] for r in out} == {1}

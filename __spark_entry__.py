@@ -1455,6 +1455,33 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the deequ/SUMMARIZE capability): per-column
+    nulls / exact distinct / min / max in ONE aggregate over one scan.
+    See operators/quality.profile_table for the exact-vs-HLL scale knob."""
+    from bigdata_etl_customer360_spark.operators.quality import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative load-gate checks with real failures: status values
+    outside {O,F} and totalprice above 400k violate, o_custkey is
+    deliberately non-unique (a fact key), the FK into customer holds.
+    Row-level checks share one aggregate; unique is one hash agg; the FK
+    is a broadcast anti-join count."""
+    from bigdata_etl_customer360_spark.operators.quality import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "orders"),
+        not_null=["o_custkey"],
+        accepted_values={"o_orderstatus": ["O", "F"]},
+        ranges={"o_totalprice": (0.0, 400000.0)},
+        unique=[["o_custkey"]],
+        foreign_keys=[("o_custkey", _t(spark, sf_dir, "customer"), "c_custkey")],
+    )
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by (tf DESC, df ASC,
     term ASC) with corpus-boilerplate terms dropped via a document-
@@ -1550,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "keyword_extract": q_keyword_extract,
+        "data_profile": q_data_profile,
+        "data_quality": q_data_quality,
     }
 
 
@@ -2592,6 +2621,58 @@ _ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term)
           WHERE dfreq.df <= 300
         ) WHERE rank <= 5
+    """,
+    "data_profile": """
+        SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+          COUNT(DISTINCT o_orderkey) AS n_distinct,
+          CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+          CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+          COUNT(DISTINCT o_custkey),
+          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+          COUNT(DISTINCT o_orderstatus),
+          CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+          COUNT(DISTINCT o_totalprice),
+          CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+          COUNT(DISTINCT o_orderdate),
+          CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+          COUNT(DISTINCT o_orderpriority),
+          CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+    """,
+    "data_quality": """
+        SELECT "check", violations, (violations = 0) AS passed FROM (
+          SELECT 'not_null:o_custkey' AS "check",
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+          FROM orders
+          UNION ALL
+          SELECT 'accepted_values:o_orderstatus',
+            CAST(SUM(CASE WHEN o_orderstatus IN ('O','F') THEN 0 ELSE 1 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'range:o_totalprice',
+            CAST(SUM(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 400000.0
+                          THEN 0 ELSE 1 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'unique:o_custkey',
+            CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)
+          UNION ALL
+          SELECT 'foreign_key:o_custkey->c_custkey',
+            CAST(COUNT(*) AS BIGINT)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        )
     """,
     # minhash_lsh / simhash_near_dup / ann_cosine_lsh / embed_near_dup_lsh /
     # approx_count_distinct: probabilistic (LSH recall / sketch internals) —

@@ -1,0 +1,159 @@
+"""Data-quality operators: table profiling and declarative constraint
+checks (the deequ/Great-Expectations capability re-expressed as plain
+Catalyst aggregates).
+
+The reference pipeline trusts its inputs blindly (no schema or null
+checks anywhere in ETL_customer_interaction.py / ETL_customer_behavior.py
+— a malformed day silently poisons `behavior_data`); a production lake
+needs both a cheap per-column profile and hard gate checks in front of
+every load. Both operators here are pure DataFrame aggregations: no
+collect, no UDFs, outputs are tiny report frames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass per-column profile: row count, null count, distinct
+    count, min and max (cast to string so every column type fits one
+    report schema).
+
+    Output: one row per profiled column —
+    ``(column, n_rows, n_nulls, n_distinct, min_val, max_val)``.
+
+    Scale: everything rides ONE aggregate over one scan. With
+    ``exact_distinct`` the multi-column COUNT(DISTINCT) goes through
+    Catalyst's Expand (input replicated once per distinct column — exact,
+    but k× the scan feeding the shuffle). At 100 TB set
+    ``exact_distinct=False``: approx_count_distinct is a fixed-size HLL
+    sketch per column, map-side combined, no Expand — the profile becomes
+    a single cheap pass (the oracle-checked query uses the exact form).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    distinct_fn = (
+        F.countDistinct if exact_distinct else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(distinct_fn(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_val"),
+                F.col(f"_max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    accepted_values: dict[str, Sequence] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    unique: Sequence[Sequence[str]] = (),
+    foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Declarative load-gate checks. Returns one row per check:
+    ``(check, violations, passed)`` — violations is the number of
+    offending rows (for ``unique``: rows beyond the first of each
+    duplicated key; for ``foreign_keys``: child rows with no parent).
+
+    Scale shape: every ROW-LEVEL check (not_null / accepted_values /
+    ranges) is a conditional sum in ONE shared aggregate over one scan.
+    Each ``unique`` check is one hash agg on its key; each foreign key is
+    one left-anti join count (broadcast when the parent side is a dim).
+    Nothing is collected; the report frame is a few rows.
+    """
+    accepted_values = accepted_values or {}
+    ranges = ranges or {}
+    spark = df.sparkSession
+
+    row_checks: list[tuple[str, object]] = []
+    for c in not_null:
+        row_checks.append((f"not_null:{c}", F.sum(F.col(c).isNull().cast("long"))))
+    for c, vals in accepted_values.items():
+        ok = F.col(c).isin(*list(vals))
+        row_checks.append(
+            (f"accepted_values:{c}", F.sum((~F.coalesce(ok, F.lit(False))).cast("long")))
+        )
+    for c, (lo, hi) in ranges.items():
+        in_rng = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        row_checks.append(
+            (f"range:{c}", F.sum((~F.coalesce(in_rng, F.lit(False))).cast("long")))
+        )
+
+    reports: list[DataFrame] = []
+    if row_checks:
+        wide = df.agg(
+            *[expr.alias(f"_c{i}") for i, (_, expr) in enumerate(row_checks)]
+        )
+        checks = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"),
+                    F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long").alias("violations"),
+                )
+                for i, (name, _) in enumerate(row_checks)
+            ]
+        )
+        reports.append(wide.select(F.explode(checks).alias("c")).select("c.*"))
+
+    for key_cols in unique:
+        key_cols = list(key_cols)
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") - 1)), F.lit(0)
+                ).alias("violations")
+            )
+            .select(
+                F.lit("unique:" + ",".join(key_cols)).alias("check"), "violations"
+            )
+        )
+        reports.append(dup)
+
+    for child_col, parent, parent_col in foreign_keys:
+        orphans = (
+            df.select(F.col(child_col))
+            .filter(F.col(child_col).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(parent_col).alias(child_col))),
+                on=child_col,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(
+                F.lit(f"foreign_key:{child_col}->{parent_col}").alias("check"),
+                "violations",
+            )
+        )
+        reports.append(orphans)
+
+    if not reports:
+        return spark.createDataFrame([], "check string, violations long, passed boolean")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select("check", "violations", (F.col("violations") == 0).alias("passed"))

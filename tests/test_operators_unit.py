@@ -663,3 +663,80 @@ def test_top_terms_empty_and_whitespace_docs(spark):
     )
     out = top_terms(df, k=3).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+# ---------------------------------------------------------------------------
+# quality: profile_table / check_constraints
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_nulls_distinct_minmax(spark):
+    from bigdata_etl_customer360_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x long, s string"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["x"]["n_rows"] == 4 and prof["x"]["n_nulls"] == 1
+    assert prof["x"]["n_distinct"] == 2  # distinct excludes nulls
+    assert prof["x"]["min_val"] == "1" and prof["x"]["max_val"] == "2"
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+
+
+def test_profile_table_approx_mode_runs_one_pass(spark):
+    from bigdata_etl_customer360_spark.operators.quality import profile_table
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 10).alias("m"))
+    prof = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    # HLL is approximate but tight at this cardinality
+    assert abs(prof["id"]["n_distinct"] - 1000) < 60
+    assert prof["m"]["n_distinct"] == 10
+    # the approx plan must NOT contain Expand (that's the point of the knob)
+    plan = profile_table(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_check_constraints_null_semantics_and_counts(spark):
+    from bigdata_etl_customer360_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "O", 5.0), (None, "X", -1.0), (1, None, None)],
+        "k long, st string, v double",
+    )
+    out = {r["check"]: r for r in check_constraints(
+        df,
+        not_null=["k"],
+        accepted_values={"st": ["O", "F"]},
+        ranges={"v": (0.0, 10.0)},
+        unique=[["k"]],
+    ).collect()}
+    assert out["not_null:k"]["violations"] == 1
+    # NULL status is NOT an accepted value -> violation (coalesce False)
+    assert out["accepted_values:st"]["violations"] == 2
+    # NULL value fails the range check too
+    assert out["range:v"]["violations"] == 2
+    # k=1 twice -> one row beyond the first; NULL key groups as its own key
+    assert out["unique:k"]["violations"] == 1
+    assert not out["unique:k"]["passed"]
+
+
+def test_check_constraints_foreign_key_orphans(spark):
+    from bigdata_etl_customer360_spark.operators.quality import check_constraints
+
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    out = check_constraints(
+        child, foreign_keys=[("fk", parent, "pk")]
+    ).collect()
+    assert len(out) == 1
+    # NULL fk is not an orphan (SQL FK semantics); 9 is
+    assert out[0]["violations"] == 1 and not out[0]["passed"]
+
+
+def test_check_constraints_no_checks_empty_report(spark):
+    from bigdata_etl_customer360_spark.operators.quality import check_constraints
+
+    df = spark.range(3)
+    out = check_constraints(df)
+    assert out.columns == ["check", "violations", "passed"]
+    assert out.count() == 0

@@ -2607,7 +2607,7 @@ _ORACLES: dict[str, str] = {
     "keyword_extract": r"""
         WITH toks AS (
           SELECT doc_id, t.term
-          FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+          FROM documents, unnest(string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+')) AS t(term)
           WHERE t.term <> ''
         ), tf AS (
           SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term

@@ -85,17 +85,37 @@ def main() -> None:
             spark.catalog.clearCache()
     total = sum(t for t in timings.values() if t > 0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail always lands on disk for BASELINE.md / auditing.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    # The driver captures only the LAST ~2000 chars of stdout and parses the
+    # final JSON line from that window; with 89+ queries the full dict
+    # overflows it and the round's bench records as unparsed (BENCH_r03).
+    # Emit a line guaranteed to fit: keep the slowest queries inline, drop
+    # the fastest until under budget, and say how many were elided.
+    line_budget = 1800
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = dict(ranked)
+    while keep:
+        out = dict(result)
+        out["queries"] = {k: timings[k] for k in timings if k in keep}
+        if len(keep) < len(timings):
+            out["queries_elided"] = len(timings) - len(keep)
+            out["full"] = "BENCH_FULL.json"
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= line_budget:
+            break
+        keep.pop(ranked[len(keep) - 1][0])
+    print(line)
     spark.stop()
 
 

@@ -15,8 +15,9 @@ pointer-jumping compression, all DataFrame joins/aggregations:
   that collapses long chains in O(log n) rounds instead of O(diameter).
 - each round materializes via ``localCheckpoint`` so the plan does not
   grow with the iteration count (a k-round lineage would re-run every
-  prior join per action) and convergence is checked with a cheap count
-  on the materialized frame.
+  prior join per action); convergence is one tiny SUM aggregate on the
+  materialized frame — labels only decrease, so a non-falling label sum
+  means a fixed point (no old-vs-new join needed).
 
 Scale shape: per round, shuffle volume is O(|edges| + |nodes|) keyed on
 node id — never all-pairs, no driver-side graph. Duplicate-cluster
@@ -62,8 +63,12 @@ def connected_components(
     this at durable storage (HDFS/S3) for production runs. Local mode and
     tests keep the default (no executor loss, no write amplification).
 
-    ``round_log``: pass a list to receive the per-round changed-label
-    count (observability for scale runs; len(round_log) == rounds run).
+    ``round_log``: pass a list to receive the per-round label-sum
+    decrease (observability for scale runs; len(round_log) == rounds run,
+    0 in the final converged round). Labels only ever DECREASE under the
+    min-update rule, so "sum of labels stopped falling" ⟺ "no label
+    changed" — which is why convergence costs one tiny aggregate per
+    round instead of an old-vs-new join.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -89,6 +94,16 @@ def connected_components(
         .agg(F.least(F.min("_u"), F.min("_v")).alias("lbl"))
     )
 
+    # decimal(38,0): node ids are arbitrary longs — a long sum could wrap
+    # silently and fake (or miss) convergence
+    def _lblsum(frame: DataFrame) -> int:
+        return int(
+            frame.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+
+    prev_sum = _lblsum(lab)
     for _ in range(max_iterations):
         # propagate: each node offers its label to every neighbor
         msgs = sym.join(lab, sym["_u"] == lab["id"]).select(
@@ -107,16 +122,14 @@ def connected_components(
             cand.join(parent, cand["lbl"] == parent["_pid"])
             .select("id", F.col("_plbl").alias("lbl"))
         )
-        changed = (
-            new_lab.join(lab.withColumnRenamed("lbl", "_old"), "id")
-            .filter(F.col("lbl") != F.col("_old"))
-            .count()
-        )
+        new_sum = _lblsum(new_lab)
+        delta = prev_sum - new_sum
         lab.unpersist()
         lab = new_lab
+        prev_sum = new_sum
         if round_log is not None:
-            round_log.append(changed)
-        if changed == 0:
+            round_log.append(delta)
+        if delta == 0:
             break
 
     sym.unpersist()

@@ -123,6 +123,13 @@ def scd2_history(
     must be unique per key (an event id / change-log LSN), which pins the
     timeline under same-timestamp updates regardless of partitioning.
     """
+    clash = {effective_from, effective_to, current_flag} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"scd2_history output column(s) {sorted(clash)} already exist in "
+            "the input frame; rename the inputs or pass different "
+            "effective_from/effective_to/current_flag names"
+        )
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(seq_col).asc())
     nxt = F.lead(ts).over(w)
     return df.select(

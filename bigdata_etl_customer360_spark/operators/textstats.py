@@ -231,7 +231,11 @@ def top_terms(
 
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        # explicit whitespace class, not \s: Java \s includes \x0B but RE2
+        # (the DuckDB oracle) does not — keep both tokenizers identical
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+        ).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -67,8 +67,11 @@ def write_partitioned_overwrite(
     partition dir it has rows for — the classic tasks×partitions
     small-files explosion (and, on a single-row-group source, the
     opposite failure: one task serially writing all partitions). Set it
-    >1 to salt hot partitions (a skewed day gets N writers / N files),
-    or None to keep the upstream partitioning as-is.
+    >1 to salt hot partitions (a skewed day gets UP TO N writers / N
+    files — the salt hashes whole rows, so fully-duplicate rows co-locate
+    and hash collisions mod N can land on fewer than N values; it also
+    requires every column be xxhash64-hashable, i.e. no MapType), or None
+    to keep the upstream partitioning as-is.
     """
     spark = df.sparkSession
     if files_per_partition is not None:

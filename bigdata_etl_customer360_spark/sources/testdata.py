@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -35,15 +36,23 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long nanos and convert. The data is
-        # micro-aligned, so the truncation to micros is lossless and
-        # matches DuckDB's nanos→micros cast.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations (which Spark's vectorized reader rejects — read as long
+        # nanos and convert) and plain TIMESTAMP(MICROS) in others. Adapt to
+        # whichever is on disk instead of assuming a generation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's exact
-        # integer range, so float division drifts the odd microsecond
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's
+            # exact integer range, so float division drifts the odd
+            # microsecond. Micro-aligned data -> truncation is lossless and
+            # matches DuckDB's nanos→micros cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # naive micros: interpret the wall-clock as UTC so the column is
+            # the same instant (and same session-TZ-rendered value) as the
+            # nanos generation produced via timestamp_micros
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if columns:

@@ -12,7 +12,7 @@ Two adversarial graph shapes, far past the graded corpus sizes:
   background pairs.
 
 For each: wall time, rounds to convergence (via ``round_log``), per-round
-changed-label counts, and a full correctness check of every label against
+label-sum decreases, and a full correctness check of every label against
 a union-find ground truth computed driver-side in numpy.
 
 Run: python scripts/stress_cc.py  (one JSON line per graph).
@@ -94,7 +94,7 @@ def run(spark, name: str, edges: np.ndarray) -> None:
                 "nodes": int(len(want)),
                 "sec": round(dt, 1),
                 "rounds": len(rounds),
-                "changed_per_round": rounds,
+                "sum_delta_per_round": rounds,
                 "label_mismatches": mismatches,
             }
         )

@@ -665,6 +665,29 @@ def test_top_terms_empty_and_whitespace_docs(spark):
     assert {r["doc_id"] for r in out} == {1}
 
 
+def test_top_terms_vertical_tab_matches_re2_semantics(spark):
+    """\\x0B is whitespace to Java \\s but NOT to RE2 (the DuckDB oracle);
+    the tokenizer uses an explicit class so both sides split identically —
+    here \\x0B must act as a separator because the class includes it."""
+    from bigdata_etl_customer360_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame([(1, "alpha\x0bbeta alpha")], "doc_id long, text string")
+    out = {r["term"]: r["tf"] for r in top_terms(df, k=5).collect()}
+    assert out == {"alpha": 2, "beta": 1}
+
+
+def test_scd2_rejects_colliding_output_names(spark):
+    import pytest
+
+    from bigdata_etl_customer360_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, True)], "k long, ts long, seq long, is_current boolean"
+    )
+    with pytest.raises(ValueError, match="is_current"):
+        scd2_history(df, key="k", ts="ts", seq_col="seq")
+
+
 # ---------------------------------------------------------------------------
 # quality: profile_table / check_constraints
 # ---------------------------------------------------------------------------

@@ -1482,6 +1482,29 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on the events fact: the 20 heaviest
+    user_ids with exact-integer corpus share — the pre-join report that
+    decides broadcast vs salted vs plain shuffle at 100 TB. One hash agg
+    over the scan; ranking works on the collapsed per-key frame with
+    Catalyst's WindowGroupLimit. See operators/quality.skew_profile."""
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "events"), keys=["user_id"], top_k=20)
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: frequency-ranked 0-based term ids over
+    the documents table (min_count prunes the Zipf hapax tail before
+    ranking, max_vocab caps the table) — the tokenizer-table stage
+    between raw text and pack_sequences. See textstats.build_vocab."""
+    from bigdata_etl_customer360_spark.operators.textstats import build_vocab
+
+    return build_vocab(
+        _t(spark, sf_dir, "documents"), text_col="text", min_count=3, max_vocab=1000
+    )
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by (tf DESC, df ASC,
     term ASC) with corpus-boilerplate terms dropped via a document-
@@ -1579,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extract": q_keyword_extract,
         "data_profile": q_data_profile,
         "data_quality": q_data_quality,
+        "skew_profile": q_skew_profile,
+        "build_vocab": q_build_vocab,
     }
 
 
@@ -2673,6 +2698,34 @@ _ORACLES: dict[str, str] = {
           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
         )
+    """,
+    "skew_profile": """
+        WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+        ), t AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows FROM c
+        ), r AS (
+          SELECT user_id, cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+          FROM c
+        )
+        SELECT user_id, cnt, rank, total_rows,
+          cnt * 10000 // total_rows AS share_bp
+        FROM r, t WHERE rank <= 20
+    """,
+    "build_vocab": r"""
+        WITH toks AS (
+          SELECT t.term
+          FROM documents, unnest(string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+')) AS t(term)
+          WHERE t.term <> ''
+        ), c AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+          HAVING COUNT(*) >= 3
+        )
+        SELECT term, term_id, cnt FROM (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS term_id, cnt
+          FROM c
+        ) WHERE term_id < 1000
     """,
     # minhash_lsh / simhash_near_dup / ann_cosine_lsh / embed_near_dup_lsh /
     # approx_count_distinct: probabilistic (LSH recall / sketch internals) —

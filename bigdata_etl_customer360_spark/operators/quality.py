@@ -157,3 +157,47 @@ def check_constraints(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.select("check", "violations", (F.col("violations") == 0).alias("passed"))
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnostics: the ``top_k`` heaviest key values with
+    their row counts and corpus share — the report you read BEFORE
+    deciding broadcast vs salted vs plain shuffle join on a 100 TB fact
+    (one key holding >1% of rows is the AQE-skew-split / salting signal).
+
+    Output, heaviest first: ``(*keys, cnt, rank, total_rows, share_bp)``
+    where ``share_bp`` is the key's share in basis points (exact integer
+    ``cnt*10000 div total`` — no float, so the report hashes
+    deterministically).
+
+    Scale shape: ONE hash aggregate over the scan (map-side partials),
+    then rank/total work on the collapsed per-key frame (|distinct keys|
+    rows, not corpus rows). The global top-k window is a
+    TakeOrderedAndProject-sized sort, and the 1-row total joins back via
+    broadcast — nothing driver-side, nothing all-pairs.
+
+    Determinism: rank orders by (cnt DESC, *keys ASC) — unique per key
+    row, pinned under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_rows"))
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(F.broadcast(total))
+        .select(
+            *keys,
+            "cnt",
+            "rank",
+            "total_rows",
+            F.expr("cnt * 10000 div total_rows").alias("share_bp"),
+        )
+    )

@@ -249,3 +249,53 @@ def top_terms(
         joined.select(id_col, "term", "tf", "df", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= F.lit(k))
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked integer ids: the tokenizer
+    table a training pipeline builds once over the whole corpus and then
+    broadcasts into every tokenization pass (the id space the
+    ``pack_sequences`` stage consumes).
+
+    Output: ``(term, term_id, cnt)`` — ``term_id`` is 0-based, assigned
+    by (cnt DESC, term ASC), so id order is bit-reproducible and frequent
+    terms get small ids (the layout every BPE/embedding table assumes).
+
+    Scale shape: tokenize+explode is map-only over the scan; the term
+    count is ONE hash aggregate with map-side partials (shuffle carries
+    |vocab|, not |tokens|); ``min_count`` prunes the hapax tail BEFORE
+    ranking (Zipf: typically >50% of distinct terms are count-1, and a
+    real corpus caps the table anyway). The global row_number is
+    rank-filter-optimized by Catalyst (WindowGroupLimit) when
+    ``max_vocab`` is set: per-partition top-k precedes the single final
+    sort, so the full vocab is never sorted on one core.
+
+    Same whitespace class as ``top_terms`` — Java and RE2 agree on it.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    # the cap must filter the RAW row_number column: InferWindowGroupLimit
+    # only fires on a predicate over the rank attribute itself — filtering
+    # on (row_number - 1) disables the pushdown and the whole vocab would
+    # sort on one core
+    ranked = counts.select("term", F.row_number().over(w).alias("_rn"), "cnt")
+    if max_vocab is not None:
+        ranked = ranked.filter(F.col("_rn") <= F.lit(max_vocab))
+    return ranked.select("term", (F.col("_rn") - F.lit(1)).alias("term_id"), "cnt")

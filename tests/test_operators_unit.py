@@ -676,6 +676,68 @@ def test_top_terms_vertical_tab_matches_re2_semantics(spark):
     assert out == {"alpha": 2, "beta": 1}
 
 
+def test_skew_profile_counts_share_and_rank(spark):
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = {r["rank"]: r for r in skew_profile(df, ["k"], top_k=2).collect()}
+    assert rows[1]["k"] == "a" and rows[1]["cnt"] == 6
+    assert rows[2]["k"] == "b" and rows[2]["cnt"] == 3
+    assert all(r["total_rows"] == 10 for r in rows.values())
+    assert rows[1]["share_bp"] == 6000 and rows[2]["share_bp"] == 3000
+    assert len(rows) == 2  # top_k honored
+
+
+def test_skew_profile_tiebreak_and_partition_independence(spark):
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",), ("b",), ("c",)], "k string")
+    base = [tuple(r) for r in skew_profile(df, ["k"], top_k=3).collect()]
+    shuf = [tuple(r) for r in skew_profile(df.repartition(7), ["k"], top_k=3).collect()]
+    assert base == shuf
+    # all tie at cnt=2 -> key ASC breaks: a, b, c
+    assert [t[0] for t in sorted(base, key=lambda t: t[2])] == ["a", "b", "c"]
+
+
+def test_build_vocab_rank_mincount_cap(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "y x w")], "doc_id long, text string"
+    )
+    # counts: x=4 y=3 z=1 w=1
+    full = {r["term"]: r for r in build_vocab(df).collect()}
+    assert full["x"]["term_id"] == 0 and full["y"]["term_id"] == 1
+    assert {full["w"]["term_id"], full["z"]["term_id"]} == {2, 3}
+    assert full["w"]["term_id"] == 2  # cnt tie -> term ASC
+    pruned = {r["term"] for r in build_vocab(df, min_count=2).collect()}
+    assert pruned == {"x", "y"}
+    capped = {r["term"] for r in build_vocab(df, max_vocab=1).collect()}
+    assert capped == {"x"}
+
+
+def test_build_vocab_global_rank_limit_pushed_below_window(spark):
+    """max_vocab must NOT sort the whole vocab on one core. Catalyst has
+    two rewrites that guarantee it — LimitPushDownThroughWindow (the
+    rank filter becomes a per-partition-then-global top-k BELOW the
+    window, usually a TakeOrderedAndProject) or InferWindowGroupLimit
+    (WindowGroupLimit node) — and both only fire when the predicate is on
+    the RAW row_number column, which is why the cap filters _rn and not
+    the term_id alias."""
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+    from bigdata_etl_customer360_spark.operators.textstats import build_vocab
+
+    def _pushed(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert _pushed(build_vocab(df, max_vocab=10))
+    assert _pushed(skew_profile(df.select(F.col("text").alias("k")), ["k"], top_k=5))
+
+
 def test_scd2_rejects_colliding_output_names(spark):
     import pytest
 

@@ -1482,6 +1482,43 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (the RefinedWeb footer/banner
+    rule). The synthetic docs are single-line, so the query plants a
+    newsletter footer in every doc (stripped: df=corpus) and a doc-unique
+    rare line in every 7th (kept: df=1) — both engines plant identically.
+    See operators/curation.strip_boilerplate_lines for the plan shape."""
+    from bigdata_etl_customer360_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\nrare-line-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(docs, min_docs=10).select(
+        "doc_id", "cleaned", "n_removed"
+    )
+
+
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition diagnostics (the Gopher degenerate-text
+    rule): total word-bigram count and the top bigram's count, exact
+    integers only. See operators/curation.repeated_ngram_stats."""
+    from bigdata_etl_customer360_spark.operators.curation import (
+        repeated_ngram_stats,
+    )
+
+    return repeated_ngram_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics on the events fact: the 20 heaviest
     user_ids with exact-integer corpus share — the pre-join report that
@@ -1604,6 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "skew_profile": q_skew_profile,
         "build_vocab": q_build_vocab,
+        "strip_boilerplate": q_strip_boilerplate,
+        "repeated_ngrams": q_repeated_ngrams,
     }
 
 
@@ -2712,6 +2751,54 @@ _ORACLES: dict[str, str] = {
         SELECT user_id, cnt, rank, total_rows,
           cnt * 10000 // total_rows AS share_bp
         FROM r, t WHERE rank <= 20
+    """,
+    "strip_boilerplate": """
+        WITH d2 AS (
+          SELECT doc_id,
+            text || chr(10) || 'Subscribe to our newsletter today' ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'rare-line-' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS text
+          FROM documents
+        ), splits AS (
+          SELECT doc_id, string_split(text, chr(10)) AS l FROM d2
+        ), uniq AS (
+          SELECT DISTINCT doc_id, t.line
+          FROM splits, unnest(l) AS t(line) WHERE t.line <> ''
+        ), hv AS (
+          SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS hl
+          FROM (SELECT line FROM uniq GROUP BY line HAVING COUNT(*) >= 10)
+        )
+        SELECT doc_id,
+          array_to_string(
+            list_filter(l, x -> x = '' OR NOT list_contains(hl, x)), chr(10)
+          ) AS cleaned,
+          CAST(len(l) - len(list_filter(l, x -> x = '' OR NOT list_contains(hl, x)))
+               AS BIGINT) AS n_removed
+        FROM splits, hv
+    """,
+    "repeated_ngrams": r"""
+        WITH w AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) >= 2
+                 THEN list_transform(generate_series(1, len(ws)-1),
+                                     i -> ws[i] || ' ' || ws[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS gs
+          FROM w
+        ), per AS (
+          SELECT doc_id, t.gram, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g, unnest(gs) AS t(gram) GROUP BY doc_id, t.gram
+        )
+        SELECT d.doc_id,
+          CAST(COALESCE(s.total, 0) AS BIGINT) AS total_ngrams,
+          CAST(COALESCE(s.top, 0) AS BIGINT) AS top_ngram_count
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM per GROUP BY doc_id) s
+          USING (doc_id)
     """,
     "build_vocab": r"""
         WITH toks AS (

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -141,4 +141,133 @@ def pack_sequences(
         .withColumn("first_seq", F.expr(f"tok_offset div {int(capacity)}"))
         .withColumn("last_seq", F.expr(f"(_cum - 1) div {int(capacity)}"))
         .drop("_cum")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    out_col: str = "cleaned",
+    removed_col: str = "n_removed",
+) -> DataFrame:
+    """Remove corpus-wide boilerplate LINES from every document — the
+    RefinedWeb/Gopher-style rule that strips navigation footers, cookie
+    banners and license headers repeated across a crawl: any non-empty
+    line occurring in at least ``min_docs`` DISTINCT documents is dropped
+    from all of them; empty lines and everything else keep their original
+    order.
+
+    Output: input columns + ``out_col`` (lines re-joined with \\n) +
+    ``removed_col`` (lines dropped from this doc).
+
+    Scale shape (all Catalyst built-ins, no UDFs):
+      posexplode lines            [map-only; pos pins re-assembly order]
+      distinct (doc,line-hash)    [dedup BEFORE df-count so one doc
+                                   repeating its own footer counts once]
+      line-hash -> doc-frequency  [shuffle 1 — map-side partials over the
+                                   collapsed distinct pairs]
+      lines LEFT JOIN heavy set   [shuffle 2, keyed on 64-bit line hash —
+                                   the heavy set is NOT broadcast: at
+                                   crawl scale "lines seen in >=N docs"
+                                   can be millions of rows]
+      re-assemble per doc         [shuffle 3 — collect_list(struct(pos,
+                                   line)) + array_sort, deterministic]
+    The doc's own text never rides shuffles 1-2 — only (hash, pos, flag)
+    triples do; the full line text re-joins from the posexploded frame.
+
+    Determinism: array_sort on the unique ``pos`` key pins line order
+    under any partitioning; counts are exact integers.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    lhash = lines.select(
+        "_id", "_pos", "_line", F.xxhash64("_line").alias("_lh")
+    )
+    heavy = (
+        lhash.filter(F.col("_line") != "")
+        .select("_id", "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= F.lit(min_docs))
+        .select("_lh")
+        .withColumn("_heavy", F.lit(True))
+    )
+    kept = (
+        lhash.join(heavy, on="_lh", how="left")
+        .withColumn(
+            "_drop", F.coalesce(F.col("_heavy"), F.lit(False)) & (F.col("_line") != "")
+        )
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"), F.struct("_pos", "_line")
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(out_col),
+        F.sum(F.col("_drop").cast("long")).alias(removed_col),
+    )
+    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition diagnostics — the Gopher quality rule that
+    flags degenerate generative/spam text ("buy now buy now buy now ...")
+    by how much of the document its single most frequent word ``n``-gram
+    covers.
+
+    Output: ``(id_col, total_ngrams, top_ngram_count)`` — both exact
+    integers (callers threshold with integer cross-multiplication, e.g.
+    ``top*5 >= total`` for the 20% Gopher cutoff, so no float ever enters
+    the frame and results hash bit-for-bit). Docs with fewer than ``n``
+    words emit ``(0, 0)``.
+
+    Scale shape: tokenize + sliding-window n-grams are map-only array
+    expressions (split let-bound — evaluated once per row, not once per
+    gram); the (doc, gram) count is ONE hash aggregate with map-side
+    partials; the per-doc max/sum is a second aggregate over the already
+    collapsed (doc, gram) frame — shuffle 2 carries |distinct grams per
+    doc| rows, not token volume. No UDFs, nothing driver-side.
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    def _grams(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= F.lit(n),
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = let1(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\r\n\x0B\f]+"), _grams
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.when(F.col("_g").isNotNull(), 1)).alias("_c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("total_ngrams"),
+        F.max("_c").alias("top_ngram_count"),
     )

@@ -738,6 +738,73 @@ def test_build_vocab_global_rank_limit_pushed_below_window(spark):
     assert _pushed(skew_profile(df.select(F.col("text").alias("k")), ["k"], top_k=5))
 
 
+def test_strip_boilerplate_drops_heavy_keeps_rare_and_order(spark):
+    from bigdata_etl_customer360_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(i, f"unique head {i}\nfooter line\nunique tail {i}") for i in range(3)]
+    rows.append((99, "solo doc\n\nfooter line"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(df, min_docs=3).collect()
+    }
+    # 'footer line' in 4 docs >= 3 -> stripped everywhere, order preserved
+    assert out[0]["cleaned"] == "unique head 0\nunique tail 0"
+    assert out[0]["n_removed"] == 1
+    # empty line survives (never counted as boilerplate)
+    assert out[99]["cleaned"] == "solo doc\n"
+    assert out[99]["n_removed"] == 1
+
+
+def test_strip_boilerplate_own_repeats_count_once(spark):
+    from bigdata_etl_customer360_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    # 'echo' appears 3x in ONE doc -> df=1 < 2 -> kept (distinct-per-doc rule)
+    df = spark.createDataFrame(
+        [(1, "echo\necho\necho"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1]["cleaned"] == "echo\necho\necho" and out[1]["n_removed"] == 0
+
+
+def test_strip_boilerplate_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(i, f"a{i}\ncommon\nb{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in strip_boilerplate_lines(df, min_docs=5).orderBy("doc_id").collect()]
+    b = [
+        tuple(r)
+        for r in strip_boilerplate_lines(df.repartition(7), min_docs=5)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert a == b and all(t[-1] == 1 for t in a)
+
+
+def test_repeated_ngram_stats_counts_and_edges(spark):
+    from bigdata_etl_customer360_spark.operators.curation import repeated_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),  # bigrams: 'buy now'x3, 'now buy'x2
+            (2, "one"),                       # <2 words -> (0, 0)
+            (3, "two words"),                 # exactly one bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_ngram_stats(df, n=2).collect()}
+    assert out[1]["total_ngrams"] == 5 and out[1]["top_ngram_count"] == 3
+    assert out[2]["total_ngrams"] == 0 and out[2]["top_ngram_count"] == 0
+    assert out[3]["total_ngrams"] == 1 and out[3]["top_ngram_count"] == 1
+
+
 def test_scd2_rejects_colliding_output_names(spark):
     import pytest
 

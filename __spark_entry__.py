@@ -261,7 +261,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
     return (
-        salted_join(orders, customer.select("o_custkey", "c_nationkey"), "o_custkey")
+        salted_join(
+            orders,
+            customer.select("o_custkey", "c_nationkey"),
+            "o_custkey",
+            salt_on="o_orderkey",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -220,9 +220,10 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = 16,
     seed: int = 42,
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Equi-join resilient to heavy key skew: the skewed side gets a
-    random salt in [0, salt_buckets); the small side is replicated
+    salt in [0, salt_buckets); the small side is replicated
     salt_buckets× with every salt value; the join runs on (key, salt), so
     one hot key spreads over salt_buckets reducers instead of one.
 
@@ -231,10 +232,23 @@ def salted_join(
     on its own; explicit salting is for the pathological single-key case
     (one user/null-key with a double-digit share of rows). Cost: the
     small side shuffles salt_buckets× its size — keep it the dimension.
+
+    ``salt_on``: name of a (unique-ish) column to derive the salt from
+    deterministically (``pmod(xxhash64(col, seed), buckets)``) — stable
+    under task retry and re-runs. Default (None) uses ``rand(seed)``:
+    rand re-draws when a failed task re-executes, so a retried partition
+    can land rows in different buckets. The JOIN OUTPUT is identical
+    either way (the salt only routes rows); prefer ``salt_on`` whenever a
+    row-unique column exists so even intermediate shuffle placement is
+    reproducible.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (skewed side preserved)")
-    salted = skewed.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    if salt_on is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_on), F.lit(seed)), F.lit(salt_buckets))
+        salted = skewed.withColumn("_salt", salt.cast("int"))
+    else:
+        salted = skewed.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

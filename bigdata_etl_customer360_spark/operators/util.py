@@ -100,6 +100,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # df.rdd converts the analyzed plan to an RDD on the driver to read its
+    # partition count — pure planning (no job), milliseconds per call, and
+    # the only public API that answers "how many partitions would this scan
+    # get". Acceptable because fan_out wraps per-QUERY inputs, not per-row
+    # paths; don't call it inside loops.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

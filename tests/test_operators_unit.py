@@ -262,6 +262,26 @@ def test_salted_join_equals_plain_join(spark):
     assert left.filter(F.col("name").isNull()).count() == 1  # key 3 preserved
 
 
+def test_salted_join_deterministic_salt_on_column(spark):
+    from bigdata_etl_customer360_spark.operators.relational import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(60)] + [(100, 2, 0.5)], ["rid", "k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    got = salted_join(facts, dim, "k", salt_on="rid")
+    want = facts.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # hash-derived salt actually spreads the hot key over many buckets
+    n_buckets = (
+        facts.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64(F.col("rid"), F.lit(42)), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 4
+
+
 def test_embedding_cosine_pairs_lsh_verifies_exact(spark):
     from bigdata_etl_customer360_spark.operators.dedup import embedding_cosine_pairs
 

@@ -1487,6 +1487,50 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep each doc with probability
+    min(1, len(text)/1000) — the quality-weighted corpus downsample —
+    with the coin flip derived from md5(salt||id) in exact integer
+    arithmetic, so Spark and the oracle keep the identical row set. See
+    operators/sampling.weighted_sample."""
+    from bigdata_etl_customer360_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(1000.0))
+    )
+    return weighted_sample(docs, weight_col="w").select("doc_id", "lang", "n_chars")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis quality prior: PageRank over the co-purchase graph
+    (parts appearing in the same order, both directions), top 20 parts.
+    Iterative float fixpoint — not SQL-expressible, rows-only check;
+    unit-pinned against a numpy power iteration in tests/test_graph.py.
+    See operators/graph.pagerank for the per-round plan shape."""
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    # minimum-support threshold (the standard co-purchase graph build):
+    # pairs co-occurring in only one order are noise and dominate edge
+    # volume; support >= 2 keeps the graph the signal lives in
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    pr = pagerank(edges, iterations=8)
+    return (
+        pr.select(F.col("id").alias("partkey"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate-line removal (the RefinedWeb footer/banner
     rule). The synthetic docs are single-line, so the query plants a
@@ -1648,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "strip_boilerplate": q_strip_boilerplate,
         "repeated_ngrams": q_repeated_ngrams,
+        "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2756,6 +2802,16 @@ _ORACLES: dict[str, str] = {
         SELECT user_id, cnt, rank, total_rows,
           cnt * 10000 // total_rows AS share_bp
         FROM r, t WHERE rank <= 20
+    """,
+    "weighted_sample": """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            ('0x' || substring(md5('c360w' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+            CAST(floor(greatest(0.0, least(1.0,
+                   least(1.0, CAST(length(text) AS DOUBLE) / 1000.0))) * 1000000)
+                 AS BIGINT) AS q
+          FROM documents
+        ) WHERE u * 1000000 < q * 4294967296
     """,
     "strip_boilerplate": """
         WITH d2 AS (

@@ -40,3 +40,40 @@ def sample_n_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "c360w",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``weight_col`` (clamped to [0, 1]) — the standard quality-weighted
+    corpus downsample ("keep high-quality docs, thin the tail"), made
+    reproducible by deriving the coin flip from ``md5(salt || id)``
+    instead of ``rand()``.
+
+    Mechanism: the first 8 md5 hex chars (32 bits, engine-portable) read
+    as an integer ``u`` uniform on [0, 2^32); the weight quantizes to
+    ``q = floor(clamp(weight) * scale)`` and the row survives iff
+    ``u * scale < q * 2^32`` — all BIGINT (max operand ~4.3e18, inside
+    int64), no float ever compared, so the same rows are chosen by any
+    engine (quantization to 1/scale granularity is part of the contract,
+    not drift). Weights >= 1 always keep; <= 0 always drop.
+
+    Scale: a map-only filter — zero shuffle, pushes into the scan stage.
+    Re-runs, retries, and engine swaps keep the identical row set, which
+    is what makes downstream dedup/eval hashes stable.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    q = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col(weight_col).cast("double")))
+        * F.lit(scale)
+    ).cast("bigint")
+    return df.filter(u * F.lit(scale) < q * F.lit(4294967296))

@@ -136,3 +136,64 @@ def test_keep_cluster_canonical_idempotent(spark):
     assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
         r["doc_id"] for r in once.collect()
     ) == [1, 4, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _np_pagerank(edges, damping=0.85, iterations=15):
+    """Dense power iteration with dangling redistribution — ground truth
+    mirroring the operator's exact update rule."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / deg[u]
+        dangling = sum(r[idx[u]] for u in nodes if deg[u] == 0)
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return {nd: r[idx[nd]] for nd in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    # mixed shape: a hub (1<-2,3,4), a chain, and a dangling node 5
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=15).collect()}
+    want = _np_pagerank(edges, iterations=15)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_symmetric_clique_is_uniform(spark):
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [r["rank"] for r in pagerank(df, iterations=10).collect()]
+    assert len(got) == 4 and all(abs(x - 0.25) < 1e-12 for x in got)
+
+
+def test_pagerank_partition_independent_to_float_tolerance(spark):
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20) if i != (i * 3 + 1) % 20]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["id"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(df.repartition(7), iterations=12).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12

@@ -912,3 +912,37 @@ def test_check_constraints_no_checks_empty_report(spark):
     out = check_constraints(df)
     assert out.columns == ["check", "violations", "passed"]
     assert out.count() == 0
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    allkeep = weighted_sample(df.withColumn("w", F.lit(1.0)), "w")
+    assert allkeep.count() == 400
+    nokeep = weighted_sample(df.withColumn("w", F.lit(0.0)), "w")
+    assert nokeep.count() == 0
+    # negative / >1 weights clamp
+    assert weighted_sample(df.withColumn("w", F.lit(2.5)), "w").count() == 400
+    assert weighted_sample(df.withColumn("w", F.lit(-1.0)), "w").count() == 0
+    half = weighted_sample(df.withColumn("w", F.lit(0.5)), "w")
+    n = half.count()
+    assert 140 <= n <= 260  # uniform hash -> binomial(400, .5), wide bound
+    again = weighted_sample(
+        df.repartition(7).withColumn("w", F.lit(0.5)), "w"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in half.collect()
+    )
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10 / 10.0).alias("w")
+    )
+    kept = weighted_sample(df, "w").groupBy("w").count().collect()
+    rates = {round(r["w"], 1): r["count"] / 100.0 for r in kept}
+    for w, rate in rates.items():
+        assert abs(rate - w) < 0.2, (w, rate)

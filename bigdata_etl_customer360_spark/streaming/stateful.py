@@ -11,6 +11,16 @@ Works in both modes: on a streaming DataFrame it emits sessions as their
 timeouts fire; the batch twin ``sessionize_batch`` computes identical
 sessions with pure window functions (lag + cumulative session ids) for
 backfill and for the equivalence tests.
+
+API note: Spark 4 ships ``transformWithStateInPandas`` as the successor
+arbitrary-state API (typed ValueState/ListState/MapState, timers, TTL).
+This module stays on ``applyInPandasWithState`` deliberately: the newer
+API's Python driver worker crashes in this build/sandbox even on a
+minimal rate-source probe ("TransformWithStateInPySpark driver worker
+exited unexpectedly"), and an operator that cannot execute in CI is dead
+code by this repo's conventions. The state layout here (flat per-key
+scalar tuple) ports to a ValueState one-for-one when the runtime
+supports it.
 """
 
 from __future__ import annotations
@@ -158,3 +168,4 @@ def sessionize_batch(
         )
         .drop("_session_id")
     )
+

@@ -342,3 +342,4 @@ def test_event_sourced_upsert_stream_appends_latest_wins(spark, tmp_path):
     assert sorted(map(tuple, snapshot.collect())) == sorted(
         map(tuple, expected.collect())
     )
+

@@ -550,6 +550,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's BUILT-IN ``F.session_window`` — the
+    native (and streaming-capable) twin of the lag/cumsum formulation
+    graded as `sessionize`. One hash shuffle on (user, merged window).
+    Boundary semantics, oracle-encoded exactly and unit-pinned: windows
+    [ts, ts+gap) merge when they overlap OR TOUCH, so a gap of exactly
+    30min still merges (break only at diff > gap — same boundary as the
+    lag/cumsum twin), and a merged window's end is last_event_ts + gap,
+    not last_event_ts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -1647,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "window_tumbling": q_window_tumbling,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "rollup_agg": q_rollup_agg,
         "json_extract": q_json_extract,
         "pricing_summary": q_pricing_summary,
@@ -2178,6 +2205,27 @@ _ORACLES: dict[str, str] = {
         SELECT user_id,
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, sid
+    """,
+    "session_window": """
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS w_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS w_end,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM numbered GROUP BY user_id, sid

@@ -946,3 +946,32 @@ def test_weighted_sample_rate_tracks_weight(spark):
     rates = {round(r["w"], 1): r["count"] / 100.0 for r in kept}
     for w, rate in rates.items():
         assert abs(rate - w) < 0.2, (w, rate)
+
+
+def test_session_window_boundary_touch_merges(spark):
+    """Pin the boundary semantics the session_window oracle encodes: the
+    per-event windows [ts, ts+gap) merge when they overlap OR TOUCH, so a
+    gap of exactly 30min is ONE session (break only at diff > gap — the
+    same boundary as the lag/cumsum twin), and a merged window ends at
+    last_event_ts + gap; one microsecond past the gap splits."""
+    from datetime import datetime
+
+    from bigdata_etl_customer360_spark.streaming.stateful import sessionize_batch
+
+    rows = [
+        (1, datetime(2022, 1, 1, 10, 0, 0), 1.0),
+        (1, datetime(2022, 1, 1, 10, 30, 0), 2.0),  # exactly 1800s later
+        (2, datetime(2022, 1, 1, 10, 0, 0), 1.0),
+        (2, datetime(2022, 1, 1, 10, 30, 0, 1), 2.0),  # 1800s + 1us
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    native = df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").count()
+    per_user = {r["user_id"]: 0 for r in native.collect()}
+    for r in native.collect():
+        per_user[r["user_id"]] += 1
+    assert per_user == {1: 1, 2: 2}
+    ends = {r["user_id"]: r["w"]["end"] for r in native.collect() if r["user_id"] == 1}
+    assert ends[1] == datetime(2022, 1, 1, 11, 0, 0)  # last event + gap
+    lag_twin = sessionize_batch(df, gap_seconds=1800)
+    assert lag_twin.filter(F.col("user_id") == 1).count() == 1
+    assert lag_twin.filter(F.col("user_id") == 2).count() == 2

@@ -1617,6 +1617,29 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus→training-ids encode path: build_vocab (same knobs
+    as the `build_vocab` query) then encode_docs against it, OOV → -1.
+    Output projects the id array as a space-joined string so the value
+    hash is representation-independent across engines. See
+    operators/textstats.encode_docs."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        build_vocab,
+        encode_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, text_col="text", min_count=3, max_vocab=1000)
+    enc = encode_docs(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform(F.col("token_ids"), lambda t: t.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by (tf DESC, df ASC,
     term ASC) with corpus-boilerplate terms dropped via a document-
@@ -1721,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
+        "tokenize_corpus": q_tokenize_corpus,
     }
 
 
@@ -2908,6 +2932,39 @@ _ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN
           (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM per GROUP BY doc_id) s
           USING (doc_id)
+    """,
+    "tokenize_corpus": r"""
+        WITH toks0 AS (
+          SELECT t.term
+          FROM documents, unnest(string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+')) AS t(term)
+          WHERE t.term <> ''
+        ), c AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks0 GROUP BY term
+          HAVING COUNT(*) >= 3
+        ), vocab AS (
+          SELECT term, term_id FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) - 1 AS term_id
+            FROM c
+          ) WHERE term_id < 1000
+        ), splits AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS l
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, g.i AS pos, l[g.i] AS term
+          FROM splits, unnest(generate_series(1, len(l))) AS g(i)
+          WHERE l[g.i] <> ''
+        ), enc AS (
+          SELECT t.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            string_agg(CAST(COALESCE(v.term_id, -1) AS VARCHAR), ' ' ORDER BY t.pos)
+              AS ids_str
+          FROM toks t LEFT JOIN vocab v USING (term)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+          CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+          COALESCE(e.ids_str, '') AS ids_str
+        FROM documents d LEFT JOIN enc e USING (doc_id)
     """,
     "build_vocab": r"""
         WITH toks AS (

@@ -299,3 +299,64 @@ def build_vocab(
     if max_vocab is not None:
         ranked = ranked.filter(F.col("_rn") <= F.lit(max_vocab))
     return ranked.select("term", (F.col("_rn") - F.lit(1)).alias("term_id"), "cnt")
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize every document against a ``build_vocab`` table: output
+    ``(id_col, token_ids array<long>, n_tokens)`` with out-of-vocabulary
+    terms mapped to ``unk_id``. This is the encode step between vocabulary
+    construction and ``pack_sequences`` — the full corpus→training-ids
+    path is build_vocab → encode_docs → pack_sequences, all Catalyst.
+
+    Scale shape: posexplode is map-only (positions pin re-assembly); the
+    vocab join BROADCASTS (a capped vocab is small by construction — that
+    is what ``max_vocab`` is for; an uncapped multi-million-term vocab
+    would shuffle-join instead); re-assembly is one hash aggregate per doc
+    with array_sort on the unique pos key — deterministic under any
+    partitioning. Docs with no tokens keep an empty array via the final
+    left join (same pattern as strip_boilerplate_lines).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+        ).alias("_pos", "_term"),
+    ).filter(F.col("_term") != "")
+    v = vocab.select(
+        F.col("term").alias("_term"), F.col("term_id").cast("long").alias("_tid")
+    )
+    enc = (
+        toks.join(F.broadcast(v), "_term", "left")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_pos"),
+                            F.coalesce(F.col("_tid"), F.lit(unk_id)).alias("_t"),
+                        )
+                    )
+                ),
+                lambda s: s["_t"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(enc, df[id_col] == enc["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("token_ids"), F.array().cast("array<long>")).alias(
+                "token_ids"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )

@@ -975,3 +975,42 @@ def test_session_window_boundary_touch_merges(spark):
     lag_twin = sessionize_batch(df, gap_seconds=1800)
     assert lag_twin.filter(F.col("user_id") == 1).count() == 1
     assert lag_twin.filter(F.col("user_id") == 2).count() == 2
+
+
+def test_encode_docs_ids_order_oov_and_empty(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        build_vocab,
+        encode_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b zz"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, min_count=2)  # counts: b=2 a=2 zz=1 -> a:0, b:1
+    out = {r["doc_id"]: r for r in encode_docs(df, vocab).collect()}
+    assert list(out[1]["token_ids"]) == [1, 0, 1, -1]  # order kept, OOV=-1
+    assert out[1]["n_tokens"] == 4
+    assert list(out[2]["token_ids"]) == [0]
+    assert list(out[3]["token_ids"]) == [] and out[3]["n_tokens"] == 0
+
+
+def test_encode_docs_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        build_vocab,
+        encode_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} common w{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, min_count=2)
+    a = [
+        (r["doc_id"], list(r["token_ids"]))
+        for r in encode_docs(df, vocab).orderBy("doc_id").collect()
+    ]
+    b = [
+        (r["doc_id"], list(r["token_ids"]))
+        for r in encode_docs(df.repartition(7), vocab).orderBy("doc_id").collect()
+    ]
+    assert a == b

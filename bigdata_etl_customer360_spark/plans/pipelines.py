@@ -118,11 +118,22 @@ def curate_corpus(
     checkpoint_dir: str | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_min_overlap: int = 5,
+    boilerplate_min_docs: int | None = None,
+    max_top_ngram_pct: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the full training-data ladder in one
     macro, each stage an engine operator:
 
-      filter_corpus          quality gate (Gopher-shaped rules)
+      strip_boilerplate_lines  (only when ``boilerplate_min_docs`` is
+                             given) remove corpus-wide repeated lines
+                             BEFORE quality gating, so a shared footer
+                             neither inflates token counts nor glues
+                             unrelated docs into near-dup pairs
+      → filter_corpus        quality gate (Gopher-shaped rules)
+      → repetition gate      (only when ``max_top_ngram_pct`` is given)
+                             drop docs whose top bigram covers more than
+                             that percentage of all bigrams
+                             (repeated_ngram_stats, integer compare)
       → decontaminate        (only when ``benchmark`` is given) drop docs
                              overlapping the eval set by
                              ``decontaminate_min_overlap`` shingles
@@ -151,6 +162,14 @@ def curate_corpus(
     from bigdata_etl_customer360_spark.operators.sampling import sample_n_per_group
     from bigdata_etl_customer360_spark.operators.textstats import filter_corpus
 
+    if boilerplate_min_docs is not None:
+        from bigdata_etl_customer360_spark.operators.curation import (
+            strip_boilerplate_lines,
+        )
+
+        docs = strip_boilerplate_lines(
+            docs, id_col=id_col, text_col=text_col, min_docs=boilerplate_min_docs
+        ).drop(text_col, "n_removed").withColumnRenamed("cleaned", text_col)
     filtered = filter_corpus(
         docs,
         text_col,
@@ -158,6 +177,18 @@ def curate_corpus(
         max_stopword_ratio=max_stopword_ratio,
         min_distinct_ratio=min_distinct_ratio,
     )
+    if max_top_ngram_pct is not None:
+        from bigdata_etl_customer360_spark.operators.curation import (
+            repeated_ngram_stats,
+        )
+        from pyspark.sql import functions as F
+
+        rep = repeated_ngram_stats(filtered, id_col=id_col, text_col=text_col)
+        ok = rep.filter(
+            F.col("top_ngram_count") * 100
+            <= F.lit(max_top_ngram_pct) * F.col("total_ngrams")
+        ).select(id_col)
+        filtered = filtered.join(ok, id_col, "semi")
     if benchmark is not None:
         from bigdata_etl_customer360_spark.operators.curation import decontaminate
 

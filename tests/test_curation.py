@@ -127,3 +127,53 @@ class TestPackSequences:
         a = sorted(map(tuple, pack_sequences(df, 1000).collect()))
         b = sorted(map(tuple, pack_sequences(df.repartition(7), 1000).collect()))
         assert a == b
+
+
+class TestCurateCorpusOptionalStages:
+    def test_boilerplate_and_repetition_stages(self, spark):
+        from bigdata_etl_customer360_spark.plans.pipelines import curate_corpus
+
+        footer = "subscribe to our newsletter for updates today please " \
+                 "and follow the channel for more content like this"
+        rows = [
+            # 6 distinct docs sharing ONLY the footer line — without
+            # stripping, the footer's shingles dominate each doc's shingle
+            # set and glue them into near-dup pairs; with stripping they
+            # stay distinct
+            (i, "en", " ".join(f"w{i}x{j}" for j in range(8)) + "\n" + footer)
+            for i in range(1, 7)
+        ]
+        # a degenerate repetitive doc: top bigram covers ~half of all grams
+        rows.append((99, "en", "buy now " * 30))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+        kept = {
+            r["doc_id"]
+            for r in curate_corpus(
+                df,
+                sample_n=10,
+                min_tokens=5,
+                max_stopword_ratio=1.0,
+                min_distinct_ratio=0.01,
+                jaccard_threshold=0.3,
+                boilerplate_min_docs=5,
+                max_top_ngram_pct=20,
+            ).collect()
+        }
+        assert kept == {1, 2, 3, 4, 5, 6}  # repetitive doc gated out
+
+        # without the new stages: footer glues docs into one near-dup
+        # cluster (only the min id survives) and the repetitive doc stays
+        kept_off = {
+            r["doc_id"]
+            for r in curate_corpus(
+                df,
+                sample_n=10,
+                min_tokens=5,
+                max_stopword_ratio=1.0,
+                min_distinct_ratio=0.01,
+                jaccard_threshold=0.3,
+            ).collect()
+        }
+        assert 99 in kept_off
+        assert len(kept_off & {1, 2, 3, 4, 5, 6}) < 6

@@ -1617,6 +1617,19 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID — the robust sibling of the word-marker
+    `lang_id` (survives unseen vocabulary / punctuation-heavy text). One
+    sliding-window gram pass per row, per-language hit counts, pinned
+    argmax. See operators/textstats.with_lang_id_chargram."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        with_lang_id_chargram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id_chargram(docs).select("doc_id", "lang_pred")
+
+
 def q_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus→training-ids encode path: build_vocab (same knobs
     as the `build_vocab` query) then encode_docs against it, OOV → -1.
@@ -1745,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
         "tokenize_corpus": q_tokenize_corpus,
+        "lang_id_chargram": q_lang_id_chargram,
     }
 
 
@@ -2932,6 +2946,31 @@ _ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN
           (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM per GROUP BY doc_id) s
           USING (doc_id)
+    """,
+    "lang_id_chargram": r"""
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(lower(trim(text))) >= 3
+                 THEN list_transform(generate_series(1, len(lower(trim(text))) - 2),
+                                     i -> substring(lower(trim(text)), i, 3))
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+            len(list_filter(grams, x -> list_contains(['der','ein','sch','ich','nde','die','che','und'], x))) AS s_de,
+            len(list_filter(grams, x -> list_contains(['the','and','ing','ion','ent','her','for','tha'], x))) AS s_en,
+            len(list_filter(grams, x -> list_contains(['que','ent','ion','ado','con','sta','cio','los'], x))) AS s_es,
+            len(list_filter(grams, x -> list_contains(['ent','les','que','des','ion','eur','ait','ons'], x))) AS s_fr
+          FROM g
+        )
+        SELECT doc_id,
+          CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+               WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+               WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+          END AS lang_pred
+        FROM s
     """,
     "tokenize_corpus": r"""
         WITH toks0 AS (

@@ -360,3 +360,67 @@ def encode_docs(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+# Character-trigram evidence sets per language — high-frequency trigrams
+# from public letter-frequency tables. Same contract as the word markers:
+# the operator shape (one gram pass → per-language hit counts → pinned
+# argmax) is what matters; swap in corpus-fitted profiles the same way.
+DEFAULT_LANG_TRIGRAMS: Mapping[str, Sequence[str]] = {
+    "de": ("der", "ein", "sch", "ich", "nde", "die", "che", "und"),
+    "en": ("the", "and", "ing", "ion", "ent", "her", "for", "tha"),
+    "es": ("que", "ent", "ion", "ado", "con", "sta", "cio", "los"),
+    "fr": ("ent", "les", "que", "des", "ion", "eur", "ait", "ons"),
+}
+
+
+def with_lang_id_chargram(
+    df: DataFrame,
+    col: str = "text",
+    profiles: Mapping[str, Sequence[str]] = DEFAULT_LANG_TRIGRAMS,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Character-trigram language ID — the word-marker heuristic's robust
+    sibling (``with_lang_id``): counts occurrences of each language's
+    high-frequency char trigrams in the normalized text, argmax with
+    (count desc, language asc) tie-break, ``unknown`` on zero evidence.
+    Char n-grams survive unseen vocabulary, concatenations and
+    punctuation-heavy text where word markers miss.
+
+    Scale shape identical to ``with_lang_id``: ONE sliding-window gram
+    array per row (inline1 generator — evaluated once, not once per
+    language), per-language counts as generator output attributes, a CASE
+    argmax over plain columns. Pure codegen, zero shuffle.
+    """
+    from bigdata_etl_customer360_spark.operators.util import inline1
+
+    langs = sorted(profiles)
+
+    def _in(arr):
+        return lambda g: F.array_contains(arr, g)
+
+    def scores(grams):
+        return F.struct(
+            *[
+                F.size(
+                    F.filter(grams, _in(F.array(*[F.lit(t) for t in profiles[lang]])))
+                ).alias(f"_cg_{lang}")
+                for lang in langs
+            ]
+        )
+
+    norm = F.lower(F.trim(F.col(col)))
+    grams = F.when(
+        F.length(norm) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
+            lambda i: F.substring(norm, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tmp = df.select("*", inline1(grams, scores))
+    best = F.greatest(*[F.col(f"_cg_{lang}") for lang in langs])
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        expr = expr.when(F.col(f"_cg_{lang}") == best, F.lit(lang))
+    out = tmp.withColumn(out_col, expr)
+    return out.drop(*[f"_cg_{lang}" for lang in langs])

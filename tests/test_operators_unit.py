@@ -1014,3 +1014,34 @@ def test_encode_docs_partition_independent(spark):
         for r in encode_docs(df.repartition(7), vocab).orderBy("doc_id").collect()
     ]
     assert a == b
+
+
+def test_lang_id_chargram_detects_and_tiebreaks(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        with_lang_id_chargram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the singing"),        # en trigrams dominate
+            (2, "ich bin der schneider"),             # de
+            (3, "xyz"),                               # no profile hits
+            (4, ""),                                  # shorter than a trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id_chargram(df).collect()}
+    assert got[1] == "en" and got[2] == "de"
+    assert got[3] == "unknown" and got[4] == "unknown"
+
+
+def test_lang_id_chargram_counts_occurrences_not_presence(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        with_lang_id_chargram,
+    )
+
+    # 'ent' is in es AND fr profiles; 'les' only fr. One 'les' + one 'ent'
+    # -> fr=2 beats es=1 (occurrence counting, alphabetical tie otherwise)
+    df = spark.createDataFrame([(1, "lesent")], "doc_id long, text string")
+    got = with_lang_id_chargram(df).first()["lang_pred"]
+    assert got == "fr"

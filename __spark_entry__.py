@@ -1617,6 +1617,24 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line removal (keep first occurrence, empty
+    lines exempt). Single-line synthetic docs get a planted structure:
+    every doc repeats its own first line and carries a doubled blank —
+    both engines plant identically, so every row exercises the rule. See
+    operators/curation.dedup_lines_within (zero-shuffle array form)."""
+    from bigdata_etl_customer360_spark.operators.curation import dedup_lines_within
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"), F.col("text"),
+            F.lit("\nunique tail "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines_within(docs).select("doc_id", "cleaned", "n_removed")
+
+
 def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID — the robust sibling of the word-marker
     `lang_id` (survives unseen vocabulary / punctuation-heavy text). One
@@ -1759,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "tokenize_corpus": q_tokenize_corpus,
         "lang_id_chargram": q_lang_id_chargram,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2946,6 +2965,24 @@ _ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN
           (SELECT doc_id, SUM(c) AS total, MAX(c) AS top FROM per GROUP BY doc_id) s
           USING (doc_id)
+    """,
+    "dedup_lines": """
+        WITH d2 AS (
+          SELECT doc_id,
+            text || chr(10) || chr(10) || text || chr(10) || 'unique tail ' ||
+            CAST(doc_id AS VARCHAR) AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, string_split(text, chr(10)) AS l FROM d2
+        ), k AS (
+          SELECT doc_id, l,
+            list_filter(l, (x, i) -> x = '' OR list_position(l, x) = i) AS kept
+          FROM s
+        )
+        SELECT doc_id,
+          array_to_string(kept, chr(10)) AS cleaned,
+          CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+        FROM k
     """,
     "lang_id_chargram": r"""
         WITH g AS (

@@ -271,3 +271,45 @@ def repeated_ngram_stats(
         F.sum("_c").alias("total_ngrams"),
         F.max("_c").alias("top_ngram_count"),
     )
+
+
+def dedup_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "cleaned",
+    removed_col: str = "n_removed",
+) -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence — the intra-document sibling of the corpus-wide
+    ``strip_boilerplate_lines`` (RefinedWeb-style: scraped pages repeat
+    their own nav blocks / headings; a doc quoting itself shouldn't train
+    the model on the copy). Empty lines are exempt (they are formatting,
+    not content, and keep-first would collapse paragraph breaks).
+
+    Scale: a PURE per-row array expression — split, keep-first filter
+    (``array_position(arr, x) == i+1`` is true exactly at a value's first
+    index), re-join. Zero shuffle, zero state, rides the scan; the split
+    is let-bound so the filter's self-references don't re-tokenize.
+    Worst-case O(lines²) per row stays local to the row — acceptable for
+    documents, not for megabyte single-row blobs (those want the
+    corpus-wide operator's explode form instead).
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    def _clean(arr: Column) -> Column:
+        kept = F.filter(
+            arr,
+            lambda x, i: (x == F.lit("")) | (F.array_position(arr, x) == i + 1),
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("_cleaned"),
+            (F.size(arr) - F.size(kept)).cast("long").alias("_removed"),
+        )
+
+    bound = let1(F.split(F.col(text_col), r"\n"), _clean)
+    return (
+        df.withColumn("_dl", bound)
+        .withColumn(out_col, F.col("_dl._cleaned"))
+        .withColumn(removed_col, F.col("_dl._removed"))
+        .drop("_dl")
+    )

@@ -177,3 +177,31 @@ class TestCurateCorpusOptionalStages:
         }
         assert 99 in kept_off
         assert len(kept_off & {1, 2, 3, 4, 5, 6}) < 6
+
+
+class TestDedupLinesWithin:
+    def test_keep_first_empty_exempt_and_count(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import (
+            dedup_lines_within,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\n\nb\n\nc"), (2, "solo"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup_lines_within(df).collect()}
+        # repeats of a and b dropped; BOTH blanks kept (formatting exempt)
+        assert out[1]["cleaned"] == "a\nb\n\n\nc" and out[1]["n_removed"] == 2
+        assert out[2]["cleaned"] == "solo" and out[2]["n_removed"] == 0
+        assert out[3]["cleaned"] == "" and out[3]["n_removed"] == 0
+
+    def test_partition_independent(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import (
+            dedup_lines_within,
+        )
+
+        rows = [(i, f"x{i}\ncommon\nx{i}\ncommon") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, dedup_lines_within(df).collect()))
+        b = sorted(map(tuple, dedup_lines_within(df.repartition(7)).collect()))
+        assert a == b and all(t[-1] == 2 for t in a)

@@ -2985,20 +2985,43 @@ _ORACLES: dict[str, str] = {
         FROM k
     """,
     "lang_id_chargram": r"""
-        WITH g AS (
+        WITH n AS (
+          SELECT doc_id, lower(trim(text)) AS s FROM documents
+        ), sc AS (
           SELECT doc_id,
-            CASE WHEN len(lower(trim(text))) >= 3
-                 THEN list_transform(generate_series(1, len(lower(trim(text))) - 2),
-                                     i -> substring(lower(trim(text)), i, 3))
-                 ELSE CAST([] AS VARCHAR[]) END AS grams
-          FROM documents
-        ), s AS (
-          SELECT doc_id,
-            len(list_filter(grams, x -> list_contains(['der','ein','sch','ich','nde','die','che','und'], x))) AS s_de,
-            len(list_filter(grams, x -> list_contains(['the','and','ing','ion','ent','her','for','tha'], x))) AS s_en,
-            len(list_filter(grams, x -> list_contains(['que','ent','ion','ado','con','sta','cio','los'], x))) AS s_es,
-            len(list_filter(grams, x -> list_contains(['ent','les','que','des','ion','eur','ait','ons'], x))) AS s_fr
-          FROM g
+            CAST((len(s) - len(replace(s, 'der', ''))) / 3 +
+              (len(s) - len(replace(s, 'ein', ''))) / 3 +
+              (len(s) - len(replace(s, 'sch', ''))) / 3 +
+              (len(s) - len(replace(s, 'ich', ''))) / 3 +
+              (len(s) - len(replace(s, 'nde', ''))) / 3 +
+              (len(s) - len(replace(s, 'die', ''))) / 3 +
+              (len(s) - len(replace(s, 'che', ''))) / 3 +
+              (len(s) - len(replace(s, 'und', ''))) / 3 AS BIGINT) AS s_de,
+            CAST((len(s) - len(replace(s, 'the', ''))) / 3 +
+              (len(s) - len(replace(s, 'and', ''))) / 3 +
+              (len(s) - len(replace(s, 'ing', ''))) / 3 +
+              (len(s) - len(replace(s, 'ion', ''))) / 3 +
+              (len(s) - len(replace(s, 'ent', ''))) / 3 +
+              (len(s) - len(replace(s, 'her', ''))) / 3 +
+              (len(s) - len(replace(s, 'for', ''))) / 3 +
+              (len(s) - len(replace(s, 'tha', ''))) / 3 AS BIGINT) AS s_en,
+            CAST((len(s) - len(replace(s, 'que', ''))) / 3 +
+              (len(s) - len(replace(s, 'ent', ''))) / 3 +
+              (len(s) - len(replace(s, 'ion', ''))) / 3 +
+              (len(s) - len(replace(s, 'ado', ''))) / 3 +
+              (len(s) - len(replace(s, 'con', ''))) / 3 +
+              (len(s) - len(replace(s, 'sta', ''))) / 3 +
+              (len(s) - len(replace(s, 'cio', ''))) / 3 +
+              (len(s) - len(replace(s, 'los', ''))) / 3 AS BIGINT) AS s_es,
+            CAST((len(s) - len(replace(s, 'ent', ''))) / 3 +
+              (len(s) - len(replace(s, 'les', ''))) / 3 +
+              (len(s) - len(replace(s, 'que', ''))) / 3 +
+              (len(s) - len(replace(s, 'des', ''))) / 3 +
+              (len(s) - len(replace(s, 'ion', ''))) / 3 +
+              (len(s) - len(replace(s, 'eur', ''))) / 3 +
+              (len(s) - len(replace(s, 'ait', ''))) / 3 +
+              (len(s) - len(replace(s, 'ons', ''))) / 3 AS BIGINT) AS s_fr
+          FROM n
         )
         SELECT doc_id,
           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
@@ -3007,7 +3030,7 @@ _ORACLES: dict[str, str] = {
                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
                WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
           END AS lang_pred
-        FROM s
+        FROM sc
     """,
     "tokenize_corpus": r"""
         WITH toks0 AS (

@@ -387,37 +387,34 @@ def with_lang_id_chargram(
     Char n-grams survive unseen vocabulary, concatenations and
     punctuation-heavy text where word markers miss.
 
-    Scale shape identical to ``with_lang_id``: ONE sliding-window gram
-    array per row (inline1 generator — evaluated once, not once per
-    language), per-language counts as generator output attributes, a CASE
-    argmax over plain columns. Pure codegen, zero shuffle.
+    Occurrence counting is NON-overlapping, via the codegen identity
+    ``(length(s) - length(replace(s, t, ''))) div 3`` per trigram — a
+    deliberate trade: the sliding-window formulation (transform +
+    per-language filters) runs in Catalyst's interpreted higher-order
+    evaluator and measured 5-8x slower at sf0.1; 32 native
+    replace/length ops stay inside whole-stage codegen, and overlapping
+    repeats of one trigram carry no extra language signal. The
+    normalized text is let-bound (evaluated once, not once per replace).
+    Zero shuffle; the identical arithmetic runs in the SQL oracle.
     """
     from bigdata_etl_customer360_spark.operators.util import inline1
 
     langs = sorted(profiles)
 
-    def _in(arr):
-        return lambda g: F.array_contains(arr, g)
+    def scores(s: Column) -> Column:
+        def count_of(t: str) -> Column:
+            return (F.length(s) - F.length(F.replace(s, F.lit(t), F.lit("")))) / 3
 
-    def scores(grams):
-        return F.struct(
-            *[
-                F.size(
-                    F.filter(grams, _in(F.array(*[F.lit(t) for t in profiles[lang]])))
-                ).alias(f"_cg_{lang}")
-                for lang in langs
-            ]
-        )
+        fields = []
+        for lang in langs:
+            total = None
+            for t in profiles[lang]:
+                c = count_of(t)
+                total = c if total is None else total + c
+            fields.append(total.cast("long").alias(f"_cg_{lang}"))
+        return F.struct(*fields)
 
-    norm = F.lower(F.trim(F.col(col)))
-    grams = F.when(
-        F.length(norm) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
-            lambda i: F.substring(norm, i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tmp = df.select("*", inline1(grams, scores))
+    tmp = df.select("*", inline1(F.lower(F.trim(F.col(col))), scores))
     best = F.greatest(*[F.col(f"_cg_{lang}") for lang in langs])
     expr = F.when(best == 0, F.lit("unknown"))
     for lang in langs:

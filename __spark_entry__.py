@@ -1683,7 +1683,60 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness artifact records only the
+    # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
+    # queries added after the original 50 were never driver-verified (they are
+    # covered by the identical local DuckDB-oracle gate in
+    # tests/test_queries_oracle.py).  Round 5 rotates the window: the 44
+    # previously-unverified queries come first, then new round-5 queries, then
+    # the 50 already driver-verified in CORRECTNESS_r01..r04.
     return {
+        "ntile_ranks": q_ntile_ranks,
+        "vector_norms": q_vector_norms,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "regional_revenue": q_regional_revenue,
+        "nation_volume": q_nation_volume,
+        "large_orders": q_large_orders,
+        "min_cost_supplier": q_min_cost_supplier,
+        "supplier_cnt": q_supplier_cnt,
+        "supplier_wait": q_supplier_wait,
+        "grouping_sets": q_grouping_sets,
+        "cust_without_orders": q_cust_without_orders,
+        "priority_orders": q_priority_orders,
+        "returnflag_priority": q_returnflag_priority,
+        "promo_revenue": q_promo_revenue,
+        "forecast_revenue": q_forecast_revenue,
+        "cust_order_dist": q_cust_order_dist,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "returned_revenue": q_returned_revenue,
+        "important_stock": q_important_stock,
+        "excess_suppliers": q_excess_suppliers,
+        "merge_upsert": q_merge_upsert,
+        "count_distinct": q_count_distinct,
+        "percentiles": q_percentiles,
+        "approx_count_distinct": q_approx_count_distinct,
+        "scd2_history": q_scd2_history,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "keyword_extract": q_keyword_extract,
+        "data_profile": q_data_profile,
+        "data_quality": q_data_quality,
+        "skew_profile": q_skew_profile,
+        "build_vocab": q_build_vocab,
+        "strip_boilerplate": q_strip_boilerplate,
+        "repeated_ngrams": q_repeated_ngrams,
+        "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
+        "tokenize_corpus": q_tokenize_corpus,
+        "lang_id_chargram": q_lang_id_chargram,
+        "dedup_lines": q_dedup_lines,
+        # --- round-5 additions (inside the driver's 50-entry window) ---
+        # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
         "pivot_agg": q_pivot_agg,
@@ -1734,50 +1787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_sql": q_shipping_priority_sql,
         "moving_avg": q_moving_avg,
         "moving_sum_time": q_moving_sum_time,
-        "ntile_ranks": q_ntile_ranks,
-        "vector_norms": q_vector_norms,
-        "set_intersect": q_set_intersect,
-        "set_except": q_set_except,
-        "regional_revenue": q_regional_revenue,
-        "nation_volume": q_nation_volume,
-        "large_orders": q_large_orders,
-        "min_cost_supplier": q_min_cost_supplier,
-        "supplier_cnt": q_supplier_cnt,
-        "supplier_wait": q_supplier_wait,
-        "grouping_sets": q_grouping_sets,
-        "cust_without_orders": q_cust_without_orders,
-        "priority_orders": q_priority_orders,
-        "returnflag_priority": q_returnflag_priority,
-        "promo_revenue": q_promo_revenue,
-        "forecast_revenue": q_forecast_revenue,
-        "cust_order_dist": q_cust_order_dist,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "returned_revenue": q_returned_revenue,
-        "important_stock": q_important_stock,
-        "excess_suppliers": q_excess_suppliers,
-        "merge_upsert": q_merge_upsert,
-        "count_distinct": q_count_distinct,
-        "percentiles": q_percentiles,
-        "approx_count_distinct": q_approx_count_distinct,
-        "scd2_history": q_scd2_history,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "keyword_extract": q_keyword_extract,
-        "data_profile": q_data_profile,
-        "data_quality": q_data_quality,
-        "skew_profile": q_skew_profile,
-        "build_vocab": q_build_vocab,
-        "strip_boilerplate": q_strip_boilerplate,
-        "repeated_ngrams": q_repeated_ngrams,
-        "weighted_sample": q_weighted_sample,
-        "pagerank": q_pagerank,
-        "tokenize_corpus": q_tokenize_corpus,
-        "lang_id_chargram": q_lang_id_chargram,
-        "dedup_lines": q_dedup_lines,
     }
 
 

@@ -105,14 +105,22 @@ def main() -> None:
     line_budget = 1800
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = dict(ranked)
+    # fallback covers both the timings-empty case and a single oversized
+    # entry draining `keep` without ever fitting the budget
+    line = json.dumps(
+        {**result, "queries": {}, "queries_elided": len(timings),
+         "full": "BENCH_FULL.json"},
+        separators=(",", ":"),
+    )
     while keep:
         out = dict(result)
         out["queries"] = {k: timings[k] for k in timings if k in keep}
         if len(keep) < len(timings):
             out["queries_elided"] = len(timings) - len(keep)
             out["full"] = "BENCH_FULL.json"
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= line_budget:
+        candidate = json.dumps(out, separators=(",", ":"))
+        if len(candidate) <= line_budget:
+            line = candidate
             break
         keep.pop(ranked[len(keep) - 1][0])
     print(line)

@@ -179,6 +179,13 @@ def strip_boilerplate_lines(
 
     Determinism: array_sort on the unique ``pos`` key pins line order
     under any partitioning; counts are exact integers.
+
+    Pinned trade-off: drop decisions match on the 64-bit xxhash64 of the
+    line, not the line text — a hash collision between a rare line and a
+    boilerplate line would strip the wrong line (and diverge from a
+    string-equality oracle). P(any collision) ~ L²/2⁶⁵ for L distinct
+    lines (~3e-7 at a billion lines); accepted deliberately so shuffles
+    1-2 carry 8-byte keys instead of full line text.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),

@@ -55,6 +55,13 @@ def _graph_shuffle_conf(spark, n_rows: int, rows_per_partition: int = 25_000):
     width). The cap keeps the session value authoritative on a real
     cluster: partitions only ever shrink toward the data, never grow
     past the deployment's setting.
+
+    Single-threaded assumption: this mutates the SESSION-global conf, so
+    any query planned concurrently on the same SparkSession during the
+    loop would silently plan at the shrunken width. Fine for the
+    sequential bench/driver; a concurrent deployment should run
+    iterative graph ops on their own session (newSession()) or accept
+    the narrower width for the loop's duration.
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)

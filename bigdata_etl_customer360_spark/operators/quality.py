@@ -46,6 +46,12 @@ def profile_table(
     query uses the exact form).
     """
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows long, n_nulls long, n_distinct long, "
+            "min_val string, max_val string",
+        )
     if not exact_distinct:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
@@ -201,15 +207,20 @@ def skew_profile(
     TakeOrderedAndProject-sized sort, and the 1-row total joins back via
     broadcast — nothing driver-side, nothing all-pairs.
 
-    Determinism: rank orders by (cnt DESC, *keys ASC) — unique per key
-    row, pinned under any partitioning.
+    Determinism: rank orders by (cnt DESC, *keys ASC NULLS LAST) — unique
+    per key row, pinned under any partitioning. NULLS LAST is explicit
+    because Spark's ASC default puts nulls FIRST while ANSI/DuckDB's puts
+    them LAST; a NULL group key tying at the top_k boundary would
+    otherwise rank differently per engine.
     """
     from pyspark.sql import Window
 
     keys = list(keys)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_rows"))
-    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    w = Window.orderBy(
+        F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys]
+    )
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)

@@ -721,6 +721,31 @@ def test_skew_profile_tiebreak_and_partition_independence(spark):
     assert [t[0] for t in sorted(base, key=lambda t: t[2])] == ["a", "b", "c"]
 
 
+def test_skew_profile_null_key_ranks_last_on_tie(spark):
+    """ASC NULLS LAST pin: Spark's ASC default puts NULL first, ANSI's
+    puts it last — a NULL key tying at the boundary must rank after the
+    non-null keys so both engines agree (ADVICE r4)."""
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), ("z",), ("z",)], "k string"
+    )
+    rows = {r["rank"]: r["k"] for r in skew_profile(df, ["k"], top_k=3).collect()}
+    assert rows == {1: "a", 2: "z", 3: None}
+
+
+def test_profile_table_empty_columns_returns_empty_report(spark):
+    from bigdata_etl_customer360_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame([(1,)], "x long")
+    for exact in (True, False):
+        out = profile_table(df, columns=[], exact_distinct=exact)
+        assert out.count() == 0
+        assert out.columns == [
+            "column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+        ]
+
+
 def test_build_vocab_rank_mincount_cap(spark):
     from bigdata_etl_customer360_spark.operators.textstats import build_vocab
 

@@ -440,6 +440,51 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic recall bound for the minhash-LSH scale path, made
+    oracle-checkable: every EXACT near-dup pair with jaccard >= 0.6 must
+    appear among the LSH band candidates (64 hashes / 32 bands — the
+    graded minhash_lsh config). The oracle computes the exact pair set in
+    SQL and asserts found=1 on every row, so an LSH regression (banding
+    bug, hash change, signature truncation) hash-mismatches.
+
+    Honest scope: this pins the S-curve's RIGHT side, where capture is
+    structurally near-certain — P(miss) <= (1-j^2)^32 <= 6.6e-7 at
+    j=0.6, and the corpus' true duplicate pairs all sit at j>=0.8
+    (P(miss) ~ 6e-15). Recall near the 0.1 threshold stays probabilistic
+    and is NOT claimed here (minhash_lsh remains rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.6)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.1, verify=False
+    ).withColumn("_hit", F.lit(1).cast("long"))
+    return (
+        exact.join(cand, on=["id_a", "id_b"], how="left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce(F.col("_hit"), F.lit(0).cast("long")).alias("found"),
+        )
+    )
+
+
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness invariant, oracle-checked: probing ALL cells
+    (nprobe == num_centroids) must reproduce brute-force top-k exactly —
+    the kmeans quantizer only gates candidates, so un-gating everything
+    exercises the full IVF machinery (deterministic sample fit, cell
+    assignment, cell join, candidate dedup, exact rescoring, tie-pinned
+    top-k) against the same SQL oracle as ann_cosine_topk. A bug anywhere
+    in that chain (dropped cell, dup candidate surviving, score drift)
+    hash-mismatches; recall at nprobe < num_centroids remains
+    probabilistic and is NOT claimed (ann_cosine_ivf stays rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, num_centroids=16, nprobe=16
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_brute(emb.filter(F.col("vec_id") < 10), emb, k=5)
@@ -1736,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
         # --- round-5 additions (inside the driver's 50-entry window) ---
+        "minhash_recall": q_minhash_recall,
+        "ivf_full_probe": q_ivf_full_probe,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2112,6 +2159,51 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.05
+    """,
+    "minhash_recall": r"""
+        -- exact ngram-jaccard pairs at >= 0.6 (same construction as the
+        -- ngram_jaccard oracle); found=1 asserts the LSH banding captured
+        -- every one of them (see q_minhash_recall for the probability
+        -- bound that makes this deterministic in practice).
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        )
+        SELECT id_a, id_b, jaccard, CAST(1 AS BIGINT) AS found FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.6
+    """,
+    "ivf_full_probe": """
+        -- identical to the ann_cosine_topk oracle: IVF probing every cell
+        -- must equal brute force (the quantizer only gates candidates).
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(list_sum([q.e[i] * c.e[i] FOR i IN range(1, len(q.e) + 1)]) AS DOUBLE)
+              / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
     """,
     "dedup_cluster": r"""
         -- pairs (same SQL as the ngram_jaccard oracle) -> connected

@@ -23,6 +23,29 @@ from bigdata_etl_customer360_spark.operators.util import fan_out, scoped_cache
 
 QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 
+# Every topk entry point broadcasts the QUERY side (brute/lsh/ivf score
+# joins assume |queries| fits one executor). Misuse with a corpus-sized
+# query frame would OOM a real cluster, so the entry points probe the
+# query count first and refuse past this bound.
+MAX_QUERY_ROWS = 1_000_000
+
+
+def _guard_query_side(queries: DataFrame, max_query_rows: int) -> None:
+    """Refuse a query frame too large to broadcast. The probe is a
+    ``limit(n+1).count()`` — it stops scanning after n+1 rows, so its cost
+    is bounded by the threshold, not the frame (no full count of a
+    corpus-sized input). For corpus x corpus similarity use
+    ``dedup.embedding_cosine_pairs`` (bucketed, nothing broadcast)."""
+    probe = queries.limit(max_query_rows + 1).count()
+    if probe > max_query_rows:
+        raise ValueError(
+            f"query side has more than {max_query_rows} rows; the topk "
+            "operators broadcast the query set and are meant for "
+            "queries << corpus. For corpus-scale pair search use "
+            "embedding_cosine_pairs (mode='lsh'), or raise "
+            "max_query_rows explicitly if the executors can hold it."
+        )
+
 
 def hyperplane_signatures(num_planes: int, num_tables: int, seed: int = 0xC360):
     """Pandas UDF computing all ``num_tables`` random-hyperplane LSH
@@ -80,6 +103,7 @@ def cosine_topk_brute(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine), k rows per
     query, ties broken by neighbor id asc.
@@ -89,6 +113,7 @@ def cosine_topk_brute(
     never shuffled before the (tiny) top-k exchange; at 100 TB with a
     bounded query set this is scan-bound, which is optimal for brute force.
     """
+    _guard_query_side(queries, max_query_rows)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
     ).withColumn("_qn", _norm_sq("_qv"))
@@ -123,6 +148,7 @@ def cosine_topk_lsh(
     num_planes: int = 12,
     num_tables: int = 4,
     exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -136,6 +162,7 @@ def cosine_topk_lsh(
     Scale: corpus signatures are one projection pass; the join shuffles
     on (table, bucket) — bucket sizes ~ n / 2^num_planes keep it local.
     """
+    _guard_query_side(queries, max_query_rows)
     signatures = hyperplane_signatures(num_planes, num_tables)
 
     def with_buckets(df: DataFrame, label: str) -> DataFrame:
@@ -190,6 +217,7 @@ def cosine_topk_ivf(
     sample_size: int = 4096,
     kmeans_iters: int = 8,
     exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse
     quantizer — the other standard ANN scale path next to LSH.
@@ -207,6 +235,7 @@ def cosine_topk_ivf(
     query instead of all of it. Recall rises with nprobe (== brute force
     at nprobe=num_centroids).
     """
+    _guard_query_side(queries, max_query_rows)
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType

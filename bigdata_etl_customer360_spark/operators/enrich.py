@@ -143,6 +143,67 @@ class BatchPromptClassifier:
         return keys.map(lambda k: mapping.get(k, self.fallback))
 
 
+def gemini_transport(
+    model: str = "gemini-2.0-flash",
+    api_key: str | None = None,
+    api_key_env: str = "GEMINI_API_KEY",
+    endpoint: str = (
+        "https://generativelanguage.googleapis.com/v1beta/models/"
+        "{model}:generateContent"
+    ),
+    timeout: float = 30.0,
+    opener: Callable[..., object] | None = None,
+) -> Callable[[str], str]:
+    """Concrete ``transport`` for :class:`BatchPromptClassifier` speaking
+    the public Gemini ``generateContent`` REST protocol — the provider the
+    reference actually calls (ETL_customer_behavior.py:27-28,116), with
+    the credential moved OUT of source: the key comes from ``api_key`` or
+    ``$GEMINI_API_KEY``, and construction fails fast when neither is set.
+
+    Stdlib-only (urllib) so the library adds no dependency; ``opener`` is
+    an injectable ``urlopen``-compatible callable — tests exercise the
+    full request build + response parse offline, and a custom opener is
+    also the hook for proxies/recording. Errors propagate to
+    ``BatchPromptClassifier``, whose retry + "Other" fallback is the
+    policy layer (this function is transport only).
+
+    Executor note: the returned closure is pickled into ``mapInPandas``
+    workers by ``classify_column`` — each executor makes its own HTTPS
+    calls (parallel by partition), which replaces the reference's serial
+    driver-side loop.
+    """
+    import os
+    import urllib.request
+
+    key = api_key if api_key is not None else os.environ.get(api_key_env, "")
+    if not key:
+        raise ValueError(
+            f"no API key: pass api_key or set ${api_key_env} "
+            "(never hardcode credentials in source)"
+        )
+    url = endpoint.format(model=model)
+    do_open = opener if opener is not None else urllib.request.urlopen
+
+    def transport(prompt: str) -> str:
+        body = json.dumps(
+            {"contents": [{"parts": [{"text": prompt}]}]}
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "x-goog-api-key": key,
+            },
+            method="POST",
+        )
+        with do_open(req, timeout=timeout) as resp:  # type: ignore[operator]
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["candidates"][0]["content"]["parts"][0]["text"]
+
+    return transport
+
+
 def classify_column(
     df: DataFrame,
     col: str,

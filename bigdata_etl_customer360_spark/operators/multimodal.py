@@ -3,11 +3,14 @@
 Images/audio/video ride through Spark as binary columns with a metadata
 struct; the engine's job is the plumbing — schema, batch shape,
 partition sizing, Arrow transfer — while the actual codecs are pluggable.
-The decode layer is STUBBED here (no imaging/audio libraries in this
-environment): ``decode_stub=True`` (default) produces deterministic fake
-features from the payload bytes so the full pipeline is testable;
-``decode_stub=False`` raises ``NotImplementedError`` at the point where a
-real codec (PIL/ffmpeg/torchaudio) would be invoked.
+The decode layer is pluggable: ``extract_features`` accepts a real codec
+(``codec="pil"`` / ``codec="auto"`` / an injected ``opener`` callable);
+with none given, ``decode_stub=True`` (default) produces deterministic
+fake features from the payload bytes so the full pipeline is testable in
+this environment (no imaging/audio libraries installed), and
+``decode_stub=False`` raises ``NotImplementedError`` at the plug point
+(``extract_frames`` keeps only the stub — video codecs are a heavier
+dependency than Pillow and stay a documented plug point).
 
 Scale notes: payloads dominate partition size — ``repartition_for_payloads``
 sizes partitions by total bytes, not row count, so a 100 TB image corpus
@@ -75,15 +78,59 @@ def repartition_for_payloads(
     return df.repartition(n)
 
 
-def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+def _pil_opener(payload: bytes) -> tuple[int | None, int | None]:
+    """Real image decode: header-only ``PIL.Image.open`` (lazy — reads
+    dimensions without decoding pixel data). Runs on EXECUTORS; the lazy
+    import keeps the module importable without Pillow. Undecodable
+    payloads yield null dims rather than failing the partition — at crawl
+    scale some fraction of media bytes is always corrupt."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload or b"")) as im:
+            return int(im.width), int(im.height)
+    except Exception:
+        return None, None
+
+
+def extract_features(
+    df: DataFrame,
+    decode_stub: bool = True,
+    codec: str | None = None,
+    opener=None,
+) -> DataFrame:
     """Decode payloads → features via Arrow-batched ``mapInPandas``.
 
-    The stub derives deterministic pseudo-dimensions from the payload
-    hash — the real implementation swaps ONLY the body of ``_decode_one``
-    for a codec call; schema, batching, and partitioning stay identical.
+    Decode resolution, driver-side so failures are immediate and clear:
+    ``opener`` (a ``bytes -> (width|None, height|None)`` callable, shipped
+    to executors inside the pickled closure) wins if given; else
+    ``codec="pil"`` requires Pillow (ImportError here, not a mid-job
+    executor crash), ``codec="auto"`` uses Pillow when importable and
+    otherwise falls back to the stub; with neither, ``decode_stub=True``
+    derives deterministic pseudo-dimensions from the payload hash and
+    ``decode_stub=False`` raises at the plug point. Schema, batching and
+    partitioning are identical on every path — swapping the codec never
+    changes the plan.
     """
+    if opener is None and codec is not None:
+        if codec not in ("pil", "auto"):
+            raise ValueError(f"unknown codec {codec!r}; use 'pil' or 'auto'")
+        try:
+            import PIL.Image  # noqa: F401  (probe only; executors re-import)
 
-    def _decode_one(payload: bytes) -> tuple[int, int]:
+            opener = _pil_opener
+        except ImportError:
+            if codec == "pil":
+                raise ImportError(
+                    "codec='pil' requires Pillow on driver and executors; "
+                    "install it or use codec='auto' for stub fallback"
+                ) from None
+
+    def _decode_one(payload: bytes) -> tuple[int | None, int | None]:
+        if opener is not None:
+            return opener(payload)
         if not decode_stub:
             raise NotImplementedError(
                 "real media decode requires an imaging/audio codec; "
@@ -98,15 +145,18 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             hashes = payloads.map(lambda b: hashlib.sha256(b or b"").hexdigest())
-            dims = payloads.map(_decode_one)
+            dims = [_decode_one(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "n_bytes": pdf["n_bytes"],
                     "sha256": hashes,
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    # nullable Int32: real codecs emit null dims for
+                    # undecodable payloads; Arrow maps it to the same
+                    # IntegerType as the stub's plain int32
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
                 }
             )
 

@@ -5,7 +5,11 @@ from bigdata_etl_customer360_spark.sources.readers import (
 )
 from bigdata_etl_customer360_spark.sources.testdata import TABLES, load_table
 from bigdata_etl_customer360_spark.sources.sinks import write_console, write_jdbc, write_parquet
-from bigdata_etl_customer360_spark.sources.bucketed import co_located_join, write_bucketed
+from bigdata_etl_customer360_spark.sources.bucketed import (
+    co_located_join,
+    read_bucketed,
+    write_bucketed,
+)
 
 __all__ = [
     "date_range_paths",
@@ -17,5 +21,6 @@ __all__ = [
     "write_jdbc",
     "write_parquet",
     "co_located_join",
+    "read_bucketed",
     "write_bucketed",
 ]

@@ -1,4 +1,5 @@
-"""Bucketed tables: pre-shuffled storage for co-located joins.
+"""Bucketed tables: pre-shuffled storage for co-located joins and
+id-keyed pipelines.
 
 Writing a fact table bucketed by its join key hash-partitions the DATA ON
 DISK; any later equi-join between tables bucketed the same way (same key,
@@ -7,6 +8,21 @@ would otherwise pay on every query is paid once at write time. This is the
 standard answer for a 100 TB fact table joined on the same key by many
 recurring queries (the complement of `broadcast` for small dims and
 `salted_join` for skew).
+
+The same property powers the DEDUP LADDER: its shuffles split into
+CONTENT-keyed (shingle / fingerprint / band-hash joins — inherent to the
+algebra, bucketing cannot remove them) and ID-keyed (minhash signature
+build ``groupBy(doc_id)``, the cluster-canonical ``docs ⋈ labels`` corpus
+side, per-doc re-assembly). A corpus written ``bucketBy(doc_id)`` makes
+the scan report ``HashPartitioning(doc_id, n)``, so EnsureRequirements
+drops the Exchange in front of every id-keyed stage that consumes the
+scan through narrow transformations — one corpus-wide shuffle paid at
+write time, amortized across exact-dedup -> near-dup -> cluster runs that
+would otherwise each re-shuffle the corpus. Pick ``buckets`` >= cluster
+parallelism — that also keeps :func:`operators.util.fan_out` a no-op so
+the bucketing survives into the operators. The session catalog (in-memory
+here, a real metastore in production) carries the bucket metadata;
+reading the same parquet by PATH loses it.
 """
 
 from __future__ import annotations
@@ -21,18 +37,34 @@ def write_bucketed(
     buckets: int = 16,
     sort_cols: list[str] | str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (optionally sort-within-bucket) parquet table
     in the session catalog. ``sort_cols`` additionally pre-sorts each
-    bucket file so a sort-merge join skips its sort too."""
+    bucket file so a sort-merge join skips its sort too. ``path`` makes
+    the table external (data at ``path``, metadata in the catalog) — for
+    overwrites the existing table is dropped first, since saveAsTable
+    refuses to re-point an external table at a new location (keeps
+    bench/driver re-runs with fresh scratch dirs idempotent)."""
     if isinstance(bucket_cols, str):
         bucket_cols = [bucket_cols]
+    if path is not None and mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
     if sort_cols:
         if isinstance(sort_cols, str):
             sort_cols = [sort_cols]
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table through the catalog (a PATH read of the same
+    files would silently drop the bucket metadata and re-introduce the
+    Exchanges bucketing exists to remove)."""
+    return spark.table(table)
 
 
 def co_located_join(

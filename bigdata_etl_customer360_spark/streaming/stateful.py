@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -169,3 +170,177 @@ def sessionize_batch(
         .drop("_session_id")
     )
 
+
+
+# --------------------------------------------------------------------------
+# stream-stream as-of join
+# --------------------------------------------------------------------------
+
+ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ts_asof", TimestampType()),
+        StructField("value_asof", DoubleType()),
+    ]
+)
+
+_ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("l_ts", ArrayType(LongType())),
+        StructField("l_v", ArrayType(DoubleType())),
+        StructField("r_ts", ArrayType(LongType())),
+        StructField("r_v", ArrayType(DoubleType())),
+    ]
+)
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_value: str = "value",
+    right_value: str = "value",
+    tolerance_seconds: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream BACKWARD AS-OF join: for every left event, the latest
+    right event of the same key with ``right_ts <= left_ts`` (optionally
+    within ``tolerance_seconds``), emitted once the event-time watermark
+    guarantees no earlier right row can still arrive. Unmatched lefts
+    emit with null as-of columns (left-outer, same as the batch twin
+    ``operators.temporal.asof_join``, which the equivalence test pins).
+
+    Why custom state: Spark's stream-stream join supports RANGE conditions
+    (``stream_stream_join``) but not "latest prior row" — that needs an
+    order-dependent pick inside the match window. Both streams are tagged
+    and unioned (one watermark governs both), then
+    ``applyInPandasWithState`` buffers per key:
+
+    - pending LEFT rows, held until ``watermark >= left_ts`` (only then is
+      the right side complete below ``left_ts``), then matched + emitted;
+    - RIGHT rows, evicted once they can no longer be the latest-prior for
+      any future left: everything strictly older than the newest right at
+      or below ``min(watermark, oldest pending left ts)`` is dropped (with
+      a tolerance, anything older than ``cutoff - tolerance``).
+
+    State is therefore O(in-flight window), not O(stream) — the same
+    watermark-bounded-state property as the built-in interval join. An
+    event-time timeout flushes pending lefts for keys that go quiet (the
+    watermark advances globally; without the timeout a key with no new
+    rows would hold its lefts forever).
+
+    Tie semantics match the batch twin bit-for-bit: a right row AT the
+    left's timestamp matches (inclusive), and equal-timestamp right rows
+    resolve to the greatest (ts, value) tuple.
+
+    Fixed schema (LongType key / DoubleType values) like ``sessionize`` —
+    the generic-payload version is a struct-valued buffer with identical
+    mechanics.
+    """
+    tol_us = None if tolerance_seconds is None else int(tolerance_seconds) * _US
+
+    def _flush(lefts, rights, wm_us):
+        """Split (emit_rows, still_pending) and evict dead rights."""
+        lefts.sort()
+        rights.sort()
+        out, pending = [], []
+        for lt, lv in lefts:
+            if lt > wm_us:
+                pending.append((lt, lv))
+                continue
+            hit = None
+            for rt, rv in rights:  # buffers are tolerance-bounded: short
+                if rt <= lt and (tol_us is None or rt >= lt - tol_us):
+                    hit = (rt, rv)  # sorted asc -> ends at the greatest
+                elif rt > lt:
+                    break
+            out.append((lt, lv) + (hit or (None, None)))
+        cutoff = min([wm_us] + [lt for lt, _ in pending])
+        last_before = None
+        for rt, _ in rights:
+            if rt <= cutoff:
+                last_before = rt
+            else:
+                break
+        keep_from = cutoff - tol_us if tol_us is not None else (
+            last_before if last_before is not None else cutoff
+        )
+        rights = [r for r in rights if r[0] >= keep_from]
+        return out, pending, rights
+
+    def _emit(key, rows):
+        return pd.DataFrame(
+            {
+                "user_id": [key] * len(rows),
+                "ts": [pd.Timestamp(t, unit="us") for t, *_ in rows],
+                "value": [v for _, v, *_ in rows],
+                "ts_asof": [
+                    pd.Timestamp(rt, unit="us") if rt is not None else pd.NaT
+                    for _, _, rt, _ in rows
+                ],
+                "value_asof": [rv for *_, rv in rows],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            l_ts, l_v, r_ts, r_v = state.get
+            lefts = list(zip(l_ts, l_v))
+            rights = list(zip(r_ts, r_v))
+        else:
+            lefts, rights = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = pdf["_ts"].astype("int64") // 1000
+                for t, v, side in zip(ts_us, pdf["_v"], pdf["_side"]):
+                    if side == 1:
+                        lefts.append((int(t), float(v)))
+                    else:
+                        rights.append((int(t), float(v)))
+
+        out, pending, rights = _flush(lefts, rights, wm_us)
+        if pending or rights:
+            state.update((
+                [t for t, _ in pending], [v for _, v in pending],
+                [t for t, _ in rights], [v for _, v in rights],
+            ))
+            if pending:
+                # fire as soon as the watermark passes the oldest pending
+                # left (must stay strictly above the current watermark)
+                state.setTimeoutTimestamp(
+                    max(min(t for t, _ in pending) // 1000, wm_us // 1000) + 1
+                )
+        else:
+            state.remove()
+        if out:
+            yield _emit(user, out)
+
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.col(left_value).cast("double").alias("_v"),
+        F.lit(1).alias("_side"),
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_value).cast("double").alias("_v"),
+        F.lit(0).alias("_side"),
+    )
+    unioned = tagged_l.unionByName(tagged_r).withWatermark("_ts", watermark)
+    return unioned.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -134,6 +134,45 @@ def test_batch_prompt_classifier_fallbacks():
     assert len(calls) == 2  # one failed call + one retry
 
 
+def test_gemini_transport_request_shape_and_parse():
+    """The concrete HTTP adapter, exercised offline via an injected
+    urlopen-compatible opener: request build (URL, auth header, JSON
+    body), response parse, and end-to-end use as a
+    BatchPromptClassifier transport."""
+    import contextlib
+    import io
+    import json as _json
+
+    import pandas as pd
+    import pytest
+
+    from bigdata_etl_customer360_spark.operators.enrich import gemini_transport
+
+    seen = {}
+
+    def fake_opener(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["key"] = req.get_header("X-goog-api-key")
+        seen["body"] = _json.loads(req.data.decode("utf-8"))
+        prompt = seen["body"]["contents"][0]["parts"][0]["text"]
+        items = _json.loads(prompt[prompt.index("Items: ") + 7:])
+        reply = _json.dumps({k: "Sports" for k in items})
+        payload = _json.dumps(
+            {"candidates": [{"content": {"parts": [{"text": reply}]}}]}
+        ).encode("utf-8")
+        return contextlib.closing(io.BytesIO(payload))
+
+    t = gemini_transport(model="gemini-2.0-flash", api_key="k123", opener=fake_opener)
+    c = BatchPromptClassifier(t, labels=["Sports", "News"])
+    out = c.classify_batch(pd.Series(["football", None]))
+    assert out.tolist() == ["Sports", "Other"]
+    assert seen["url"].endswith("models/gemini-2.0-flash:generateContent")
+    assert seen["key"] == "k123"
+
+    with pytest.raises(ValueError, match="API key"):
+        gemini_transport(api_key_env="C360_NO_SUCH_KEY_ENV")
+
+
 def test_classify_column_null_keys_get_fallback(spark):
     df = spark.createDataFrame([("stream wars", 1), (None, 2)], ["text", "id"])
     c = RuleClassifier({"S": ["stream"]}, fallback="Other")
@@ -281,6 +320,49 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = binarize_text(_docs_df(spark))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_injected_opener_and_codec_resolution(spark):
+    """The codec plug point: an injected opener rides the pickled closure
+    to executors (same schema/plan as the stub, incl. null dims for
+    undecodable payloads); codec='pil' fails fast on the driver when
+    Pillow is absent; codec='auto' falls back to the stub."""
+    media = binarize_text(_docs_df(spark))
+
+    def opener(payload: bytes):
+        if payload and payload[0] == 0:  # "corrupt" probe
+            return None, None
+        return len(payload or b""), 7
+
+    feats = {r["media_id"]: r for r in extract_features(media, opener=opener).collect()}
+    for r in feats.values():
+        assert r["width"] == r["n_bytes"] and r["height"] == 7
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            extract_features(media, codec="pil")
+        # auto falls back to the stub silently
+        auto = {r["media_id"]: r for r in extract_features(media, codec="auto").collect()}
+        stub = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert {k: (v["width"], v["height"]) for k, v in auto.items()} == {
+            k: (v["width"], v["height"]) for k, v in stub.items()
+        }
+    with pytest.raises(ValueError, match="unknown codec"):
+        extract_features(media, codec="ffmpeg")
+
+
+def test_multimodal_opener_null_dims_survive_schema(spark):
+    media = binarize_text(_docs_df(spark))
+    rows = extract_features(media, opener=lambda b: (None, None)).collect()
+    assert len(rows) == 4 and all(
+        r["width"] is None and r["height"] is None for r in rows
+    )
 
 
 # --- salted join / embedding dedup ------------------------------------------

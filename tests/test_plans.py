@@ -11,6 +11,7 @@ import io
 import pytest
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
@@ -47,6 +48,50 @@ def test_token_count_column_pruning(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "doc_id" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_bucketed_corpus_feeds_dedup_ladder_without_id_exchanges(spark, tmp_path):
+    """The dedup ladder's id-keyed stages must consume a doc_id-bucketed
+    corpus without re-shuffling it: the write-time bucket shuffle is paid
+    once and reused. Content-keyed exchanges (shingle / band-hash joins)
+    are inherent and stay; measured here as a strict Exchange-count drop
+    plus a hard zero on the pure groupBy(doc_id) stage, with bit-identical
+    results from both inputs."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from bigdata_etl_customer360_spark.operators.graph import keep_cluster_canonical
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    write_bucketed(
+        docs, "docs_ladder_b", "doc_id", buckets=8, path=str(tmp_path / "docs_b")
+    )
+    try:
+        docs_b = read_bucketed(spark, "docs_ladder_b")
+
+        def n_exchanges(df):
+            return plan_of(df).count("Exchange")
+
+        agg_b = docs_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        assert n_exchanges(agg_b) == 0, "bucketed groupBy(doc_id) must not shuffle"
+
+        mh = lambda d: minhash_lsh_pairs(d, num_hashes=16, bands=8, verify=False)
+        assert n_exchanges(mh(docs_b)) < n_exchanges(mh(docs))
+
+        lad = lambda d: keep_cluster_canonical(
+            d, ngram_jaccard_pairs(d, threshold=0.3)
+        )
+        plain = sorted(r["doc_id"] for r in lad(docs).select("doc_id").collect())
+        bucketed = sorted(r["doc_id"] for r in lad(docs_b).select("doc_id").collect())
+        assert plain == bucketed and len(plain) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_ladder_b")
 
 
 def test_brute_ann_broadcasts_queries(spark):

@@ -323,8 +323,10 @@ def test_event_sourced_upsert_stream_appends_latest_wins(spark, tmp_path):
     q.awaitTermination()
 
     snapshot = top_k_per_group(
+        # StructType.add mutates in place — build a copy so the shared
+        # module-level EVENT_SCHEMA stays 3 fields for later tests
         spark.read.schema(
-            EVENT_SCHEMA.add("batch_seq", LongType())
+            StructType(EVENT_SCHEMA.fields + [StructField("batch_seq", LongType())])
         ).parquet(lake),
         ["user_id"],
         [F.col("batch_seq").desc()],
@@ -343,3 +345,93 @@ def test_event_sourced_upsert_stream_appends_latest_wins(spark, tmp_path):
         map(tuple, expected.collect())
     )
 
+
+
+def test_asof_join_stream_equals_batch(spark, tmp_path):
+    """Drained stream-stream as-of join == batch asof_join, including the
+    inclusive-at-equal-ts and greatest-payload tie pins and left-outer
+    nulls for match-less lefts."""
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+    from bigdata_etl_customer360_spark.streaming.stateful import asof_join_stream
+
+    left_rows = [
+        (1, "2022-01-01 10:00:00", 1.0),
+        (1, "2022-01-01 10:05:00", 2.0),
+        (1, "2022-01-01 10:30:00", 3.0),
+        (2, "2022-01-01 09:00:00", 10.0),  # no right rows at all
+    ]
+    right_rows = [
+        (1, "2022-01-01 09:59:00", 10.0),
+        (1, "2022-01-01 10:05:00", 20.0),
+        (1, "2022-01-01 10:05:00", 21.0),  # equal-ts tie -> greatest value
+        (1, "2022-01-01 10:20:00", 30.0),
+    ]
+    ld = tmp_path / "asof_l"; ld.mkdir()
+    rd = tmp_path / "asof_r"; rd.mkdir()
+    _write_events(str(ld / "a_main.parquet"), left_rows)
+    _write_events(str(rd / "a_main.parquet"), right_rows)
+    time.sleep(0.05)
+    _write_events(str(ld / "b_flush.parquet"), FLUSH_ROWS)
+    os.utime(ld / "b_flush.parquet", (time.time() + 5, time.time() + 5))
+
+    joined = asof_join_stream(
+        stream_from_parquet(spark, str(ld), EVENT_SCHEMA, max_files_per_trigger=1),
+        stream_from_parquet(spark, str(rd), EVENT_SCHEMA, max_files_per_trigger=1),
+        watermark="0 seconds",
+    )
+    got = (
+        run_available_now(joined, "t_asof", checkpoint_dir=str(tmp_path / "ckpt_a"))
+        .filter(F.col("user_id") != 99)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    lb = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in left_rows], EVENT_SCHEMA
+    )
+    rb = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in right_rows], EVENT_SCHEMA
+    )
+    want = (
+        asof_join(lb, rb, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"])
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 4
+    for col in ("user_id", "ts", "value", "ts_asof", "value_asof"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_dtype=False, obj=col
+        )
+
+
+def test_asof_join_stream_tolerance_bounds_lookback(spark, tmp_path):
+    """With a tolerance, a right row older than the window must NOT match
+    (and the state buffer evicts it) — left emits with null as-of."""
+    from bigdata_etl_customer360_spark.streaming.stateful import asof_join_stream
+
+    left_rows = [(1, "2022-01-01 10:30:00", 3.0)]
+    right_rows = [(1, "2022-01-01 10:00:00", 30.0)]  # 1800s before the left
+    ld = tmp_path / "tol_l"; ld.mkdir()
+    rd = tmp_path / "tol_r"; rd.mkdir()
+    _write_events(str(ld / "a_main.parquet"), left_rows)
+    _write_events(str(rd / "a_main.parquet"), right_rows)
+    time.sleep(0.05)
+    _write_events(str(ld / "b_flush.parquet"), FLUSH_ROWS)
+    os.utime(ld / "b_flush.parquet", (time.time() + 5, time.time() + 5))
+
+    joined = asof_join_stream(
+        stream_from_parquet(spark, str(ld), EVENT_SCHEMA, max_files_per_trigger=1),
+        stream_from_parquet(spark, str(rd), EVENT_SCHEMA, max_files_per_trigger=1),
+        tolerance_seconds=600,
+        watermark="0 seconds",
+    )
+    got = (
+        run_available_now(joined, "t_asof_tol", checkpoint_dir=str(tmp_path / "ckpt_tol"))
+        .filter(F.col("user_id") != 99)
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["value"] == 3.0
+    assert got[0]["ts_asof"] is None and got[0]["value_asof"] is None

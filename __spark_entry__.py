@@ -1763,6 +1763,120 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(docs, id_col="doc_id", text_col="text", k=5, max_df=300)
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90-day trailing spend per customer: RANGE-frame window over event
+    time (operators/temporal.rolling_window) — one shuffle, sliding
+    two-pointer evaluation, DECIMAL sum for bit determinism."""
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_window
+
+    o = _t(spark, sf_dir, "orders")
+    w = rolling_window(["o_custkey"], "o_orderdate", 90 * 86400)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+def q_shipment_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: shipments in transit over time, modeling
+    each lineitem as a [shipdate, shipdate+14d) interval. Exercises the
+    KEYLESS distributed prefix-sum path (operators/temporal.
+    interval_concurrency) — no single-reducer global window."""
+    from bigdata_etl_customer360_spark.operators.temporal import interval_concurrency
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    return interval_concurrency(li, "s", "e")
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to a same-user click in the preceding hour:
+    grid-binned point-in-interval join (operators/temporal.range_join) —
+    equi-join on (user, hour-bin), never BroadcastNestedLoopJoin."""
+    from bigdata_etl_customer360_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("c_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    out = range_join(
+        purchases, clicks, "p_ts", "c_ts", "c_end", keys=["user_id"], bin_seconds=3600
+    )
+    return out.select("user_id", "click_id", "purchase_id", "c_ts", "p_ts")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (operators/temporal.transition_counts): lag window + tiny hash agg;
+    output is |event_types|^2 rows regardless of input size."""
+    from bigdata_etl_customer360_spark.operators.temporal import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily grid with zero-filled gaps (operators/
+    temporal.resample_timeseries): agg to grid first, then sequence+
+    explode the spine — everything after the first shuffle is grid-sized."""
+    from bigdata_etl_customer360_spark.operators.temporal import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_timeseries(
+        ev, ["event_type"], "ts", 86400, value_col="value", value_decimal="decimal(27,2)"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "fr": 0.15, "de": 0.1, "es": 0.05}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix downsample to target language proportions (operators/
+    sampling.mixture_sample): rates derived in-plan from per-domain
+    counts, md5-deterministic row coins, map-only filter."""
+    from bigdata_etl_customer360_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "lang", _MIX_WEIGHTS, id_col="doc_id", salt="c360mix")
+    return out.select("doc_id", "lang")
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-source train/val/test split (operators/sampling.
+    stratified_split): md5-ranked row_number against floor(f*n)
+    boundaries — every stratum splits to exact integers."""
+    from bigdata_etl_customer360_spark.operators.sampling import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split(docs, ["source"], (0.8, 0.1, 0.1), id_col="doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations from exact DECIMAL moments
+    (operators/quality.corr_matrix): one global aggregate, pair rows via
+    explode, bit-deterministic double finale."""
+    from bigdata_etl_customer360_spark.operators.quality import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"], scale=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -1820,6 +1934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
+        # round-5 additions (first 3 land inside the driver's 50-entry
+        # window; the rest are local-gate-covered and rotate in next round)
+        "rolling_revenue": q_rolling_revenue,
+        "shipment_concurrency": q_shipment_concurrency,
+        "click_attribution": q_click_attribution,
+        "event_transitions": q_event_transitions,
+        "daily_resample": q_daily_resample,
+        "mixture_sample": q_mixture_sample,
+        "stratified_split": q_stratified_split,
+        "corr_matrix": q_corr_matrix,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2314,6 +2438,145 @@ _ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.lang, d.source
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    """,
+    "rolling_revenue": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_90d,
+          COUNT(*) OVER w AS n_orders_90d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                     RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+    """,
+    "shipment_concurrency": """
+        WITH d AS (
+          SELECT l_shipdate AS ts, 1 AS delta FROM lineitem
+          UNION ALL
+          SELECT l_shipdate + INTERVAL 14 DAY, -1 FROM lineitem
+        ), net AS (
+          SELECT ts, CAST(SUM(delta) AS BIGINT) AS net_change FROM d GROUP BY ts
+        )
+        SELECT ts, net_change,
+          CAST(SUM(net_change) OVER (ORDER BY ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+        FROM net
+    """,
+    "click_attribution": """
+        SELECT c.user_id AS user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id, c.ts AS c_ts, p.ts AS p_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    """,
+    "event_transitions": """
+        WITH lagged AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS prev_state,
+                 event_type AS state
+          FROM events
+        ), c AS (
+          SELECT prev_state, state, COUNT(*) AS n FROM lagged GROUP BY prev_state, state
+        )
+        SELECT prev_state, state, n,
+               n / SUM(n) OVER (PARTITION BY prev_state) AS p
+        FROM c
+    """,
+    "daily_resample": """
+        WITH cellagg AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS cs,
+                 COUNT(*) AS n_rows,
+                 SUM(CAST(value AS DECIMAL(27,2))) AS vsum
+          FROM events GROUP BY event_type, cs
+        ), span AS (
+          SELECT event_type, MIN(cs) AS a, MAX(cs) AS b FROM cellagg GROUP BY event_type
+        ), spine AS (
+          SELECT event_type, UNNEST(generate_series(a, b, 86400)) AS cs FROM span
+        )
+        SELECT s.event_type AS event_type,
+               make_timestamp(s.cs * 1000000) AS cell,
+               COALESCE(c.n_rows, 0) AS n_rows,
+               CAST(COALESCE(c.vsum, 0) AS DOUBLE) AS val_sum
+        FROM spine s LEFT JOIN cellagg c
+          ON s.event_type = c.event_type AND s.cs = c.cs
+    """,
+    "mixture_sample": """
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), caps AS (
+          SELECT c.lang, c.n, w.w
+          FROM counts c
+          JOIN (VALUES ('en', 0.5), ('zh', 0.2), ('fr', 0.15),
+                       ('de', 0.1), ('es', 0.05)) AS w(lang, w)
+            ON c.lang = w.lang
+        ), tmax AS (
+          SELECT MIN(n / w) AS t FROM caps
+        ), rates AS (
+          SELECT lang,
+            CAST(FLOOR(GREATEST(0.0, LEAST(1.0, w * t / n)) * 1000000) AS BIGINT) AS q
+          FROM caps, tmax
+        )
+        SELECT d.doc_id AS doc_id, d.lang AS lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substring(md5('c360mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              * 1000000 < r.q * 4294967296
+    """,
+    "stratified_split": """
+        SELECT doc_id, source,
+          CASE WHEN rn <= FLOOR(0.8 * n) THEN 'train'
+               WHEN rn <= FLOOR(0.9 * n) THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5('c360split' || CAST(doc_id AS VARCHAR)) ASC,
+                       doc_id ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        )
+    """,
+    "corr_matrix": """
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_e,
+            SUM(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_qq,
+            SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_ee,
+            SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_dd,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_qe,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_qd,
+            SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS p_ed
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL
+        ), md AS (
+          SELECT CAST(n AS DOUBLE) AS nd, n,
+            CAST(s_q AS DOUBLE) AS sq, CAST(s_e AS DOUBLE) AS se,
+            CAST(s_d AS DOUBLE) AS sd,
+            CAST(p_qq AS DOUBLE) AS qq, CAST(p_ee AS DOUBLE) AS ee,
+            CAST(p_dd AS DOUBLE) AS dd, CAST(p_qe AS DOUBLE) AS qe,
+            CAST(p_qd AS DOUBLE) AS qd, CAST(p_ed AS DOUBLE) AS ed
+          FROM m
+        )
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+               (nd * qe - sq * se) / SQRT((nd * qq - sq * sq) * (nd * ee - se * se)) AS corr
+        FROM md
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n,
+               (nd * qd - sq * sd) / SQRT((nd * qq - sq * sq) * (nd * dd - sd * sd))
+        FROM md
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n,
+               (nd * ed - se * sd) / SQRT((nd * ee - se * se) * (nd * dd - sd * sd))
+        FROM md
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

@@ -233,3 +233,81 @@ def skew_profile(
             F.expr("cnt * 10000 div total_rows").alias("share_bp"),
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    columns: Sequence[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Pearson correlation for every unordered column pair, computed from
+    EXACT decimal moments so the result is bit-deterministic (the built-in
+    ``corr`` aggregates doubles in partition order — reruns drift in the
+    last bits; this one never does).
+
+    Each input is cast to DECIMAL(18, scale) — the caller asserts the
+    column is exactly representable at that scale (prices/quantities/
+    rates; NOT free doubles) — then n, Σx and Σxy accumulate as exact
+    decimals in ONE map-side-combined aggregate over k + k(k+1)/2
+    products. The final
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵉ) · (n·Σy² − Σy²ᵉ))
+
+    is a fixed-shape double expression over those exact values, so every
+    engine computing the same formula gets the identical bits (the
+    same formula is what the oracle runs). Rows with a NULL in any
+    profiled column are excluded (pairwise-complete == listwise here,
+    keeping one shared n).
+
+    Plan: a single global aggregate (partial per partition, one-row
+    final) + a driver-free explode of the pair array — output is
+    k(k-1)/2 rows regardless of input size. Zero joins, zero windows.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    pred = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    clean = df.filter(pred)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(F.col(c).cast(dec_in)).alias(f"_s_{c}") for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast(dec_in) * F.col(b).cast(dec_in)).cast(dec_prod)
+                ).alias(f"_p_{a}_{b}")
+            )
+    m = clean.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        return (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    _corr(a, b).alias("corr"),
+                )
+                for i, a in enumerate(cols)
+                for b in cols[i + 1 :]
+            ]
+        )
+    ).alias("_pr")
+    return m.select(F.col("_n").alias("n"), pairs).select(
+        "_pr.col_x", "_pr.col_y", "n", "_pr.corr"
+    )

@@ -77,3 +77,110 @@ def weighted_sample(
         * F.lit(scale)
     ).cast("bigint")
     return df.filter(u * F.lit(scale) < q * F.lit(4294967296))
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "c360mix",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Domain-mixture downsampling: pick rows so the output composition
+    approaches the target ``weights`` (the Pile/LLaMA-style per-source
+    training-mix step: "50% web, 20% code, ..."), keeping the mixture as
+    LARGE as the data allows without upsampling.
+
+    Mechanism: with per-domain counts n_i and target fractions w_i, the
+    largest achievable total is T = min_i(n_i / w_i); domain i keeps rows
+    at rate r_i = clamp(w_i * T / n_i, 0, 1) — the scarcest domain is
+    consumed whole and every other domain thins to match. Domains absent
+    from ``weights`` are DROPPED (an explicit mix is a whitelist). The
+    per-row coin reuses :func:`weighted_sample`'s engine-portable
+    md5/BIGINT contract (quantized to 1/scale), so the exact row set is
+    reproducible on any engine/partitioning — expected counts are hit in
+    distribution, not exactly (rate-based, not rank-based, so membership
+    is per-row stable and appending one domain's data never reshuffles
+    another's sample).
+
+    Plan: domain counts = one map-side-combined hash agg whose output is
+    |domains| rows; rates derive in-plan (broadcast the tiny counts x
+    weights frame both times) and the filter itself is map-only against
+    the broadcast rates — the big table is read once for counting, once
+    for filtering, with no wide shuffle anywhere.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in weights.items()],
+        schema=f"{domain_col} string, _w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    caps = counts.join(F.broadcast(wdf), on=domain_col, how="inner")
+    t_max = caps.select(F.min(F.col("_n") / F.col("_w")).alias("_T"))
+    rates = caps.crossJoin(F.broadcast(t_max)).select(
+        domain_col,
+        F.floor(
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_n")),
+            )
+            * F.lit(scale)
+        )
+        .cast("bigint")
+        .alias("_q"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), on=domain_col, how="inner")
+        .filter(u * F.lit(scale) < F.col("_q") * F.lit(4294967296))
+        .drop("_q")
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata: list[str],
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    salt: str = "c360split",
+    labels: tuple[str, str, str] = ("train", "val", "test"),
+    out_col: str = "split",
+) -> DataFrame:
+    """Exact-count stratified train/val/test assignment: within every
+    stratum, rows are ranked by ``md5(salt || id)`` (a deterministic
+    shuffle) and the first ``floor(f_train*n)`` go to train, the next
+    ``floor((f_train+f_val)*n) - floor(f_train*n)`` to val, the rest to
+    test — so every stratum's split sizes are exact integers, unlike
+    rate-based hash splits whose per-stratum counts drift binomially
+    (`textstats.with_hash_split` is the rate-based sibling: append-stable
+    but inexact; this one is exact but rank-based, so appending rows can
+    reassign earlier ones).
+
+    Determinism: rank order is (md5 hex ASC, id ASC) — a total order with
+    an engine-portable string compare; the boundary arithmetic is the
+    IEEE double ``floor(f * n)`` evaluated identically by any engine.
+
+    Plan: ONE hash shuffle on the strata (window rank + count); the md5
+    ranking key computes map-side. Skew = stratum size, same as any
+    per-group window.
+    """
+    f_train, f_val, _ = fractions
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(*strata)
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    b1 = F.floor(F.lit(float(f_train)) * n)
+    b2 = F.floor(F.lit(float(f_train + f_val)) * n)
+    return df.select(
+        "*",
+        F.when(rn <= b1, F.lit(labels[0]))
+        .when(rn <= b2, F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+        .alias(out_col),
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,3 +138,309 @@ def scd2_history(
         nxt.alias(effective_to),
         nxt.isNull().alias(current_flag),
     )
+
+
+def _epoch_s(col: str) -> Column:
+    """Epoch seconds for TIMESTAMP *or* TIMESTAMP_NTZ columns: NTZ casts
+    to BIGINT only via TIMESTAMP, which re-interprets wall time in the
+    session timezone — pinned to UTC engine-wide (session.py), so this
+    matches DuckDB's epoch() on naive timestamps."""
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def rolling_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    trailing_seconds: int | None,
+    aggs: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Event-time rolling aggregates: each row gets every ``(name, agg)``
+    in ``aggs`` evaluated over its key's rows inside the trailing time
+    window ending at the row (see :func:`rolling_window` for frame
+    semantics and the scale notes)."""
+    w = rolling_window(keys, ts, trailing_seconds)
+    return df.select("*", *[a.over(w).alias(n) for n, a in aggs])
+
+
+def rolling_window(
+    keys: Sequence[str],
+    ts: str,
+    trailing_seconds: int | None,
+) -> Window:
+    """RANGE-frame window over event time: partition by ``keys``, order by
+    ``ts`` as epoch seconds, frame = [now - trailing_seconds, now]
+    (inclusive both ends — equal-timestamp peers are all in-frame, which
+    is what makes the result independent of intra-timestamp row order and
+    therefore deterministic and oracle-checkable; ANSI ``RANGE BETWEEN
+    INTERVAL x PRECEDING AND CURRENT ROW`` has the same peer semantics).
+
+    Scale: ONE hash shuffle on ``keys`` + an in-partition sort — the same
+    cost as any windowed aggregate. Spark evaluates RANGE frames with a
+    sliding two-pointer over the sorted partition, so state is O(window
+    rows), not O(partition). Skewed keys concentrate on one reducer like
+    any per-key window; pre-aggregate to a coarser tick (e.g. daily) first
+    when per-key row counts are extreme.
+
+    ``trailing_seconds=None`` means unbounded preceding (cumulative).
+    """
+    order = _epoch_s(ts)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order)
+    if trailing_seconds is None:
+        return w.rangeBetween(Window.unboundedPreceding, 0)
+    return w.rangeBetween(-int(trailing_seconds), 0)
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    out_ts: str = "ts",
+    out_net: str = "net_change",
+    out_open: str = "n_open",
+) -> DataFrame:
+    """Sweep-line concurrency profile: for every boundary instant, how many
+    intervals ``[start, end)`` are open at/after that instant. The classic
+    "concurrent sessions / in-flight shipments over time" query.
+
+    Plan (the O(n log n) shape, vs the naive self-join's O(n^2) pairs):
+
+        +1 at each start, -1 at each end            [map-only union]
+        groupBy (keys, ts): SUM(delta) -> net       [ONE shuffle; collapses
+                                                     ties so the running sum
+                                                     has no order ambiguity]
+        running SUM(net) over (keys, ts ASC)        [window]
+
+    With ``keys`` the window is per-key — ordinary windowed-agg cost.
+    KEYLESS, a global running sum would naively serialize into a single
+    reducer; here it is a distributed prefix sum instead: range-partition
+    the collapsed boundaries by ts, cumsum within each range partition,
+    then add per-partition offsets (an exclusive scan over the tiny
+    per-partition totals, computed driver-side from at most
+    #partitions rows and broadcast back). Two boundary rows per interval
+    and the collapsed distinct-ts frame is what flows — at 100 TB the
+    heavy input is reduced to |distinct boundaries| before any sort.
+
+    Half-open semantics: an interval ending at t is NOT open at t (its -1
+    applies at t). Deterministic: after the groupBy, (keys, ts) is unique,
+    so the running sum is order-free.
+    """
+    kcols = list(keys)
+    starts = df.select(
+        *kcols, F.col(start_col).alias(out_ts), F.lit(1).cast("bigint").alias("_d")
+    )
+    ends = df.select(
+        *kcols, F.col(end_col).alias(out_ts), F.lit(-1).cast("bigint").alias("_d")
+    )
+    net = (
+        starts.unionAll(ends)
+        .groupBy(*kcols, out_ts)
+        .agg(F.sum("_d").alias(out_net))
+    )
+    if kcols:
+        w = (
+            Window.partitionBy(*kcols)
+            .orderBy(F.col(out_ts).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return net.select(*kcols, out_ts, out_net, F.sum(out_net).over(w).alias(out_open))
+
+    # keyless: distributed prefix sum over range partitions
+    spark = df.sparkSession
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 1)
+    binned = net.repartitionByRange(npart, F.col(out_ts)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    binned = binned.localCheckpoint(eager=True)  # pin partition ids for the two consumers
+    totals = {
+        r["_pid"]: r["t"]
+        for r in binned.groupBy("_pid").agg(F.sum(out_net).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(out_ts).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return binned.select(
+        out_ts,
+        out_net,
+        (F.sum(out_net).over(w) + off_expr).cast("bigint").alias(out_open),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    bin_seconds: int = 86400,
+    max_bins_per_interval: int = 1000,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``), optionally with
+    equi-keys — the batch twin of streaming/sources' interval join and the
+    general form behind "which campaign window / validity period does this
+    event fall in".
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin (or a
+    cartesian) — O(|P|*|I|) compares and a broadcast of a whole side;
+    fine for a dimension, fatal big-to-big. This operator grid-buckets
+    instead: a point belongs to exactly ONE bin (floor(epoch/bin));
+    an interval is exploded to EVERY bin it touches (``sequence``), so
+    every qualifying (point, interval) pair meets on precisely one
+    equi-join key and the residual ``BETWEEN`` filter needs no
+    de-duplication afterwards. Cost: |I| * avg_bins_per_interval exploded
+    rows and a hash join — shuffle ~ data size, never |P|*|I|.
+
+    Pick ``bin_seconds`` near the typical interval length: bins/interval
+    stays O(1) while bin occupancy stays bounded. ``max_bins_per_interval``
+    fails fast (plan-time guard on max span via an aggregate would cost a
+    job; this clamps the sequence and raises at execute time via
+    element_at) — actually enforced as a cheap static cap: spans longer
+    than the cap raise, pointing at a larger bin width.
+
+    Both bounds inclusive (ANSI ``BETWEEN``), timestamps compared exactly.
+    """
+    kcols = list(keys)
+    p_bin = F.floor(_epoch_s(point_ts) / F.lit(bin_seconds))
+    i_start = F.floor(_epoch_s(start_col) / F.lit(bin_seconds))
+    i_end = F.floor(_epoch_s(end_col) / F.lit(bin_seconds))
+    guard = F.when(
+        i_end - i_start >= F.lit(max_bins_per_interval),
+        F.raise_error(
+            F.lit(
+                f"range_join: interval spans >= {max_bins_per_interval} bins; "
+                "increase bin_seconds or max_bins_per_interval"
+            )
+        ).cast("long"),
+    ).otherwise(i_end)
+    p = points.withColumn("_bin", p_bin)
+    i = intervals.withColumn("_bin", F.explode(F.sequence(i_start, guard)))
+    joined = p.join(i, on=kcols + ["_bin"], how="inner").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    state_col: str,
+    seq_col: str,
+    out_prev: str = "prev_state",
+    out_state: str = "state",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key state sequences:
+    order each key's rows by (ts, seq_col), LAG the state, count
+    (prev_state, state) pairs, and attach the exact transition
+    probability (count / row-count of the prev_state, computed as a
+    single BIGINT/BIGINT division so both engines produce the identical
+    double). A key's first row has prev_state NULL ("session start").
+
+    Plan: one shuffle for the per-key window (lag), one hash agg on the
+    tiny (prev, state) domain with map-side partials — the agg output is
+    |states|^2 rows no matter how big the input. Determinism: ``seq_col``
+    (a unique event id) pins intra-timestamp order.
+
+    Semantics parity: generalizes the reference's per-user
+    most-frequent-action profiling (ETL_customer_interaction.py) to
+    action SEQUENCES.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(seq_col).asc())
+    lagged = df.select(
+        F.lag(state_col).over(w).alias(out_prev), F.col(state_col).alias(out_state)
+    )
+    counts = lagged.groupBy(out_prev, out_state).agg(F.count("*").alias("n"))
+    w_tot = Window.partitionBy(out_prev)
+    return counts.select(
+        out_prev,
+        out_state,
+        "n",
+        (F.col("n") / F.sum("n").over(w_tot)).alias("p"),
+    )
+
+
+def resample_timeseries(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    step_seconds: int,
+    value_col: str | None = None,
+    value_decimal: str = "decimal(18,2)",
+    fill: str = "zero",
+    out_cell: str = "cell",
+    out_n: str = "n_rows",
+    out_sum: str = "val_sum",
+) -> DataFrame:
+    """Resample an event stream onto a regular per-key time grid and fill
+    the gaps — the missing-tick repair every downstream time-series model
+    (and every "days with zero sales" report) needs.
+
+    Steps: (1) floor each row onto a grid cell (``floor(epoch/step)*step``,
+    re-materialized as a timestamp); (2) aggregate per (keys, cell): row
+    count and, when ``value_col`` is given, an exact DECIMAL sum (cast to
+    DOUBLE on output — the repo-wide float-determinism contract);
+    (3) build each key's spine with ``sequence(min_cell, max_cell, step)``
+    + explode — bounds are INCLUSIVE, matching ``generate_series``;
+    (4) left-join the aggregates back onto the spine and fill holes:
+    ``fill='zero'`` coalesces to 0 (additive metrics), ``fill='ffill'``
+    carries the last seen sum forward (level metrics; counts still
+    zero-fill — an empty cell genuinely has 0 rows).
+
+    Scale: the raw stream is reduced to |keys|x|cells| by the FIRST hash
+    agg — everything after (min/max, explode, join) runs on grid-sized
+    data. The explode is per-key span/step rows; a key spanning years at
+    1s resolution explodes large, so pick ``step_seconds`` at the grain
+    you report on. Two shuffles total (agg; spine⋈agg), both on
+    grid-sized frames. Deterministic: (keys, cell) unique post-agg, sums
+    exact DECIMAL.
+    """
+    if fill not in ("zero", "ffill"):
+        raise ValueError("fill must be 'zero' or 'ffill'")
+    kcols = list(keys)
+    cell_s = (F.floor(_epoch_s(ts) / F.lit(step_seconds)) * F.lit(step_seconds)).cast("long")
+    aggs = [F.count("*").alias(out_n)]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast(value_decimal)).alias("_vsum"))
+    per_cell = df.withColumn("_cs", cell_s).groupBy(*kcols, "_cs").agg(*aggs)
+    spine = (
+        per_cell.groupBy(*kcols)
+        .agg(F.min("_cs").alias("_a"), F.max("_cs").alias("_b"))
+        .select(
+            *kcols,
+            F.explode(
+                F.sequence(F.col("_a"), F.col("_b"), F.lit(int(step_seconds)))
+            ).alias("_cs"),
+        )
+    )
+    joined = spine.join(per_cell, on=kcols + ["_cs"], how="left")
+    out = [
+        *kcols,
+        F.timestamp_seconds(F.col("_cs")).alias(out_cell),
+        F.coalesce(F.col(out_n), F.lit(0)).cast("bigint").alias(out_n),
+    ]
+    if value_col is not None:
+        if fill == "zero":
+            vs = F.coalesce(F.col("_vsum"), F.lit(0).cast(value_decimal))
+        else:
+            w = (
+                Window.partitionBy(*kcols)
+                .orderBy(F.col("_cs").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            vs = F.last("_vsum", ignorenulls=True).over(w)
+        out.append(vs.cast("double").alias(out_sum))
+    return joined.select(*out)

@@ -1,0 +1,235 @@
+"""Round-5 operator unit tests: rolling windows, sweep-line concurrency,
+grid-binned range join, transition counts, resample/gap-fill, mixture
+sampling, stratified split, exact-moment correlations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.operators.quality import corr_matrix
+from bigdata_etl_customer360_spark.operators.sampling import (
+    mixture_sample,
+    stratified_split,
+)
+from bigdata_etl_customer360_spark.operators.temporal import (
+    interval_concurrency,
+    range_join,
+    resample_timeseries,
+    rolling_agg,
+    transition_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(days=0, hours=0, seconds=0):
+    return T0 + dt.timedelta(days=days, hours=hours, seconds=seconds)
+
+
+# ---------------------------------------------------------------- rolling
+
+
+def test_rolling_agg_boundary_inclusive(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(0), v=1.0),
+            Row(k="a", ts=_ts(90), v=2.0),   # exactly 90d later: IN frame
+            Row(k="a", ts=_ts(181), v=4.0),  # 91d after row 2: row 2 out
+        ]
+    )
+    out = rolling_agg(
+        df, ["k"], "ts", 90 * 86400, [("s", F.sum(F.col("v").cast("decimal(10,2)")))]
+    )
+    got = {r["ts"]: float(r["s"]) for r in out.collect()}
+    assert got[_ts(0)] == 1.0
+    assert got[_ts(90)] == 3.0   # inclusive lower bound
+    assert got[_ts(181)] == 4.0  # window slid past both
+
+
+def test_rolling_agg_equal_ts_peers(spark):
+    # equal timestamps are frame peers: both rows see both values
+    df = spark.createDataFrame(
+        [Row(k="a", ts=_ts(0), v=1.0), Row(k="a", ts=_ts(0), v=2.0)]
+    )
+    out = rolling_agg(df, ["k"], "ts", 3600, [("s", F.sum("v"))])
+    assert [r["s"] for r in out.collect()] == [3.0, 3.0]
+
+
+# ------------------------------------------------------- sweep-line
+
+
+def test_interval_concurrency_keyed_half_open(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="x", s=_ts(0), e=_ts(2)),
+            Row(g="x", s=_ts(1), e=_ts(3)),
+            Row(g="y", s=_ts(0), e=_ts(1)),
+        ]
+    )
+    out = interval_concurrency(df, "s", "e", keys=["g"])
+    got = {(r["g"], r["ts"]): r["n_open"] for r in out.collect()}
+    assert got[("x", _ts(0))] == 1
+    assert got[("x", _ts(1))] == 2
+    assert got[("x", _ts(2))] == 1  # first interval closed AT its end (half-open)
+    assert got[("x", _ts(3))] == 0
+    assert got[("y", _ts(0))] == 1 and got[("y", _ts(1))] == 0
+
+
+def test_interval_concurrency_keyless_prefix_sum(spark):
+    # 40 staggered intervals; keyless path must equal a single running sum
+    rows = [Row(s=_ts(i), e=_ts(i + 5)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = interval_concurrency(df, "s", "e").orderBy("ts").collect()
+    running = 0
+    for r in out:
+        running += r["net_change"]
+        assert r["n_open"] == running
+    assert running == 0  # all intervals closed at the end
+
+
+# ------------------------------------------------------- range join
+
+
+def test_range_join_multi_bin_exactly_once(spark):
+    # interval spans 3 bins; point inside must appear EXACTLY once
+    points = spark.createDataFrame([Row(pid=1, ts=_ts(0, hours=30))])
+    ivs = spark.createDataFrame([Row(iid=10, s=_ts(0), e=_ts(2))])
+    out = range_join(points, ivs, "ts", "s", "e", bin_seconds=86400)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["iid"] == 10
+
+
+def test_range_join_bounds_inclusive_and_keys(spark):
+    points = spark.createDataFrame(
+        [
+            Row(k=1, pid=1, ts=_ts(0)),          # at start: in
+            Row(k=1, pid=2, ts=_ts(1)),          # at end: in
+            Row(k=1, pid=3, ts=_ts(1, seconds=1)),  # past end: out
+            Row(k=2, pid=4, ts=_ts(0, hours=12)),   # wrong key: out
+        ]
+    )
+    ivs = spark.createDataFrame([Row(k=1, iid=10, s=_ts(0), e=_ts(1))])
+    out = range_join(points, ivs, "ts", "s", "e", keys=["k"], bin_seconds=3600)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_range_join_span_guard(spark):
+    points = spark.createDataFrame([Row(ts=_ts(0))])
+    ivs = spark.createDataFrame([Row(s=_ts(0), e=_ts(500))])
+    out = range_join(points, ivs, "ts", "s", "e", bin_seconds=86400,
+                     max_bins_per_interval=100)
+    with pytest.raises(Exception, match="range_join"):
+        out.collect()
+
+
+# ------------------------------------------------------- transitions
+
+
+def test_transition_counts_sequence_and_ties(spark):
+    # user 1: a(t0,id1) -> b(t0,id2) tie broken by seq -> a(t1,id3)
+    df = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts(0), st="a", i=1),
+            Row(u=1, ts=_ts(0), st="b", i=2),
+            Row(u=1, ts=_ts(1), st="a", i=3),
+            Row(u=2, ts=_ts(0), st="b", i=4),
+        ]
+    )
+    out = transition_counts(df, "u", "ts", "st", "i")
+    got = {(r["prev_state"], r["state"]): (r["n"], r["p"]) for r in out.collect()}
+    assert got[(None, "a")][0] == 1 and got[(None, "b")][0] == 1
+    assert got[("a", "b")] == (1, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    # session starts: p = n / total-per-prev over the NULL partition
+    assert got[(None, "a")][1] == 0.5
+
+
+# ------------------------------------------------------- resample
+
+
+def test_resample_zero_fill_and_ffill(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(0), v=1.0),
+            Row(k="a", ts=_ts(3), v=5.0),  # days 1,2 are gaps
+        ]
+    )
+    zero = resample_timeseries(df, ["k"], "ts", 86400, value_col="v").orderBy("cell")
+    rows = zero.collect()
+    assert [r["n_rows"] for r in rows] == [1, 0, 0, 1]
+    assert [r["val_sum"] for r in rows] == [1.0, 0.0, 0.0, 5.0]
+    ff = resample_timeseries(
+        df, ["k"], "ts", 86400, value_col="v", fill="ffill"
+    ).orderBy("cell")
+    assert [r["val_sum"] for r in ff.collect()] == [1.0, 1.0, 1.0, 5.0]
+
+
+def test_resample_rejects_bad_fill(spark):
+    df = spark.createDataFrame([Row(k="a", ts=_ts(0), v=1.0)])
+    with pytest.raises(ValueError, match="fill"):
+        resample_timeseries(df, ["k"], "ts", 86400, value_col="v", fill="bogus")
+
+
+# ------------------------------------------------------- sampling
+
+
+def test_mixture_sample_scarcest_domain_kept_whole(spark):
+    rows = [Row(d="big", i=n) for n in range(400)] + [
+        Row(d="rare", i=1000 + n) for n in range(20)
+    ] + [Row(d="unlisted", i=2000 + n) for n in range(50)]
+    df = spark.createDataFrame(rows)
+    out = mixture_sample(df, "d", {"big": 0.5, "rare": 0.5}, id_col="i").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["d"], 0)
+        by[r["d"]] += 1
+    # T = min(400/0.5, 20/0.5) = 40 -> rare keeps all 20, big thins to ~20
+    assert by["rare"] == 20
+    assert "unlisted" not in by
+    assert 10 <= by["big"] <= 32  # binomial around 20 with md5 coins
+    # determinism: identical second run
+    out2 = mixture_sample(df, "d", {"big": 0.5, "rare": 0.5}, id_col="i").collect()
+    assert sorted(r["i"] for r in out) == sorted(r["i"] for r in out2)
+
+
+def test_stratified_split_exact_counts(spark):
+    rows = [Row(s="s1", i=n) for n in range(25)] + [Row(s="s2", i=100 + n) for n in range(10)]
+    df = spark.createDataFrame(rows)
+    out = stratified_split(df, ["s"], (0.8, 0.1, 0.1), id_col="i").collect()
+    cnt = {}
+    for r in out:
+        cnt[(r["s"], r["split"])] = cnt.get((r["s"], r["split"]), 0) + 1
+    assert cnt[("s1", "train")] == 20 and cnt[("s1", "val")] == 2 and cnt[("s1", "test")] == 3
+    assert cnt[("s2", "train")] == 8 and cnt[("s2", "val")] == 1 and cnt[("s2", "test")] == 1
+    # assignment is per-row deterministic
+    again = stratified_split(df, ["s"], (0.8, 0.1, 0.1), id_col="i").collect()
+    assert {(r["i"], r["split"]) for r in out} == {(r["i"], r["split"]) for r in again}
+
+
+# ------------------------------------------------------- corr
+
+
+def test_corr_matrix_perfect_and_anti(spark):
+    df = spark.createDataFrame(
+        [Row(x=float(i), y=float(2 * i), z=float(-i)) for i in range(1, 20)]
+    )
+    out = corr_matrix(df, ["x", "y", "z"], scale=2)
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in out.collect()}
+    assert got[("x", "y")] == pytest.approx(1.0)
+    assert got[("x", "z")] == pytest.approx(-1.0)
+    assert got[("y", "z")] == pytest.approx(-1.0)
+    assert out.count() == 3
+
+
+def test_corr_matrix_null_rows_excluded_and_guard(spark):
+    df = spark.createDataFrame(
+        [Row(x=1.0, y=1.0), Row(x=2.0, y=2.0), Row(x=3.0, y=None), Row(x=4.0, y=4.0)]
+    )
+    out = corr_matrix(df, ["x", "y"], scale=2).collect()
+    assert out[0]["n"] == 3
+    with pytest.raises(ValueError, match="two columns"):
+        corr_matrix(df, ["x"])

@@ -1877,6 +1877,66 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"], scale=2)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles in the co-purchase graph (same support>=2 edge
+    build as pagerank) via degree-ordered wedge counting — O(m^1.5)
+    bound regardless of degree skew; see operators/graph.count_triangles.
+    The oracle counts the same triangles with the textbook u<v<w triple
+    join — different algorithm, identical exact integers."""
+    from bigdata_etl_customer360_spark.operators.graph import count_triangles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    # canonical src<dst pairs only: triangles need the UNDIRECTED edge
+    # set, so generating one orientation halves the pair volume feeding
+    # the support aggregate (pagerank keeps both directions; this query
+    # does not have to)
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return count_triangles(edges)
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score outliers over a 7-day trailing window
+    (operators/temporal.rolling_zscore): exact decimal moments in ONE
+    window, fixed-shape IEEE finale — deterministic anomaly flags."""
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_zscore(ev, ["user_id"], "ts", "value", 7 * 86400, min_n=5)
+    return out.select("event_id", "user_id", "ts", "z", "is_anomaly")
+
+
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (operators/quality.
+    hll_segment_distinct): per-segment HLL sketches unioned vs one global
+    sketch vs exact. The sketch error bounds are Spark-verified booleans
+    (expected constant TRUE); the exact count hash-matches the oracle."""
+    from bigdata_etl_customer360_spark.operators.quality import hll_segment_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_segment_distinct(ev, "event_type", "user_id", lg_k=12).select(
+        "n_exact", "merged_within_5pct", "global_within_5pct"
+    )
+
+
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible shuffle+shard for dataloaders (operators/sampling.
+    shard_corpus): md5-derived shard in [0,8) and md5-ranked intra-shard
+    position — byte-stable shard files from any engine."""
+    from bigdata_etl_customer360_spark.operators.sampling import shard_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_corpus(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -1944,6 +2004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "stratified_split": q_stratified_split,
         "corr_matrix": q_corr_matrix,
+        "triangle_count": q_triangle_count,
+        "rolling_anomaly": q_rolling_anomaly,
+        "hll_mergeable": q_hll_mergeable,
+        "shard_corpus": q_shard_corpus,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2577,6 +2641,77 @@ _ORACLES: dict[str, str] = {
         SELECT 'l_extendedprice', 'l_discount', n,
                (nd * ed - se * sd) / SQRT((nd * ee - se * se) * (nd * dd - sd * sd))
         FROM md
+    """,
+    "triangle_count": """
+        WITH und AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= 2
+        ), tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+        ), stats AS (
+          SELECT (SELECT COUNT(*) FROM (
+                    SELECT u AS id FROM und UNION SELECT v FROM und)) AS n_nodes,
+                 (SELECT COUNT(*) FROM und) AS n_edges
+        )
+        SELECT n_nodes, n_edges, n_triangles FROM stats, tri
+    """,
+    "rolling_anomaly": """
+        WITH base AS (
+          SELECT event_id, user_id, ts,
+                 CAST(value AS DECIMAL(27,6)) AS xd,
+                 CAST(CAST(value AS DECIMAL(27,6))
+                      * CAST(value AS DECIMAL(27,6)) AS DECIMAL(38,12)) AS x2
+          FROM events
+        ), win AS (
+          SELECT event_id, user_id, ts,
+                 CAST(xd AS DOUBLE) AS x,
+                 COUNT(xd) OVER w AS n,
+                 CAST(COUNT(xd) OVER w AS DOUBLE) AS nd,
+                 CAST(SUM(xd) OVER w AS DOUBLE) AS sd,
+                 CAST(SUM(x2) OVER w AS DOUBLE) AS s2d
+          FROM base
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        ), scored AS (
+          SELECT event_id, user_id, ts, x, n, nd, sd,
+                 SQRT((nd * s2d - sd * sd) / (nd * (nd - 1.0))) AS std
+          FROM win
+        )
+        SELECT event_id, user_id, ts,
+          CASE WHEN n >= 5 AND std > 0.0
+               THEN (x - sd / nd) / std END AS z,
+          COALESCE(CASE WHEN n >= 5 AND std > 0.0
+               THEN ABS((x - sd / nd) / std) > 3.0 END, FALSE) AS is_anomaly
+        FROM scored
+    """,
+    "hll_mergeable": """
+        -- the exact count is the oracle-checkable side; the two booleans
+        -- certify Spark-side sketch algebra (union losslessness, error
+        -- bound) whose expected value is constant TRUE.
+        SELECT COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS merged_within_5pct,
+               TRUE AS global_within_5pct
+        FROM events
+    """,
+    "shard_corpus": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('c360shard' || CAST(doc_id AS VARCHAR)) AS hex,
+                 ('0x' || substring(md5('c360shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(u % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY u % 8
+                     ORDER BY hex ASC, doc_id ASC) AS INTEGER) AS pos
+        FROM h
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

@@ -307,3 +307,66 @@ def pagerank(
     dang.unpersist()
     e.unpersist()
     return ranks
+
+
+def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count over an (arbitrary-direction, possibly
+    duplicated) edge list — the standard graph-cohesion statistic
+    (clustering coefficient numerator, community density).
+
+    Plan — degree-ordered wedge counting (Schank–Wagner / the MapReduce
+    classic), NOT the naive triple self-join:
+
+        canonical undirected edge set (least, greatest), distinct
+        degrees = one hash agg over both endpoints
+        orient every edge from the (degree, id)-SMALLER endpoint
+        wedges  = oriented ⋈ oriented on the shared LOW endpoint
+        count   = wedges ⋈ oriented on the closing (b, c) edge
+
+    Orientation by the (degree, id) total order bounds every node's
+    out-degree at O(sqrt(m)); the wedge self-join — the step that
+    explodes on skewed graphs (a celebrity node's in-neighbors pair
+    quadratically in the naive plan) — generates at most
+    sum(out_deg^2) = O(m^1.5) rows no matter how skewed the degree
+    distribution is. All three joins are equi-joins on ids; the
+    degree join is the only extra shuffle vs the naive plan.
+
+    Each triangle is counted exactly once: it has a unique
+    lowest-ranked vertex a, and the (b, c) closing edge exists in only
+    one orientation.
+
+    Returns ONE row: (n_nodes, n_edges, n_triangles) — all exact BIGINTs.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
+        F.col("b") != F.col("c")
+    )
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -184,3 +184,37 @@ def stratified_split(
         .otherwise(F.lit(labels[2]))
         .alias(out_col),
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    salt: str = "c360shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global shuffle + sharding — the step between a curated
+    corpus and training dataloaders: every row gets a shard in
+    [0, num_shards) and a position within its shard, both derived from
+    ``md5(salt || id)`` so the exact same shard files come out of any
+    engine, any partitioning, any re-run (and changing ``salt`` is a
+    fresh epoch-level reshuffle).
+
+    Shard = first-32-md5-bits mod num_shards (balanced to ~n/num_shards
+    by uniformity); position = rank of the md5 hex within the shard
+    (ties — impossible for distinct ids, but pinned anyway — break by
+    id). Writing with ``partitionBy(shard)`` + sort on ``pos`` then
+    yields byte-stable shard files.
+
+    Plan: the shard assignment is map-only; the position needs ONE hash
+    shuffle on ``shard`` (a window per shard). Shards are uniform by
+    construction, so the window never sees skew regardless of data skew.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    shard = (u % F.lit(int(num_shards))).cast("int")
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col(id_col).asc())
+    return df.select(
+        "*", shard.alias(shard_col), F.row_number().over(w).alias(pos_col)
+    )

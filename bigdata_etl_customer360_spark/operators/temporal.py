@@ -444,3 +444,55 @@ def resample_timeseries(
             vs = F.last("_vsum", ignorenulls=True).over(w)
         out.append(vs.cast("double").alias(out_sum))
     return joined.select(*out)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value_col: str,
+    trailing_seconds: int,
+    value_decimal: str = "decimal(27,6)",
+    min_n: int = 5,
+    threshold: float = 3.0,
+    z_out: str = "z",
+    flag_out: str = "is_anomaly",
+) -> DataFrame:
+    """Rolling z-score anomaly flagging: each row's value against the
+    mean/stddev of its key's trailing time window (window includes the
+    current row — the streaming-monitor convention; a true outlier still
+    stands out because it is one of >= min_n samples).
+
+    Determinism: the window accumulates EXACT decimal moments (n, Σx,
+    Σx²); mean, sample variance and z derive from those exact values
+    through a fixed-shape IEEE expression — identical bits on any
+    engine/partitioning, unlike windowed ``avg``/``stddev`` over raw
+    doubles. The value participates at ``value_decimal`` quantization on
+    both sides of the subtraction (part of the contract, like
+    weighted_sample's 1/scale coin).
+
+    Guards: z is NULL when the window has < ``min_n`` samples or zero
+    variance; ``is_anomaly`` is then FALSE (never null). Cost: ONE hash
+    shuffle — the same single window as any rolling aggregate
+    (:func:`rolling_window` notes apply).
+    """
+    w = rolling_window(keys, ts, trailing_seconds)
+    xd = F.col(value_col).cast(value_decimal)
+    n = F.count(xd).over(w)
+    s = F.sum(xd).over(w)
+    s2 = F.sum((xd * xd).cast("decimal(38,12)")).over(w)
+    nd = n.cast("double")
+    sd = s.cast("double")
+    s2d = s2.cast("double")
+    x = xd.cast("double")
+    var = (nd * s2d - sd * sd) / (nd * (nd - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = (x - sd / nd) / std
+    ok = (n >= F.lit(int(min_n))) & (std > F.lit(0.0))
+    return df.select(
+        "*",
+        F.when(ok, z).alias(z_out),
+        F.coalesce(
+            F.when(ok, F.abs(z) > F.lit(float(threshold))), F.lit(False)
+        ).alias(flag_out),
+    )

@@ -131,3 +131,57 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join must meet on the grid-bin equi key: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan even
+    though the predicate is an inequality."""
+    from bigdata_etl_customer360_spark.operators.temporal import range_join
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("c_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    plan = plan_of(
+        range_join(purchases, clicks, "p_ts", "c_ts", "c_end", keys=["user_id"],
+                   bin_seconds=3600)
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_keyless_interval_concurrency_has_no_global_window(spark):
+    """The keyless sweep-line must run its cumulative sum as a
+    distributed prefix sum over _pid range partitions — never a single
+    empty-partition global Window."""
+    from bigdata_etl_customer360_spark.operators.temporal import interval_concurrency
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    plan = plan_of(interval_concurrency(li, "s", "e"))
+    assert "_pid" in plan, "prefix-sum window must partition by _pid"
+
+
+def test_mixture_sample_filter_rides_broadcast(spark):
+    """The big-table pass of mixture_sample is a broadcast join + map-only
+    filter: the rates frame (|domains| rows) must broadcast, never
+    shuffle the corpus."""
+    from bigdata_etl_customer360_spark.operators.sampling import mixture_sample
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = plan_of(
+        mixture_sample(docs, "lang", {"en": 0.5, "fr": 0.5}, id_col="doc_id")
+    )
+    assert "BroadcastHashJoin" in plan

@@ -233,3 +233,90 @@ def test_corr_matrix_null_rows_excluded_and_guard(spark):
     assert out[0]["n"] == 3
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(df, ["x"])
+
+
+# ------------------------------------------------------- triangles
+
+
+def test_count_triangles_k4_and_noise(spark):
+    from bigdata_etl_customer360_spark.operators.graph import count_triangles
+
+    # K4 (4 triangles), given as duplicated, mixed-direction edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4 + k4[:3], "src long, dst long")
+    row = count_triangles(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_count_triangles_star_and_chain_have_none(spark):
+    from bigdata_etl_customer360_spark.operators.graph import count_triangles
+
+    star = [(0, i) for i in range(1, 30)]           # hub, zero triangles
+    chain = [(100 + i, 101 + i) for i in range(20)]  # path, zero triangles
+    df = spark.createDataFrame(star + chain, "src long, dst long")
+    assert count_triangles(df).collect()[0]["n_triangles"] == 0
+
+
+# ------------------------------------------------------- rolling z
+
+
+def test_rolling_zscore_outlier_and_guards(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_zscore
+
+    # 30 baseline points so the in-window spike clears |z| > 3 despite
+    # the window including the spike itself (z is bounded ~ sqrt(n))
+    rows = [Row(k="a", ts=_ts(0, seconds=60 * i), v=10.0) for i in range(30)]
+    rows.append(Row(k="a", ts=_ts(0, seconds=1800), v=1000.0))  # spike
+    rows += [Row(k="b", ts=_ts(0, hours=h), v=5.0) for h in range(6)]  # zero var
+    df = spark.createDataFrame(rows)
+    out = rolling_zscore(df, ["k"], "ts", "v", 86400, min_n=5)
+    got = {(r["k"], r["ts"], r["v"]): r for r in out.collect()}
+    spike = got[("a", _ts(0, seconds=1800), 1000.0)]
+    assert spike["is_anomaly"] and spike["z"] > 3.0
+    # early rows: window smaller than min_n -> z null, flag False (not null)
+    early = got[("a", _ts(0, seconds=60), 10.0)]
+    assert early["z"] is None and early["is_anomaly"] is False
+    # constant series: std == 0 -> never anomalous
+    assert all(
+        got[("b", _ts(0, hours=h), 5.0)]["is_anomaly"] is False for h in range(6)
+    )
+
+
+# ------------------------------------------------------- hll
+
+
+def test_hll_segment_distinct_merge_lossless(spark):
+    from bigdata_etl_customer360_spark.operators.quality import hll_segment_distinct
+
+    rows = [Row(seg=f"s{i % 7}", uid=i % 400) for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    r = hll_segment_distinct(df, "seg", "uid", lg_k=12).collect()[0]
+    assert r["n_exact"] == 400
+    # union promotes coupon-mode sketches to dense HLL: merged may differ
+    # from the single-pass estimate (393 vs 400 measured) but both sit
+    # inside the sketch error bound — the certified contract
+    assert r["merged_within_5pct"] is True
+    assert r["global_within_5pct"] is True
+    assert abs(r["merged_estimate"] - 400) <= 20
+
+
+# ------------------------------------------------------- sharding
+
+
+def test_shard_corpus_balanced_contiguous_deterministic(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import shard_corpus
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    out = shard_corpus(df, "doc_id", 8).collect()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(out) == 500
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # contiguous ranks
+        assert len(poss) > 20  # roughly balanced (expected 62.5)
+    again = shard_corpus(df, "doc_id", 8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in again
+    }

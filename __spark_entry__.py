@@ -1937,6 +1937,25 @@ def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_corpus(docs, "doc_id", 8).select("doc_id", "shard", "pos")
 
 
+def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→dataloader tail end to end: mixture_sample (target
+    language mix) → stratified_split (exact per-lang train/val/test) →
+    shard_corpus (byte-stable shards). Every stage is md5-deterministic,
+    so the WHOLE composition hash-matches one SQL oracle — the
+    training-mix sibling of tokenize_corpus's end-to-end guarantee."""
+    from bigdata_etl_customer360_spark.operators.sampling import (
+        mixture_sample,
+        shard_corpus,
+        stratified_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mixture_sample(docs, "lang", _MIX_WEIGHTS, id_col="doc_id", salt="c360mix")
+    split = stratified_split(mixed, ["lang"], (0.8, 0.1, 0.1), id_col="doc_id")
+    sharded = shard_corpus(split, "doc_id", 4)
+    return sharded.select("doc_id", "lang", "split", "shard", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -2008,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "hll_mergeable": q_hll_mergeable,
         "shard_corpus": q_shard_corpus,
+        "prepare_training_corpus": q_prepare_training_corpus,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2710,6 +2730,51 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(u % 8 AS INTEGER) AS shard,
                CAST(ROW_NUMBER() OVER (PARTITION BY u % 8
+                     ORDER BY hex ASC, doc_id ASC) AS INTEGER) AS pos
+        FROM h
+    """,
+    "prepare_training_corpus": """
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), caps AS (
+          SELECT c.lang, c.n, w.w
+          FROM counts c
+          JOIN (VALUES ('en', 0.5), ('zh', 0.2), ('fr', 0.15),
+                       ('de', 0.1), ('es', 0.05)) AS w(lang, w)
+            ON c.lang = w.lang
+        ), tmax AS (
+          SELECT MIN(n / w) AS t FROM caps
+        ), rates AS (
+          SELECT lang,
+            CAST(FLOOR(GREATEST(0.0, LEAST(1.0, w * t / n)) * 1000000) AS BIGINT) AS q
+          FROM caps, tmax
+        ), sampled AS (
+          SELECT d.doc_id, d.lang
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE ('0x' || substring(md5('c360mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                * 1000000 < r.q * 4294967296
+        ), sp AS (
+          SELECT doc_id, lang,
+            CASE WHEN rn <= FLOOR(0.8 * n) THEN 'train'
+                 WHEN rn <= FLOOR(0.9 * n) THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5('c360split' || CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM sampled
+          )
+        ), h AS (
+          SELECT doc_id, lang, split,
+                 md5('c360shard' || CAST(doc_id AS VARCHAR)) AS hex,
+                 ('0x' || substring(md5('c360shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+          FROM sp
+        )
+        SELECT doc_id, lang, split,
+               CAST(u % 4 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY u % 4
                      ORDER BY hex ASC, doc_id ASC) AS INTEGER) AS pos
         FROM h
     """,

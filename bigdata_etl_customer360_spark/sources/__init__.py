@@ -10,6 +10,11 @@ from bigdata_etl_customer360_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
 )
+from bigdata_etl_customer360_spark.sources.layout import (
+    with_zorder_key,
+    write_zordered,
+    zorder_expr,
+)
 
 __all__ = [
     "date_range_paths",

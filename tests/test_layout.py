@@ -1,0 +1,88 @@
+"""Z-order layout tests: the Morton key interleaves correctly, and a
+z-ordered parquet write prunes row groups on BOTH dimensions where a
+single-column sort prunes only one."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_etl_customer360_spark.sources.layout import (
+    with_zorder_key,
+    write_zordered,
+    zorder_expr,
+)
+
+
+def test_zorder_expr_interleaves_bits(spark):
+    df = spark.createDataFrame([Row(a=a, b=b) for a in range(4) for b in range(4)])
+    out = df.select(
+        "a", "b", zorder_expr([F.col("a"), F.col("b")], bits=2).alias("z")
+    ).collect()
+    for r in out:
+        want = 0
+        for bit in range(2):
+            want |= ((r["a"] >> bit) & 1) << (2 * bit)
+            want |= ((r["b"] >> bit) & 1) << (2 * bit + 1)
+        assert r["z"] == want
+
+
+def test_zorder_expr_key_width_guard(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_expr([F.col("a")] * 8, bits=8)
+
+
+def _touched(files, col, lo, hi):
+    """Row groups whose [min,max] for col intersects [lo, hi]."""
+    n = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            grp = meta.row_group(rg)
+            for ci in range(grp.num_columns):
+                c = grp.column(ci)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    if st is None or (st.min <= hi and st.max >= lo):
+                        n += 1
+    return n
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    # 64x64 grid: x-sorted layout gives y zero locality; z-order gives both
+    rows = [Row(x=x, y=y, payload=x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows)
+
+    zpath = str(tmp_path / "zordered")
+    xpath = str(tmp_path / "xsorted")
+    write_zordered(df, zpath, ["x", "y"], bits=6, num_files=16)
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    zfiles = glob.glob(zpath + "/*.parquet")
+    xfiles = glob.glob(xpath + "/*.parquet")
+
+    # correctness: same rows back
+    assert sorted(r["payload"] for r in spark.read.parquet(zpath).collect()) == sorted(
+        r["payload"] for r in df.collect()
+    )
+
+    # selective y-slice: x-sorted layout must scan EVERY row group;
+    # the z-ordered layout skips most of them
+    z_touch = _touched(zfiles, "y", 3, 6)
+    x_touch = _touched(xfiles, "y", 3, 6)
+    z_total = sum(pq.ParquetFile(f).metadata.num_row_groups for f in zfiles)
+    x_total = sum(pq.ParquetFile(f).metadata.num_row_groups for f in xfiles)
+    assert x_touch == x_total, "x-sorted layout has no y locality"
+    assert z_touch <= z_total // 2, f"z-order should skip >=half: {z_touch}/{z_total}"
+
+    # and the x-slice still prunes on the z layout too (both dims work)
+    assert _touched(zfiles, "x", 3, 6) <= z_total // 2

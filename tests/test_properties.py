@@ -190,3 +190,102 @@ def test_redact_pii_idempotent(spark, texts):
     assert all(
         r["n_redactions"] == 0 for r in twice.select("n_redactions").collect()
     )
+
+
+# ---------------------------------------------------------------- round 5
+
+_iv_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),   # start offset (seconds granularity → many ties)
+        st.integers(0, 20),   # length
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_iv_strategy, st.lists(st.integers(0, 70), min_size=1, max_size=20))
+@SETTINGS
+def test_range_join_matches_python_containment(spark, ivs, pts):
+    """Grid-binned range_join == brute-force containment, any bin width
+    relation to interval lengths (bins smaller, equal and larger than
+    intervals all occur)."""
+    import datetime as dt
+
+    from bigdata_etl_customer360_spark.operators.temporal import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ivdf = spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + l))
+            for i, (s, l) in enumerate(ivs)
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    pdf = spark.createDataFrame(
+        [(j, t0 + dt.timedelta(seconds=p)) for j, p in enumerate(pts)],
+        "pid long, ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, ivdf, "ts", "s", "e", bin_seconds=7).collect()
+    }
+    want = {
+        (j, i)
+        for j, p in enumerate(pts)
+        for i, (s, l) in enumerate(ivs)
+        if s <= p <= s + l
+    }
+    assert got == want
+
+
+@given(_iv_strategy)
+@SETTINGS
+def test_interval_concurrency_matches_python_sweep(spark, ivs):
+    import datetime as dt
+
+    from bigdata_etl_customer360_spark.operators.temporal import interval_concurrency
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + l))
+            for s, l in ivs
+        ],
+        "s timestamp, e timestamp",
+    )
+    got = {
+        r["ts"]: r["n_open"]
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    deltas = Counter()
+    for s, l in ivs:
+        deltas[s] += 1
+        deltas[s + l] -= 1
+    running, want = 0, {}
+    for t in sorted(deltas):
+        running += deltas[t]
+        want[t0 + __import__("datetime").timedelta(seconds=t)] = running
+    assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+             min_size=1, max_size=60, unique_by=lambda t: t[1]),
+)
+@SETTINGS
+def test_stratified_split_boundary_invariants(spark, rows):
+    """Per-stratum split sizes are exactly floor(0.8n) / floor(0.9n)-floor(0.8n)
+    / rest, for any stratum sizes."""
+    from bigdata_etl_customer360_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame(rows, "s long, i long")
+    out = stratified_split(df, ["s"], (0.8, 0.1, 0.1), id_col="i").collect()
+    sizes = Counter(s for s, _ in rows)
+    got = Counter((r["s"], r["split"]) for r in out)
+    for s, n in sizes.items():
+        b1 = math.floor(0.8 * n)
+        b2 = math.floor(0.9 * n)
+        assert got.get((s, "train"), 0) == b1
+        assert got.get((s, "val"), 0) == b2 - b1
+        assert got.get((s, "test"), 0) == n - b2

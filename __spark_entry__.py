@@ -1956,6 +1956,50 @@ def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select("doc_id", "lang", "split", "shard", "pos")
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph
+    (operators/graph.clustering_coefficient): same skew-proof oriented
+    wedge plan as triangle_count, exploded to per-corner credit. Degree-1
+    nodes get NULL (undefined), pinned on both engines."""
+    from bigdata_etl_customer360_spark.operators.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return clustering_coefficient(edges)
+
+
+def q_monthly_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate re-use certificate: the MONTHLY revenue rollup
+    is computed FROM the daily rollup (sum of daily partial DECIMAL sums
+    + sum of daily counts), while the oracle aggregates the raw table
+    directly per month — the hash match itself proves the mergeable-
+    aggregate algebra (the hypertable/continuous-aggregate pattern: at
+    100 TB you maintain the daily tier incrementally and derive coarser
+    grains from it, never rescanning raw history)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return daily.groupBy(
+        "o_orderpriority", F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(
+        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_n").cast("bigint").alias("n_orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -2028,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_mergeable": q_hll_mergeable,
         "shard_corpus": q_shard_corpus,
         "prepare_training_corpus": q_prepare_training_corpus,
+        "clustering_coeff": q_clustering_coeff,
+        "monthly_rollup_reuse": q_monthly_rollup_reuse,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2777,6 +2823,45 @@ _ORACLES: dict[str, str] = {
                CAST(ROW_NUMBER() OVER (PARTITION BY u % 4
                      ORDER BY hex ASC, doc_id ASC) AS INTEGER) AS pos
         FROM h
+    """,
+    "clustering_coeff": """
+        WITH und AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= 2
+        ), deg AS (
+          SELECT id, COUNT(*) AS degree FROM (
+            SELECT u AS id FROM und UNION ALL SELECT v FROM und
+          ) GROUP BY id
+        ), tris AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+        ), tn AS (
+          SELECT id, COUNT(*) AS n_tri
+          FROM (SELECT UNNEST([a, b, c]) AS id FROM tris)
+          GROUP BY id
+        )
+        SELECT d.id, d.degree,
+          CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+          CASE WHEN d.degree >= 2
+               THEN 2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+                    / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS coeff
+        FROM deg d LEFT JOIN tn t ON d.id = t.id
+    """,
+    "monthly_rollup_reuse": """
+        -- DIRECT monthly aggregation over the raw table; the Spark side
+        -- derives the same numbers from the daily tier, so a hash match
+        -- certifies the re-aggregation algebra.
+        SELECT o_orderpriority,
+               date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority, month
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

@@ -370,3 +370,70 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: 2·T(v) / (d(v)·(d(v)−1)),
+    the fraction of a node's neighbor pairs that are themselves connected
+    — the standard community-density signal per node.
+
+    Same degree-ordered wedge plan as :func:`count_triangles` (one
+    orientation pass bounds the wedge join at O(m^1.5) under any skew);
+    each discovered triangle (a, b, c) is exploded to its three member
+    nodes and counted per node — one extra tiny hash agg over triangle
+    rows. Nodes with degree < 2 have no wedge: coefficient is NULL (not
+    0 — "undefined", matching the convention that isolates don't drag a
+    graph's average down silently).
+
+    Determinism: exact BIGINT triangle/degree counts; the coefficient is
+    one fixed-shape BIGINT→DOUBLE division, identical on any engine.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
+        F.col("b") != F.col("c")
+    )
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    # (a,b,c) rows appear once per triangle (see count_triangles); spread
+    # the credit to all three corners
+    tri_nodes = (
+        wedges.join(closing, ["b", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(tri_nodes, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+        ).alias("coeff"),
+    )

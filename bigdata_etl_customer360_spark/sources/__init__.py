@@ -1,6 +1,8 @@
 from bigdata_etl_customer360_spark.sources.readers import (
     date_range_paths,
+    read_csv,
     read_json_lines,
+    read_orc,
     read_parquet,
 )
 from bigdata_etl_customer360_spark.sources.testdata import TABLES, load_table
@@ -18,7 +20,9 @@ from bigdata_etl_customer360_spark.sources.layout import (
 
 __all__ = [
     "date_range_paths",
+    "read_csv",
     "read_json_lines",
+    "read_orc",
     "read_parquet",
     "TABLES",
     "load_table",

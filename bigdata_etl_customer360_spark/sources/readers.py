@@ -71,3 +71,43 @@ def read_parquet(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with a MANDATORY explicit schema (no inference job, no
+    silent type drift on a malformed day) and FAILFAST parsing by default
+    — a corrupt row stops the load instead of poisoning the lake
+    (``mode='PERMISSIVE'`` opts back into null-filling). Multi-path like
+    every reader here: one flat scan, no union folds."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+        .csv(paths)
+    )
+
+
+def read_orc(
+    spark: SparkSession,
+    paths: list[str] | str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC scan — self-describing like parquet (footer schema, column
+    pruning + predicate pushdown via Catalyst), covering the other
+    columnar lake format a migrating user may hold."""
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.orc(*paths)
+    if columns:
+        df = df.select(*columns)
+    return df

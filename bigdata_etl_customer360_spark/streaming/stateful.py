@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -341,6 +342,143 @@ def asof_join_stream(
         fn,
         outputStructType=ASOF_OUT_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+_ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("emitted_us", LongType()),
+    ]
+)
+
+
+def zscore_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    trailing_seconds: int = 7 * 86400,
+    min_n: int = 5,
+    threshold: float = 3.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.rolling_zscore``: each event
+    is scored against its key's trailing event-time window, emitted once
+    the watermark guarantees the window below it is complete (so late
+    arrivals can never have changed an already-emitted score).
+
+    State per key is the trailing window itself — rows older than
+    ``watermark − trailing_seconds`` can no longer be a window member for
+    any future row and are evicted, so state is O(window), the same
+    bound as the built-in windowed aggregates. ``emitted_us`` remembers
+    the newest already-scored timestamp so a row is never emitted twice
+    across triggers. An event-time timeout flushes keys that go quiet.
+
+    Equivalence contract (pinned by the test): on a drained stream the
+    output matches the batch operator row for row WHEN input values are
+    exactly representable at the batch quantization (decimal(27,6)) and
+    window sums fit float64 exactly (e.g. integral values) — the batch
+    side accumulates exact decimals, this side float64 over the sorted
+    buffer; on such inputs both finales see identical numbers.
+    """
+    trail_us = int(trailing_seconds) * _US
+    thr = float(threshold)
+
+    def _score(window_vals, x):
+        n = len(window_vals)
+        if n < min_n:
+            return None, False
+        s = 0.0
+        s2 = 0.0
+        for v in window_vals:
+            s += v
+            s2 += v * v
+        nd = float(n)
+        var = (nd * s2 - s * s) / (nd * (nd - 1.0))
+        std = var ** 0.5
+        if not std > 0.0:
+            return None, False
+        z = (x - s / nd) / std
+        return z, abs(z) > thr
+
+    def fn(
+        key_t: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key_t
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ts_a, v_a, emitted_us = state.get
+            buf = list(zip(ts_a, v_a))
+        else:
+            buf, emitted_us = [], -1
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = pdf["_ts"].astype("int64") // 1000
+                for t, v in zip(ts_us, pdf["_v"]):
+                    buf.append((int(t), float(v)))
+
+        buf.sort()
+        out = []
+        new_emitted = emitted_us
+        for i, (t, x) in enumerate(buf):
+            if t > wm_us or t <= emitted_us:
+                continue
+            lo = t - trail_us
+            window_vals = [v for tt, v in buf if lo <= tt <= t]
+            z, flag = _score(window_vals, x)
+            out.append((t, x, z, flag))
+            if t > new_emitted:
+                new_emitted = t
+
+        # rows older than wm - trail can't be in any future row's window
+        keep_from = wm_us - trail_us
+        buf = [r for r in buf if r[0] >= keep_from]
+        pending = [r for r in buf if r[0] > wm_us]
+        if buf:
+            state.update((
+                [t for t, _ in buf], [v for _, v in buf], new_emitted,
+            ))
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(t for t, _ in pending) // 1000, wm_us // 1000) + 1
+                )
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out),
+                    "ts": [pd.Timestamp(t, unit="us") for t, *_ in out],
+                    "value": [x for _, x, *_ in out],
+                    "z": [z for _, _, z, _ in out],
+                    "is_anomaly": [f for *_, f in out],
+                }
+            )
+
+    tagged = events.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withWatermark("_ts", watermark)
+    return tagged.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -86,3 +86,34 @@ def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
 
     # and the x-slice still prunes on the z layout too (both dims work)
     assert _touched(zfiles, "x", 3, 6) <= z_total // 2
+
+
+def test_csv_and_orc_round_trip(spark, tmp_path):
+    """read_csv (explicit schema, FAILFAST) and read_orc round-trip the
+    same rows; CSV with a bad row fails fast instead of null-poisoning."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bigdata_etl_customer360_spark.sources.readers import read_csv, read_orc
+
+    df = spark.createDataFrame(
+        [Row(k=i, name=f"n{i}") for i in range(100)]
+    ).select(F.col("k").cast("long"), "name")
+    orc_path = str(tmp_path / "orc")
+    csv_path = str(tmp_path / "csv")
+    df.write.orc(orc_path)
+    df.write.option("header", "true").csv(csv_path)
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    got_csv = read_csv(spark, csv_path, schema)
+    got_orc = read_orc(spark, orc_path, columns=["k", "name"])
+    want = sorted((r["k"], r["name"]) for r in df.collect())
+    assert sorted((r["k"], r["name"]) for r in got_csv.collect()) == want
+    assert sorted((r["k"], r["name"]) for r in got_orc.collect()) == want
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("k,name\n1,ok\nnot_a_number,oops\n")
+    with pytest.raises(Exception):
+        read_csv(spark, str(bad), schema).collect()

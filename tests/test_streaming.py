@@ -435,3 +435,55 @@ def test_asof_join_stream_tolerance_bounds_lookback(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["value"] == 3.0
     assert got[0]["ts_asof"] is None and got[0]["value_asof"] is None
+
+
+def test_zscore_stream_equals_batch(spark, tmp_path):
+    """Drained streaming z-score == batch rolling_zscore row for row
+    (integral values -> float64 window sums are exact, matching the batch
+    DECIMAL path bit for bit), including min_n NULLs and anomaly flags."""
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_zscore
+    from bigdata_etl_customer360_spark.streaming.stateful import zscore_stream
+
+    # 30 in-window baseline rows so the spike clears |z| > 3 (a single
+    # outlier's z is bounded near sqrt(n))
+    rows = [(1, f"2022-01-01 10:{m:02d}:00", 10.0) for m in range(30)]
+    rows.append((1, "2022-01-01 10:30:00", 500.0))  # spike
+    rows += [(2, f"2022-01-01 10:{m:02d}:00", float(m)) for m in range(0, 12, 2)]
+    d = tmp_path / "zs"; d.mkdir()
+    # two files so scoring spans triggers (state carry + re-emit guard)
+    _write_events(str(d / "a_main.parquet"), rows[:8])
+    time.sleep(0.05)
+    _write_events(str(d / "b_more.parquet"), rows[8:])
+    os.utime(d / "b_more.parquet", (time.time() + 2, time.time() + 2))
+    time.sleep(0.05)
+    _write_events(str(d / "c_flush.parquet"), FLUSH_ROWS)
+    os.utime(d / "c_flush.parquet", (time.time() + 5, time.time() + 5))
+
+    scored = zscore_stream(
+        stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1),
+        trailing_seconds=1800,
+        min_n=5,
+        watermark="0 seconds",
+    )
+    got = (
+        run_available_now(scored, "t_zscore", checkpoint_dir=str(tmp_path / "ckpt_z"))
+        .filter(F.col("user_id") != 99)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    batch = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in rows], EVENT_SCHEMA
+    )
+    want = (
+        rolling_zscore(batch, ["user_id"], "ts", "value", 1800, min_n=5)
+        .select("user_id", "ts", "value", "z", "is_anomaly")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(rows)
+    assert bool(got["is_anomaly"].any())  # the spike fired
+    for col in ("user_id", "ts", "value", "z", "is_anomaly"):
+        pd.testing.assert_series_equal(got[col], want[col], check_dtype=False, obj=col)

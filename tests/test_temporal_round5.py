@@ -320,3 +320,16 @@ def test_shard_corpus_balanced_contiguous_deterministic(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in again
     }
+
+
+def test_clustering_coefficient_k4_star(spark):
+    from bigdata_etl_customer360_spark.operators.graph import clustering_coefficient
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 100 + i) for i in range(1, 5)]
+    df = spark.createDataFrame(k4 + star, "src long, dst long")
+    got = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    for n in range(4):  # K4: every neighbor pair connected
+        assert got[n]["degree"] == 3 and got[n]["n_tri"] == 3 and got[n]["coeff"] == 1.0
+    assert got[100]["degree"] == 4 and got[100]["n_tri"] == 0 and got[100]["coeff"] == 0.0
+    assert got[101]["degree"] == 1 and got[101]["coeff"] is None  # undefined, not 0

@@ -2000,6 +2000,73 @@ def q_monthly_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/textstats.chunk_documents):
+    64-token chunks at stride 48 — pure codegen explode, zero shuffle;
+    the RAG/context-window prep step with exact cross-engine parity."""
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase picks up the user's EARLIEST click at
+    or after it (next-event-after semantics) — the reversed-time twin of
+    asof_join, same single-window carry plan, same tie pins."""
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts_us",
+        value_cols=["click_id", "click_value"],
+        direction="forward",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("ts_us_asof").alias("click_ts"),
+        F.col("click_id_asof").alias("click_id"),
+        F.col("click_value_asof").alias("click_value"),
+    )
+
+
+def q_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey pattern matching (operators/temporal.match_event_pattern):
+    per-user event paths encoded to a char string and tested against the
+    funnel grammar v.*c.*p — MATCH_RECOGNIZE-lite with one hash agg (the
+    sort lives inside sort_array, no window pass). Keys whose events all
+    map to nothing are absent (no path to test)."""
+    from bigdata_etl_customer360_spark.operators.temporal import match_event_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return match_event_pattern(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s"},
+        r"v.*c.*p",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -2074,6 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_training_corpus": q_prepare_training_corpus,
         "clustering_coeff": q_clustering_coeff,
         "monthly_rollup_reuse": q_monthly_rollup_reuse,
+        "chunk_documents": q_chunk_documents,
+        "asof_join_forward": q_asof_join_forward,
+        "path_pattern": q_path_pattern,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2862,6 +2932,65 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_orderpriority, month
+    """,
+    "chunk_documents": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS tk
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, tk,
+                 UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), 48)) AS s
+          FROM t
+        )
+        SELECT doc_id,
+               s // 48 AS chunk_idx,
+               CAST(len(tk[s + 1 : s + 64]) AS BIGINT) AS chunk_n_tokens,
+               array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
+        FROM ex
+    """,
+    "asof_join_forward": """
+        -- reversed-time twin of the asof_join oracle: ORDER BY t DESC so
+        -- the carry window sees future rows first; right rows still sort
+        -- before left at equal t (inclusive at-or-after), equal-ts ties
+        -- resolve by greatest click_id via r_id carry.
+        WITH clicks AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id, value
+          FROM events WHERE event_type = 'click'
+        ),
+        u AS (
+          SELECT user_id, epoch_us(ts) AS t, 1 AS side,
+                 event_id AS purchase_id,
+                 CAST(NULL AS BIGINT) AS r_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, t, 0, NULL, event_id FROM clicks
+        ),
+        carried AS (
+          SELECT *, last_value(r_id IGNORE NULLS) OVER w AS click_id
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY t DESC, side, r_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT c.purchase_id, c.user_id, c.t AS purchase_ts,
+               k.t AS click_ts, c.click_id, k.value AS click_value
+        FROM carried c LEFT JOIN clicks k
+          ON c.click_id = k.event_id AND c.user_id = k.user_id
+        WHERE c.side = 1
+    """,
+    "path_pattern": """
+        WITH mapped AS (
+          SELECT user_id, ts, event_id,
+            CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                 WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' END AS ch
+          FROM events
+        )
+        SELECT user_id,
+          string_agg(ch, '' ORDER BY ts ASC, event_id ASC) AS path,
+          regexp_matches(string_agg(ch, '' ORDER BY ts ASC, event_id ASC),
+                         'v.*c.*p') AS matched
+        FROM mapped WHERE ch IS NOT NULL
+        GROUP BY user_id
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

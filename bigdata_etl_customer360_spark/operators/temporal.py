@@ -40,14 +40,25 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``right`` row of the same
-    ``on`` key with ``right_ts <= left_ts`` (backward as-of). Left rows
-    with no prior right row keep nulls (left-outer semantics).
+    ``on`` key with ``right_ts <= left_ts`` (``direction='backward'``,
+    the default) or the EARLIEST right row with ``right_ts >= left_ts``
+    (``direction='forward'`` — "next event after": next restock after an
+    order, next heartbeat after an alert). Left rows with no matching
+    right row keep nulls (left-outer semantics).
+
+    Forward is the same single-window carry plan on reversed time order;
+    both directions are inclusive at equal timestamps and resolve
+    equal-timestamp right ties to the greatest payload tuple (one pinned
+    rule, not one per direction).
 
     Output: all ``left`` columns plus ``<right_ts><suffix>`` and
     ``<v><suffix>`` for each value column.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
     # the right payload rides as ONE struct so the carried values are
     # row-atomic (per-column last(ignorenulls) could stitch fields from
@@ -77,9 +88,10 @@ def asof_join(
     # pinned total order: time, then right-before-left, then the payload
     # struct (equal-ts right rows resolve to the greatest payload tuple;
     # struct comparison is field-ordered, engine-independent)
+    t_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc_nulls_first())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -495,4 +507,61 @@ def rolling_zscore(
         F.coalesce(
             F.when(ok, F.abs(z) > F.lit(float(threshold))), F.lit(False)
         ).alias(flag_out),
+    )
+
+
+def match_event_pattern(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    seq_col: str,
+    state_col: str,
+    alphabet: dict[str, str],
+    pattern: str,
+    out_path: str = "path",
+    out_match: str = "matched",
+) -> DataFrame:
+    """Sequence-pattern matching over per-key event journeys — the
+    MATCH_RECOGNIZE / funnel-regex capability: each key's events are
+    ordered by (ts, seq), mapped through ``alphabet`` to one character
+    each (unmapped states are dropped), concatenated into a path string,
+    and tested against ``pattern`` (an RE2∩Java regex, e.g. ``v.*c.*p``
+    for "view, then click, then purchase, anything between").
+
+    Output: one row per key with the encoded ``path`` and a boolean
+    ``matched`` — feed it to a filter or an aggregation for funnel
+    counts with arbitrary path grammars (the fixed 3-stage funnel query
+    is the special case ``v.*c.*p``).
+
+    Plan: ONE hash shuffle — collect_list with map-side partials, then a
+    per-row in-memory sort of each key's (ts, seq, char) triples (struct
+    field order IS the sort order, so no window pass at all); the path
+    string is bounded by events-per-key — for hot keys cap upstream
+    (`sample_n_per_group`) like any per-key collect. Determinism:
+    (ts, seq) is a total order; the regex subset excludes
+    backreferences/lookaround so both engines agree.
+    """
+    mapping = F.create_map(*[F.lit(x) for kv in alphabet.items() for x in kv])
+    ch = mapping[F.col(state_col)]
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts).alias("t"), F.col(seq_col).alias("s"), F.col("_ch").alias("c")
+            )
+        )
+    )
+    per_key = (
+        df.select(F.col(key), F.col(ts), F.col(seq_col), ch.alias("_ch"))
+        .filter(F.col("_ch").isNotNull())
+        .groupBy(key)
+        .agg(evs.alias("_evs"))
+        .select(
+            key,
+            F.array_join(
+                F.transform(F.col("_evs"), lambda e: e["c"]), ""
+            ).alias(out_path),
+        )
+    )
+    return per_key.select(
+        key, out_path, F.col(out_path).rlike(pattern).alias(out_match)
     )

@@ -421,3 +421,47 @@ def with_lang_id_chargram(
         expr = expr.when(F.col(f"_cg_{lang}") == best, F.lit(lang))
     out = tmp.withColumn(out_col, expr)
     return out.drop(*[f"_cg_{lang}" for lang in langs])
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    out_idx: str = "chunk_idx",
+    out_text: str = "chunk_text",
+    out_n: str = "chunk_n_tokens",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/context-window prep step:
+    every document becomes ceil(max(n−overlap,1)/stride) chunks of up to
+    ``chunk_tokens`` whitespace tokens, consecutive chunks overlapping by
+    ``chunk_tokens − stride`` tokens. Chunk starts are 0, stride, 2·stride,
+    … while start < n, so the tail is a (possibly short) final chunk and a
+    document shorter than one chunk yields exactly one chunk.
+
+    Plan: tokenize → ``sequence``-generated starts → explode → ``slice`` +
+    ``array_join`` — pure per-row codegen, ZERO shuffle; output rows ≈
+    input tokens / stride, streamed straight from the scan. Determinism:
+    same explicit whitespace class as every token op here (Java ``\\s``
+    and RE2 disagree on ``\\x0B`` — pinned both sides).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(int(stride))
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        F.posexplode(starts).alias(out_idx, "_start"),
+    )
+    sl = F.slice(F.col("_tk"), F.col("_start") + F.lit(1), F.lit(int(chunk_tokens)))
+    return exploded.select(
+        id_col,
+        F.col(out_idx).cast("long"),
+        F.size(sl).cast("long").alias(out_n),
+        F.array_join(sl, " ").alias(out_text),
+    )

@@ -333,3 +333,73 @@ def test_clustering_coefficient_k4_star(spark):
         assert got[n]["degree"] == 3 and got[n]["n_tri"] == 3 and got[n]["coeff"] == 1.0
     assert got[100]["degree"] == 4 and got[100]["n_tri"] == 0 and got[100]["coeff"] == 0.0
     assert got[101]["degree"] == 1 and got[101]["coeff"] is None  # undefined, not 0
+
+
+def test_asof_join_forward(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=_ts(0, hours=1), lid=1),
+            Row(k=1, lts=_ts(0, hours=5), lid=2),   # no future right
+            Row(k=2, lts=_ts(0, hours=1), lid=3),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts(0, hours=1), rv=10.0),  # equal ts: inclusive
+            Row(k=1, rts=_ts(0, hours=2), rv=20.0),
+            Row(k=2, rts=_ts(0, hours=3), rv=30.0),
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["rv"], direction="forward",
+    )
+    got = {r["lid"]: (r["rts_asof"], r["rv_asof"]) for r in out.collect()}
+    assert got[1] == (_ts(0, hours=1), 10.0)   # at-or-after, inclusive
+    assert got[2] == (None, None)              # nothing after -> nulls
+    assert got[3] == (_ts(0, hours=3), 30.0)   # earliest after
+    import pytest
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", ["rv"], direction="sideways")
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+            Row(doc_id=2, text="one two"),  # shorter than one chunk
+        ]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+    # doc 1: starts 0,3,6,9 -> 4 chunks, last is the 1-token tail
+    assert by[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert by[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"   # overlap of 1
+    assert by[(1, 3)]["chunk_text"] == "w9" and by[(1, 3)]["chunk_n_tokens"] == 1
+    assert by[(2, 0)]["chunk_text"] == "one two"
+    assert len([k for k in by if k[0] == 2]) == 1
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+def test_match_event_pattern_order_ties_and_unmapped(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import match_event_pattern
+
+    rows = [
+        Row(u=1, ts=_ts(0), i=2, st="click"),     # tie at t0: i orders c after v
+        Row(u=1, ts=_ts(0), i=1, st="view"),
+        Row(u=1, ts=_ts(1), i=3, st="error"),     # unmapped: dropped from path
+        Row(u=1, ts=_ts(2), i=4, st="purchase"),
+        Row(u=2, ts=_ts(0), i=5, st="error"),     # only unmapped: key absent
+    ]
+    out = match_event_pattern(
+        spark.createDataFrame(rows), "u", "ts", "i", "st",
+        {"view": "v", "click": "c", "purchase": "p"}, r"v.*c.*p",
+    ).collect()
+    got = {r["u"]: (r["path"], r["matched"]) for r in out}
+    assert got == {1: ("vcp", True)}

@@ -2067,6 +2067,33 @@ def q_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values, every bin present (operators/
+    quality.histogram): one hash agg on the bin id + a free dense spine;
+    out-of-range values clamp into the edge bins so counts conserve."""
+    from bigdata_etl_customer360_spark.operators.quality import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", lo=0.0, hi=100.0, num_bins=20)
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    ONE Expand + hash agg — completes the rollup/grouping-sets family.
+    grouping_id disambiguates real NULL keys from subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -2144,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "asof_join_forward": q_asof_join_forward,
         "path_pattern": q_path_pattern,
+        "histogram": q_histogram,
+        "cube_agg": q_cube_agg,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -2991,6 +3020,29 @@ _ORACLES: dict[str, str] = {
                          'v.*c.*p') AS matched
         FROM mapped WHERE ch IS NOT NULL
         GROUP BY user_id
+    """,
+    "histogram": """
+        WITH c AS (
+          SELECT GREATEST(0, LEAST(19,
+                   CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 5.0) AS BIGINT))) AS bin,
+                 COUNT(*) AS n
+          FROM events WHERE value IS NOT NULL GROUP BY bin
+        ), spine AS (
+          SELECT UNNEST(generate_series(0, 19)) AS bin
+        )
+        SELECT s.bin,
+               0.0 + s.bin * 5.0 AS bin_lo,
+               0.0 + (s.bin + 1) * 5.0 AS bin_hi,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN c ON s.bin = c.bin
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

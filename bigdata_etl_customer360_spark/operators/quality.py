@@ -371,3 +371,61 @@ def hll_segment_distinct(
             _within("global_estimate").alias("global_within_5pct"),
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    num_bins: int = 20,
+    clamp: bool = True,
+) -> DataFrame:
+    """Fixed-width histogram with EVERY bin present (empty bins emit 0 —
+    a histogram with holes silently lies in any downstream plot/report).
+
+    Bin i covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/num_bins; the
+    last bin is closed on the right (a value exactly at ``hi`` lands in
+    bin num_bins−1, the standard numpy convention). ``clamp=True`` folds
+    out-of-range values into the edge bins (so the row count is
+    conserved); ``clamp=False`` drops them. NULLs never count.
+
+    Plan: one map-side-combined hash agg on the bin id (num_bins groups),
+    then a broadcast join of the tiny dense bin spine (``sequence`` +
+    explode on a 1-row frame) — the big table is read once, the spine
+    costs nothing. Bin ids come from one fixed-shape double expression,
+    identical on any engine.
+    """
+    if num_bins < 1:
+        raise ValueError("num_bins must be >= 1")
+    w = (float(hi) - float(lo)) / num_bins
+    if not w > 0:
+        raise ValueError("hi must be > lo")
+    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(w))
+    if clamp:
+        bin_id = F.greatest(F.lit(0), F.least(F.lit(num_bins - 1), raw))
+    else:
+        bin_id = F.when(
+            (raw >= 0) & (raw <= num_bins - 1), raw
+        )  # NULL (dropped) outside; value == hi -> raw == num_bins
+        bin_id = F.when(F.col(col).cast("double") == F.lit(float(hi)),
+                        F.lit(num_bins - 1)).otherwise(bin_id)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_id.cast("long").alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(num_bins - 1))).alias("bin"))
+        .select(F.col("bin").cast("long").alias("bin"))
+    )
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+        (F.lit(float(lo)) + (F.col("bin") + F.lit(1)) * F.lit(w)).alias("bin_hi"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )

@@ -210,6 +210,10 @@ def shard_corpus(
     Plan: the shard assignment is map-only; the position needs ONE hash
     shuffle on ``shard`` (a window per shard). Shards are uniform by
     construction, so the window never sees skew regardless of data skew.
+    Sizing at scale: each shard's rank is ONE reducer by design (a shard
+    file's rows must be totally ordered), so pick ``num_shards`` to make
+    a shard ≈ one output file (hundreds of MB) — at 100 TB that means
+    tens of thousands of shards, not 8.
     """
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")

@@ -403,3 +403,23 @@ def test_match_event_pattern_order_ties_and_unmapped(spark):
     ).collect()
     got = {r["u"]: (r["path"], r["matched"]) for r in out}
     assert got == {1: ("vcp", True)}
+
+
+def test_histogram_empty_bins_clamp_and_conservation(spark):
+    from bigdata_etl_customer360_spark.operators.quality import histogram
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in (-5.0, 0.0, 0.5, 9.99, 10.0, 55.0, 120.0)]
+        + [Row(v=None)]
+    )
+    out = {r["bin"]: r for r in histogram(df, "v", 0.0, 100.0, num_bins=10).collect()}
+    assert len(out) == 10                       # every bin present
+    assert out[0]["n"] == 4                     # -5 clamps in; 0.0, 0.5, 9.99
+    assert out[1]["n"] == 1                     # 10.0 in [10,20)
+    assert out[9]["n"] == 1                     # 120 clamps into the last bin
+    assert out[5]["n"] == 1
+    assert sum(r["n"] for r in out.values()) == 7   # nulls dropped, rest conserved
+    assert out[3]["n"] == 0                     # empty bin emitted as 0
+    import pytest
+    with pytest.raises(ValueError, match="hi"):
+        histogram(df, "v", 5.0, 5.0)

@@ -2094,6 +2094,47 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text stage (operators/curation.strip_html): docs wrapped in
+    synthetic markup (both sides identically, like strip_boilerplate's
+    synthesized input), then the ordered regex chain strips blocks, tags,
+    entities. Pure codegen, zero shuffle."""
+    from bigdata_etl_customer360_spark.operators.curation import strip_html
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{margin:0}</style></head><body><p id="main">'),
+            F.col("text"),
+            F.lit('</p><script>track("x");</script><!-- f --> &amp; fin</body></html>'),
+        ).alias("text"),
+    )
+    return strip_html(docs).select("doc_id", "text")
+
+
+def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/curation.canonicalize_urls):
+    synthesized campaign-style URLs (same construction in the oracle)
+    reduce to one canonical key — host case, www, default port, tracking
+    params, param order, trailing slash and fragment all normalized."""
+    from bigdata_etl_customer360_spark.operators.curation import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=news&b=2&a=1"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+            F.lit("#sec"),
+        ).alias("url"),
+    )
+    return canonicalize_urls(docs, "url").select("doc_id", "url_canonical")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
@@ -2173,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_pattern": q_path_pattern,
         "histogram": q_histogram,
         "cube_agg": q_cube_agg,
+        "strip_html": q_strip_html,
+        "canonicalize_urls": q_canonicalize_urls,
         # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
@@ -3043,6 +3086,68 @@ _ORACLES: dict[str, str] = {
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "strip_html": r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+            '<html><head><style>p{margin:0}</style></head><body><p id="main">'
+            || text ||
+            '</p><script>track("x");</script><!-- f --> &amp; fin</body></html>'
+            AS t
+          FROM documents
+        )
+        SELECT doc_id, trim(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            t,
+            '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?i)<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' ', 'g'),
+            '&amp;', '&', 'g'),
+            '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+            '&#39;', CHR(39), 'g'),
+            '[ \t\r\n\x0B\f]+', ' ', 'g')
+        ) AS text
+        FROM wrapped
+    """,
+    "canonicalize_urls": r"""
+        WITH u AS (
+          SELECT doc_id,
+            'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+            || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+            || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+            || '?utm_source=news&b=2&a=1'
+            || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=abc' ELSE '' END
+            || '#sec' AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+            regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1) AS qry
+          FROM u
+        ), canon AS (
+          SELECT doc_id, scheme,
+            regexp_replace(regexp_replace(lower(auth), '^www\.', ''),
+                           ':(80|443)$', '') AS host,
+            regexp_replace(pth, '/+$', '') AS cpath,
+            array_to_string(list_sort(list_filter(string_split(qry, '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)='))), '&') AS params
+          FROM parts
+        )
+        SELECT doc_id,
+          CASE WHEN scheme <> '' THEN
+            lower(scheme) || '://' || host || cpath ||
+            CASE WHEN params <> '' THEN '?' || params ELSE '' END
+          END AS url_canonical
+        FROM canon
     """,
     "curate_corpus": r"""
         -- the five-stage curation ladder, each CTE one engine operator:

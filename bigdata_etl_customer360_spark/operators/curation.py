@@ -320,3 +320,98 @@ def dedup_lines_within(
         .withColumn(removed_col, F.col("_dl._removed"))
         .drop("_dl")
     )
+
+
+# HTML-stripping chain: ORDER MATTERS (block elements before the generic
+# tag sweep; entities after tags so '&lt;b&gt;' never becomes a live tag).
+# Every pattern sits in the RE2 ∩ java.util.regex subset (no lookaround)
+# so the identical chain runs in the SQL oracle.
+_HTML_RULES: Sequence[tuple[str, str]] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"[ \t\r\n\x0B\f]+", " "),
+)
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text",
+) -> DataFrame:
+    """Web-corpus HTML→text: drop script/style/comment blocks wholesale,
+    sweep remaining tags, decode the common entities, collapse
+    whitespace — the first stage of every web-crawl curation pipeline
+    (the heavier boilerplate problem is :func:`strip_boilerplate_lines`'s
+    job; this one is purely syntactic).
+
+    A fixed ordered ``regexp_replace`` chain (like :func:`redact_pii`):
+    pure codegen, zero shuffle, pushes into the scan stage. Escaped
+    markup stays text (entities decode AFTER the tag sweep, so
+    ``&lt;b&gt;`` comes out as the literal ``<b>``, never as a tag).
+    """
+    expr: Column = F.col(text_col)
+    for pat, repl in _HTML_RULES:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out_col, F.trim(expr))
+
+
+_TRACKING_PARAM = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)="
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "url_canonical",
+) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: the same page reached
+    via tracking links, WWW/no-WWW, default ports, param order, trailing
+    slashes or fragments must map to ONE key, or URL-level dedup
+    undercounts by whole campaigns.
+
+    Normalization (pinned, engine-portable): lowercase scheme and host;
+    strip a leading ``www.``; strip ``:80``/``:443`` default ports; drop
+    the fragment; drop tracking params (``utm_*``, ``gclid``, ``fbclid``,
+    ``msclkid``, ``ref``, ``ref_src``); SORT surviving params (byte
+    order); strip trailing slashes from the path. Path and param VALUES
+    keep their case (paths are case-sensitive by spec). Rows that don't
+    parse as ``scheme://authority...`` get NULL.
+
+    Plan: regexp_extract the four URL parts + a split→filter→sort_array
+    →array_join over the query — per-row codegen, zero shuffle.
+    """
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(authority), r"^www\.", ""), r":(80|443)$", ""
+    )
+    cpath = F.regexp_replace(path, r"/+$", "")
+    params = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM),
+            )
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        host,
+        cpath,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme != "", rebuilt)
+    )

@@ -14,6 +14,7 @@ from bigdata_etl_customer360_spark.sources.bucketed import (
 )
 from bigdata_etl_customer360_spark.sources.layout import (
     with_zorder_key,
+    with_zorder_key_ranked,
     write_zordered,
     zorder_expr,
 )

@@ -94,3 +94,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_zorder_key_ranked(
+    df: DataFrame,
+    columns: Sequence[str],
+    bits: int = 12,
+    out_col: str = "_z",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Rank-normalized Morton key: each column maps through its own
+    quantile grid instead of a min/max line, so heavy-tailed or
+    outlier-bearing columns still spread across the full 2^bits cells
+    (one extreme value compresses the min/max variant's whole grid into
+    a few cells — measured in the layout test).
+
+    Bounds: one ``approxQuantile`` pass per column (driver receives
+    2^bits doubles per column — bounded, like the IVF centroid fit);
+    the per-row cell lookup is a BITS-deep branchless binary search
+    unrolled into ``element_at``/``when`` expressions over the literal
+    boundary array — pure codegen, no higher-order interpreted lambda
+    scanning 2^bits elements per row.
+
+    Ties/duplicates in the quantile grid are fine (equal boundaries make
+    some cells empty; ordering stays correct). NULLs map to cell 0.
+    """
+    cells = 1 << bits
+    norms = []
+    for c in columns:
+        qs = [i / cells for i in range(1, cells)]
+        bounds = df.approxQuantile(c, qs, relative_error)
+        arr = F.lit(bounds)
+        idx: Column = F.lit(0)
+        step = cells >> 1
+        while step >= 1:
+            cand = idx + F.lit(step)
+            # boundary[k] separates cell k-1 from cell k (1-indexed array)
+            ok = (cand <= F.lit(cells - 1)) & (
+                F.col(c).cast("double") >= F.element_at(arr, cand.cast("int"))
+            )
+            idx = F.when(ok, cand).otherwise(idx)
+            step >>= 1
+        norms.append(F.coalesce(idx, F.lit(0)).cast("long"))
+    return df.withColumn(out_col, zorder_expr(norms, bits))

@@ -117,3 +117,35 @@ def test_csv_and_orc_round_trip(spark, tmp_path):
     bad.write_text("k,name\n1,ok\nnot_a_number,oops\n")
     with pytest.raises(Exception):
         read_csv(spark, str(bad), schema).collect()
+
+
+def test_ranked_zorder_survives_outliers_and_is_monotone(spark):
+    """One huge outlier collapses the min/max grid onto a few cells; the
+    rank-normalized key keeps the full spread. Cell assignment must be
+    monotone in the underlying value."""
+    import random
+
+    from bigdata_etl_customer360_spark.sources.layout import (
+        with_zorder_key,
+        with_zorder_key_ranked,
+    )
+
+    random.seed(7)
+    rows = [Row(x=float(random.randint(0, 100)), y=float(i % 64)) for i in range(4096)]
+    rows.append(Row(x=1e9, y=1.0))
+    df = spark.createDataFrame(rows)
+    mm = with_zorder_key(df, ["x", "y"], bits=6).select("_z").distinct().count()
+    rk = with_zorder_key_ranked(df, ["x", "y"], bits=6).select("_z").distinct().count()
+    assert rk > 10 * mm  # 2509 vs 65 measured
+
+    # monotonicity of the rank binning (single column isolates the cell id)
+    one = spark.createDataFrame([Row(v=float(i)) for i in range(1000)])
+    cells = (
+        with_zorder_key_ranked(one, ["v"], bits=4)
+        .orderBy("v")
+        .select("_z")
+        .collect()
+    )
+    seq = [r["_z"] for r in cells]
+    assert seq == sorted(seq)
+    assert len(set(seq)) >= 14  # ~16 cells actually used

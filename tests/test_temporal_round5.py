@@ -423,3 +423,39 @@ def test_histogram_empty_bins_clamp_and_conservation(spark):
     import pytest
     with pytest.raises(ValueError, match="hi"):
         histogram(df, "v", 5.0, 5.0)
+
+
+def test_strip_html_blocks_entities_escaped_markup(spark):
+    from bigdata_etl_customer360_spark.operators.curation import strip_html
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                text='<p>Hi <b>there</b></p><script>var s="<p>gone</p>";</script>'
+                "<style>a{}</style><!-- no -->&lt;b&gt;kept&lt;/b&gt; &amp; done"
+            ),
+            Row(text="no markup  at\tall"),
+        ]
+    )
+    got = [r["text"] for r in strip_html(df).collect()]
+    assert got[0] == "Hi there <b>kept</b> & done"  # escaped markup stays TEXT
+    assert got[1] == "no markup at all"             # whitespace collapsed
+
+
+def test_canonicalize_urls_pins(spark):
+    from bigdata_etl_customer360_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [
+            Row(i=1, u="HTTPS://WWW.Ex.COM:443/a/b/?z=1&utm_medium=m&a=2#f"),
+            Row(i=2, u="http://ex.com:80/a/b?a=2&z=1"),
+            Row(i=3, u="https://ex.com/CaseKept/Path"),
+            Row(i=4, u="garbage"),
+        ]
+    )
+    got = {r["i"]: r["url_canonical"] for r in canonicalize_urls(df, "u").collect()}
+    # 1 and 2 collapse to the same key modulo scheme; tracking/order/port/www die
+    assert got[1] == "https://ex.com/a/b?a=2&z=1"
+    assert got[2] == "http://ex.com/a/b?a=2&z=1"
+    assert got[3] == "https://ex.com/CaseKept/Path"  # path case preserved
+    assert got[4] is None

@@ -337,6 +337,11 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
     Returns ONE row: (n_nodes, n_edges, n_triangles) — all exact BIGINTs.
     """
+    # the canonical edge set is consumed from FIVE plan branches (degrees
+    # x2, the orientation join, wedges/closing, stats); only the shuffle
+    # below it would be reused, the distinct re-aggregates per consumer —
+    # and any expensive upstream build (the co-purchase support agg) rides
+    # along each time. Materialize it ONCE.
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -344,6 +349,7 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -359,7 +365,7 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = withdeg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=True)  # three consumers (self-join sides + closing)
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
         F.col("b") != F.col("c")
@@ -397,6 +403,7 @@ def clustering_coefficient(
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=True)  # five consumers; see count_triangles
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -412,7 +419,7 @@ def clustering_coefficient(
     oriented = withdeg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=True)  # three consumers; see count_triangles
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
         F.col("b") != F.col("c")

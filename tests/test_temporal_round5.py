@@ -459,3 +459,27 @@ def test_canonicalize_urls_pins(spark):
     assert got[2] == "http://ex.com/a/b?a=2&z=1"
     assert got[3] == "https://ex.com/CaseKept/Path"  # path case preserved
     assert got[4] is None
+
+
+def test_empty_input_behaviors(spark):
+    """Empty frames flow through the round-5 operators without errors and
+    with sane shapes (no IndexError-style regressions à la profile_table)."""
+    from bigdata_etl_customer360_spark.operators.quality import corr_matrix, histogram
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        interval_concurrency,
+        resample_timeseries,
+        transition_counts,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "k string, ts timestamp, v double, i long, st string"
+    )
+    assert resample_timeseries(empty_ev, ["k"], "ts", 86400, value_col="v").count() == 0
+    assert transition_counts(empty_ev, "k", "ts", "st", "i").count() == 0
+    assert interval_concurrency(
+        empty_ev.select(F.col("ts").alias("s"), F.col("ts").alias("e")), "s", "e"
+    ).count() == 0
+    hist = histogram(empty_ev, "v", 0.0, 10.0, num_bins=5).collect()
+    assert len(hist) == 5 and all(r["n"] == 0 for r in hist)  # dense even when empty
+    cm = corr_matrix(empty_ev.select("v", F.col("v").alias("w")), ["v", "w"]).collect()
+    assert len(cm) == 1 and cm[0]["n"] == 0 and cm[0]["corr"] is None

@@ -108,3 +108,41 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def plan_summary(df: DataFrame) -> dict[str, int]:
+    """Count the plan nodes that decide whether a query survives 100x:
+    exchanges (shuffles), scans, joins by strategy, whole-stage-codegen
+    spans, and the red flags (CartesianProduct, BroadcastNestedLoopJoin,
+    row-at-a-time Python evals).
+
+    The same introspection the plan tests do ad-hoc, exposed for users:
+    ``plan_summary(q)["exchanges"]`` in a CI assertion pins a query's
+    shuffle count so a regression (a lost broadcast, a new Exchange from
+    a refactor) fails loudly instead of shipping 10x shuffle volume.
+    Counts come from the FORMATTED physical plan (post-AQE initial plan).
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    ops = plan.split("\n\n")[0]
+    def n(token: str) -> int:
+        return sum(1 for line in ops.splitlines() if token in line)
+    return {
+        "exchanges": n("Exchange"),
+        "scans": n("Scan "),
+        "broadcast_hash_joins": n("BroadcastHashJoin"),
+        "sort_merge_joins": n("SortMergeJoin"),
+        "shuffled_hash_joins": n("ShuffledHashJoin"),
+        "nested_loop_joins": n("NestedLoop"),
+        "cartesian_products": n("CartesianProduct"),
+        "codegen_spans": n("WholeStageCodegen"),
+        "python_evals": n("BatchEvalPython") + n("ArrowEvalPython"),
+        "windows": n("Window"),
+        "aggregates": n("HashAggregate") + n("SortAggregate")
+        + n("ObjectHashAggregate"),
+    }

@@ -185,3 +185,22 @@ def test_mixture_sample_filter_rides_broadcast(spark):
         mixture_sample(docs, "lang", {"en": 0.5, "fr": 0.5}, id_col="doc_id")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_summary_counts(spark):
+    from bigdata_etl_customer360_spark.operators.util import plan_summary
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR)
+    q = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    s = plan_summary(q)
+    assert s["broadcast_hash_joins"] == 1
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    assert s["scans"] == 2
+    assert s["aggregates"] >= 2      # partial + final
+    assert s["exchanges"] >= 1       # the groupBy shuffle
+    assert s["python_evals"] == 0

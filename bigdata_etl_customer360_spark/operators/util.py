@@ -123,6 +123,7 @@ def plan_summary(df: DataFrame) -> dict[str, int]:
     Counts come from the FORMATTED physical plan (post-AQE initial plan).
     """
     import io
+    import re
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
@@ -130,8 +131,17 @@ def plan_summary(df: DataFrame) -> dict[str, int]:
         df.explain("formatted")
     plan = buf.getvalue()
     ops = plan.split("\n\n")[0]
+    # codegen spans only show in SIMPLE mode as "*(id)" stage markers —
+    # and under AQE only AFTER execution (the pre-execution AdaptiveSparkPlan
+    # prints without them), so expect 0 on an unexecuted adaptive plan
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        df.explain()
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", buf2.getvalue()))
+
     def n(token: str) -> int:
         return sum(1 for line in ops.splitlines() if token in line)
+
     return {
         "exchanges": n("Exchange"),
         "scans": n("Scan "),
@@ -140,7 +150,7 @@ def plan_summary(df: DataFrame) -> dict[str, int]:
         "shuffled_hash_joins": n("ShuffledHashJoin"),
         "nested_loop_joins": n("NestedLoop"),
         "cartesian_products": n("CartesianProduct"),
-        "codegen_spans": n("WholeStageCodegen"),
+        "codegen_spans": len(codegen_ids),
         "python_evals": n("BatchEvalPython") + n("ArrowEvalPython"),
         "windows": n("Window"),
         "aggregates": n("HashAggregate") + n("SortAggregate")

@@ -204,3 +204,12 @@ def test_plan_summary_counts(spark):
     assert s["aggregates"] >= 2      # partial + final
     assert s["exchanges"] >= 1       # the groupBy shuffle
     assert s["python_evals"] == 0
+
+
+def test_no_rowwise_python_eval_anywhere(spark):
+    """No graded query may plan a row-at-a-time pickled Python eval
+    (BatchEvalPython). Arrow-batched pandas UDFs (ArrowEvalPython /
+    mapInPandas stages) are the sanctioned Python path."""
+    for name, q in entrymod.queries().items():
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} plans a row-wise Python eval"

@@ -386,6 +386,11 @@ def canonicalize_urls(
 
     Plan: regexp_extract the four URL parts + a split→filter→sort_array
     →array_join over the query — per-row codegen, zero shuffle.
+
+    Known simplification: a userinfo component (``user@host``) is treated
+    as part of the authority and lowercased with it — fine for web-corpus
+    URLs (credentials in crawl URLs are junk anyway), documented so nobody
+    mistakes this for RFC-3986-complete parsing.
     """
     u = F.col(url_col)
     scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)

@@ -110,6 +110,10 @@ def mixture_sample(
     the broadcast rates — the big table is read once for counting, once
     for filtering, with no wide shuffle anywhere.
     """
+    if not weights:
+        raise ValueError("mixture_sample needs a non-empty weights dict")
+    if any(not v > 0 for v in weights.values()):
+        raise ValueError("mixture weights must be > 0 (omit a domain to drop it)")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(str(k), float(v)) for k, v in weights.items()],
@@ -215,6 +219,8 @@ def shard_corpus(
     a shard ≈ one output file (hundreds of MB) — at 100 TB that means
     tens of thousands of shards, not 8.
     """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     shard = (u % F.lit(int(num_shards))).cast("int")

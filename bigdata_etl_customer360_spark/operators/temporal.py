@@ -326,6 +326,10 @@ def range_join(
     Both bounds inclusive (ANSI ``BETWEEN``), timestamps compared exactly.
     """
     kcols = list(keys)
+    # an inverted interval (end < start) contains no point by definition —
+    # filter it out explicitly (it would otherwise crash F.sequence with a
+    # negative span, a cryptic error for a data-quality problem)
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     p_bin = F.floor(_epoch_s(point_ts) / F.lit(bin_seconds))
     i_start = F.floor(_epoch_s(start_col) / F.lit(bin_seconds))
     i_end = F.floor(_epoch_s(end_col) / F.lit(bin_seconds))

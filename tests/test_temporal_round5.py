@@ -483,3 +483,72 @@ def test_empty_input_behaviors(spark):
     assert len(hist) == 5 and all(r["n"] == 0 for r in hist)  # dense even when empty
     cm = corr_matrix(empty_ev.select("v", F.col("v").alias("w")), ["v", "w"]).collect()
     assert len(cm) == 1 and cm[0]["n"] == 0 and cm[0]["corr"] is None
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([Row(pid=1, ts=_ts(0, hours=1))])
+    ivs = spark.createDataFrame(
+        [
+            Row(iid=1, s=_ts(0), e=_ts(0, hours=2)),       # valid: matches
+            Row(iid=2, s=_ts(0, hours=2), e=_ts(0)),       # inverted: no crash, no match
+        ]
+    )
+    got = range_join(points, ivs, "ts", "s", "e", bin_seconds=3600).collect()
+    assert [r["iid"] for r in got] == [1]
+
+
+def test_sampling_validations(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import (
+        mixture_sample,
+        shard_corpus,
+    )
+
+    df = spark.createDataFrame([Row(d="a", i=1)])
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "d", {}, id_col="i")
+    with pytest.raises(ValueError, match="> 0"):
+        mixture_sample(df, "d", {"a": 0.0}, id_col="i")
+    with pytest.raises(ValueError, match="num_shards"):
+        shard_corpus(df, "i", 0)
+
+
+def test_partition_independence_round5(spark):
+    """Determinism contract: identical results under 1-partition and
+    17-partition layouts for the md5/window/decimal round-5 operators."""
+    from bigdata_etl_customer360_spark.operators.sampling import (
+        mixture_sample,
+        shard_corpus,
+        stratified_split,
+    )
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        rolling_zscore,
+        transition_counts,
+    )
+
+    rows = [
+        Row(k=f"k{i % 7}", ts=_ts(0, seconds=37 * i), v=float(i % 13), i=i)
+        for i in range(500)
+    ]
+    base = spark.createDataFrame(rows)
+
+    def runs(fn):
+        outs = []
+        for parts in (1, 17):
+            df = base.repartition(parts)
+            rows_ = [tuple(r) for r in fn(df).collect()]
+            outs.append(sorted(rows_, key=lambda t: tuple(map(repr, t))))
+        return outs
+
+    for fn in (
+        lambda d: mixture_sample(d, "k", {f"k{j}": 1 / 7 for j in range(7)}, id_col="i"),
+        lambda d: stratified_split(d, ["k"], id_col="i").select("i", "split"),
+        lambda d: shard_corpus(d, "i", 8).select("i", "shard", "pos"),
+        lambda d: transition_counts(d, "k", "ts", "v", "i"),
+        lambda d: rolling_zscore(d, ["k"], "ts", "v", 3600, min_n=3).select(
+            "i", "z", "is_anomaly"
+        ),
+    ):
+        a, b = runs(fn)
+        assert a == b

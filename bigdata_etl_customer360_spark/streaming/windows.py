@@ -127,3 +127,106 @@ def run_available_now(
     q = writer.start()
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "to_parquet",
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once parquet sink: availableNow drain into a file sink with
+    a durable checkpoint. The file sink commits via a write-ahead manifest
+    (_spark_metadata) keyed by batch id, so a RESTART with the same
+    checkpoint reprocesses nothing and a crash mid-batch leaves no
+    partial files visible — re-running this function as new input arrives
+    is the incremental bronze-ingest loop, idempotent by construction
+    (pinned by tests/test_streaming.py::test_stream_to_parquet_resume).
+
+    Returns the StreamingQuery after it has drained (awaitTermination).
+    Scale notes: each micro-batch writes its input partitioning — for
+    file-count control, transform with repartition() upstream; readers
+    MUST go through spark.read.parquet on the directory (the manifest
+    filters uncommitted files).
+    """
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .queryName(query_name)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+    query_name: str = "silver_upsert",
+):
+    """Streaming silver-table maintenance: every micro-batch MERGEs into a
+    parquet snapshot via foreachBatch — the lakehouse pattern for "latest
+    row per key" tables fed by a change stream.
+
+    Per batch: reduce the batch to its newest row per key (dedupe within
+    the batch by ``order_col`` desc, key asc — a batch can carry several
+    updates for one key), then ``operators.relational.merge_upsert`` the
+    result into the snapshot and atomically swap it in (write to a temp
+    dir, then replace). foreachBatch re-delivers a failed batch, and the
+    merge is idempotent for same-key re-application, so the snapshot
+    converges under at-least-once delivery.
+
+    Single-writer assumption (documented, like _graph_shuffle_conf): the
+    snapshot swap is last-writer-wins; run ONE maintenance query per
+    table. At scale the same loop targets a transactional table format;
+    the operator keeps the plan shape (dedupe -> MERGE) identical.
+    """
+    from pyspark.sql import Window as W
+
+    from bigdata_etl_customer360_spark.operators.relational import merge_upsert
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        # deterministic newest-per-key: order_col desc, then the full
+        # payload desc so an exact-tie batch still picks one pinned row
+        others = [c for c in batch_df.columns if c not in keys and c != order_col]
+        w = W.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if latest.isEmpty():
+            return
+        try:
+            snap = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(snap, latest, keys)
+        except Exception:
+            merged = latest  # first batch: no snapshot yet
+        tmp = snapshot_path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snapshot_path, ignore_errors=True)
+        shutil.move(tmp, snapshot_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

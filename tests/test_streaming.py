@@ -487,3 +487,65 @@ def test_zscore_stream_equals_batch(spark, tmp_path):
     assert bool(got["is_anomaly"].any())  # the spike fired
     for col in ("user_id", "ts", "value", "z", "is_anomaly"):
         pd.testing.assert_series_equal(got[col], want[col], check_dtype=False, obj=col)
+
+
+def test_stream_to_parquet_resume_exactly_once(spark, tmp_path):
+    """File-sink idempotence: draining again with the same checkpoint
+    after new files arrive appends ONLY the new rows; a drain with no new
+    input changes nothing."""
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_from_parquet,
+        stream_to_parquet,
+    )
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt_sink")
+    _write_events(str(src / "a.parquet"), [(1, "2022-01-01 10:00:00", 1.0)])
+
+    def drain():
+        stream_to_parquet(
+            stream_from_parquet(spark, str(src), EVENT_SCHEMA), out, ckpt
+        )
+        return sorted(
+            (r["user_id"], r["value"]) for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain() == [(1, 1.0)]
+    _write_events(str(src / "b.parquet"), [(2, "2022-01-01 11:00:00", 2.0)])
+    assert drain() == [(1, 1.0), (2, 2.0)]   # b appended, a NOT re-ingested
+    assert drain() == [(1, 1.0), (2, 2.0)]   # no input, no change
+
+
+def test_stream_upsert_to_table_matches_batch_fold(spark, tmp_path):
+    """foreachBatch MERGE maintenance: the final snapshot equals folding
+    merge_upsert over the same updates in batch, including within-batch
+    multi-update keys (newest ts wins)."""
+    from bigdata_etl_customer360_spark.operators.relational import merge_upsert
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_from_parquet,
+        stream_upsert_to_table,
+    )
+
+    src = tmp_path / "usrc"; src.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    b1 = [(1, "2022-01-01 10:00:00", 1.0), (2, "2022-01-01 10:00:00", 2.0)]
+    b2 = [
+        (1, "2022-01-01 11:00:00", 10.0),      # update key 1
+        (1, "2022-01-01 11:30:00", 11.0),      # same key twice in one batch
+        (3, "2022-01-01 11:00:00", 3.0),       # insert key 3
+    ]
+    _write_events(str(src / "a.parquet"), b1)
+    time.sleep(0.05)
+    _write_events(str(src / "b.parquet"), b2)
+    os.utime(src / "b.parquet", (time.time() + 2, time.time() + 2))
+
+    stream_upsert_to_table(
+        stream_from_parquet(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1),
+        snap, ckpt, keys=["user_id"], order_col="ts",
+    )
+    got = sorted(
+        (r["user_id"], r["value"]) for r in spark.read.parquet(snap).collect()
+    )
+    assert got == [(1, 11.0), (2, 2.0), (3, 3.0)]

@@ -253,3 +253,69 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted.join(replicated, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    change_col: str = "change",
+    changed_cols_col: str = "changed_cols",
+) -> DataFrame:
+    """Diff two snapshots of a keyed table — the CDC-generation /
+    dataset-regression primitive: which keys were ``added``, ``removed``,
+    or ``changed`` (and WHICH columns changed), with unchanged rows
+    dropped.
+
+    Comparison is null-safe (``<=>``): NULL -> value and value -> NULL
+    both count as a change, NULL -> NULL does not. ``changed_cols`` is
+    the comma-joined sorted list of differing column names (empty for
+    added/removed — the whole row appeared/vanished).
+
+    Plan: ONE full-outer hash join on the keys + a codegen projection;
+    output ~ |changed keys|, never the table. The big-snapshot diff at
+    100 TB is exactly this shape — co-partition or bucket both snapshots
+    on the keys and the join needs no extra exchange.
+    """
+    kcols = list(keys)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in kcols
+    ]
+    o = old.select(
+        *[F.col(k).alias(k) for k in kcols],
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in kcols],
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, on=kcols, how="full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in sorted(cols)
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            *kcols,
+            change_col,
+            F.when(
+                F.col(change_col) == "changed", F.array_join(diffs, ",")
+            ).otherwise(F.lit("")).alias(changed_cols_col),
+        )
+    )

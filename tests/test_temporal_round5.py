@@ -552,3 +552,34 @@ def test_partition_independence_round5(spark):
     ):
         a, b = runs(fn)
         assert a == b
+
+
+def test_snapshot_diff_null_safety_and_attribution(spark):
+    from bigdata_etl_customer360_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a=None, b=2.0),   # null -> value = changed
+            Row(k=3, a="z", b=None),   # null -> null = NOT changed
+            Row(k=4, a="w", b=4.0),    # removed
+            Row(k=6, a="u", b=6.0),    # unchanged -> dropped
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.5),        # b changed
+            Row(k=2, a="y", b=2.0),        # a changed (from NULL)
+            Row(k=3, a="z", b=None),       # identical incl. null
+            Row(k=5, a="v", b=5.0),        # added
+            Row(k=6, a="u", b=6.0),
+        ]
+    )
+    got = {r["k"]: (r["change"], r["changed_cols"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("changed", "b"),
+        2: ("changed", "a"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }

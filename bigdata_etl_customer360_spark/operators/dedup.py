@@ -494,3 +494,69 @@ def embedding_cosine_pairs(
         .cogroup(right.groupBy("ba", "bb"))
         .applyInPandas(score, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
     )
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    left_text: str = "text",
+    right_text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-TABLE record linkage (entity resolution): Jaccard over word
+    n-grams between every left/right record sharing at least one shingle
+    — :func:`ngram_jaccard_pairs`' two-sided sibling for "match incoming
+    records against the master table" (catalog reconciliation, dedup of
+    a new crawl against the existing corpus).
+
+    Same inverted-index plan, but the posting lists are built per SIDE
+    and joined left×right on the shingle hash (no self-join, no a<b
+    canonicalization — a pair is one (left_id, right_id)); ``max_df``
+    caps boilerplate posting lists counting BOTH sides. Output:
+    (left_id, right_id, jaccard >= threshold).
+    """
+    def _posts(df: DataFrame, id_col: str, text_col: str, tag: str):
+        sh = with_shingles(fan_out(df), text_col, n).select(
+            F.col(id_col).alias(f"_{tag}id"), F.col("shingles")
+        )
+        sized = sh.withColumn(f"_{tag}sz", F.size("shingles"))
+        return scoped_cache(
+            sized.select(
+                f"_{tag}id", f"_{tag}sz", F.explode("shingles").alias("_s")
+            ).select(f"_{tag}id", f"_{tag}sz", F.xxhash64("_s").alias("_sh"))
+        )
+
+    lp = _posts(left, left_id, left_text, "l")
+    rp = _posts(right, right_id, right_text, "r")
+    if max_df is not None:
+        df_counts = (
+            lp.select("_sh").unionAll(rp.select("_sh"))
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        lp = lp.join(df_counts, on="_sh")
+        rp = rp.join(df_counts, on="_sh")
+    inter = (
+        lp.join(rp, on="_sh")
+        .groupBy(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            F.col("_lsz").alias("sz_l"),
+            F.col("_rsz").alias("sz_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_l") + F.col("sz_r") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )

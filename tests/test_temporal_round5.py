@@ -583,3 +583,24 @@ def test_snapshot_diff_null_safety_and_attribution(spark):
         4: ("removed", ""),
         5: ("added", ""),
     }
+
+
+def test_link_records_cross_table(spark):
+    from bigdata_etl_customer360_spark.operators.dedup import link_records
+
+    left = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely different content here entirely"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=11, text="unrelated text with no overlap whatsoever at all"),
+        ]
+    )
+    got = link_records(left, right, threshold=0.5).collect()
+    assert [(r["left_id"], r["right_id"]) for r in got] == [(1, 10)]
+    assert got[0]["jaccard"] > 0.7
+    # no self-pairs, no within-table pairs by construction (two-sided join)

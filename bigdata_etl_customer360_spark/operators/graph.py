@@ -309,7 +309,9 @@ def pagerank(
     return ranks
 
 
-def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def count_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
+) -> DataFrame:
     """Exact triangle count over an (arbitrary-direction, possibly
     duplicated) edge list — the standard graph-cohesion statistic
     (clustering coefficient numerator, community density).
@@ -335,6 +337,14 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     lowest-ranked vertex a, and the (b, c) closing edge exists in only
     one orientation.
 
+    ``materialize`` (default True) localCheckpoints the canonical and
+    oriented edge sets — they feed 3-5 plan branches, and without it each
+    consumer re-runs the aggregates above the (reused) shuffles plus the
+    whole upstream edge build (measured ~40% of query time). Trade-off:
+    localCheckpoint blocks live on executors, so losing an executor fails
+    the job instead of recomputing lineage — pass ``materialize=False``
+    on failure-prone clusters to keep pure-lineage recovery.
+
     Returns ONE row: (n_nodes, n_edges, n_triangles) — all exact BIGINTs.
     """
     # the canonical edge set is consumed from FIVE plan branches (degrees
@@ -349,8 +359,9 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
@@ -365,7 +376,9 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = withdeg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=True)  # three consumers (self-join sides + closing)
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)  # 3 consumers
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
         F.col("b") != F.col("c")
@@ -379,7 +392,7 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
 ) -> DataFrame:
     """Per-node local clustering coefficient: 2·T(v) / (d(v)·(d(v)−1)),
     the fraction of a node's neighbor pairs that are themselves connected
@@ -403,8 +416,9 @@ def clustering_coefficient(
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # five consumers; see count_triangles
     )
+    if materialize:
+        und = und.localCheckpoint(eager=True)  # five consumers; see count_triangles
     deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
@@ -419,7 +433,9 @@ def clustering_coefficient(
     oriented = withdeg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=True)  # three consumers; see count_triangles
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)  # see count_triangles
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
         F.col("b") != F.col("c")

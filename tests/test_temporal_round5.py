@@ -604,3 +604,13 @@ def test_link_records_cross_table(spark):
     assert [(r["left_id"], r["right_id"]) for r in got] == [(1, 10)]
     assert got[0]["jaccard"] > 0.7
     # no self-pairs, no within-table pairs by construction (two-sided join)
+
+
+def test_count_triangles_materialize_off_same_result(spark):
+    from bigdata_etl_customer360_spark.operators.graph import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    on = count_triangles(df).collect()[0]
+    off = count_triangles(df, materialize=False).collect()[0]
+    assert tuple(on) == tuple(off) == (4, 6, 4)

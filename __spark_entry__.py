@@ -2918,15 +2918,21 @@ _ORACLES: dict[str, str] = {
           FROM m
         )
         SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
-               (nd * qe - sq * se) / SQRT((nd * qq - sq * sq) * (nd * ee - se * se)) AS corr
+               CASE WHEN (nd * qq - sq * sq) > 0.0 AND (nd * ee - se * se) > 0.0
+                 THEN (nd * qe - sq * se)
+                      / SQRT((nd * qq - sq * sq) * (nd * ee - se * se)) END AS corr
         FROM md
         UNION ALL
         SELECT 'l_quantity', 'l_discount', n,
-               (nd * qd - sq * sd) / SQRT((nd * qq - sq * sq) * (nd * dd - sd * sd))
+               CASE WHEN (nd * qq - sq * sq) > 0.0 AND (nd * dd - sd * sd) > 0.0
+                 THEN (nd * qd - sq * sd)
+                      / SQRT((nd * qq - sq * sq) * (nd * dd - sd * sd)) END
         FROM md
         UNION ALL
         SELECT 'l_extendedprice', 'l_discount', n,
-               (nd * ed - se * sd) / SQRT((nd * ee - se * se) * (nd * dd - sd * sd))
+               CASE WHEN (nd * ee - se * se) > 0.0 AND (nd * dd - sd * sd) > 0.0
+                 THEN (nd * ed - se * sd)
+                      / SQRT((nd * ee - se * se) * (nd * dd - sd * sd)) END
         FROM md
     """,
     "triangle_count": """
@@ -3185,11 +3191,11 @@ _ORACLES: dict[str, str] = {
             '(?s)<!--.*?-->', ' ', 'g'),
             '(?i)<[^>]+>', ' ', 'g'),
             '&nbsp;', ' ', 'g'),
-            '&amp;', '&', 'g'),
             '&lt;', '<', 'g'),
             '&gt;', '>', 'g'),
             '&quot;', '"', 'g'),
             '&#39;', CHR(39), 'g'),
+            '&amp;', '&', 'g'),
             '[ \t\r\n\x0B\f]+', ' ', 'g')
         ) AS text
         FROM wrapped
@@ -3213,8 +3219,10 @@ _ORACLES: dict[str, str] = {
           FROM u
         ), canon AS (
           SELECT doc_id, scheme,
-            regexp_replace(regexp_replace(lower(auth), '^www\.', ''),
-                           ':(80|443)$', '') AS host,
+            CASE lower(scheme)
+              WHEN 'http'  THEN regexp_replace(regexp_replace(lower(auth), '^www\.', ''), ':80$', '')
+              WHEN 'https' THEN regexp_replace(regexp_replace(lower(auth), '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(lower(auth), '^www\.', '') END AS host,
             regexp_replace(pth, '/+$', '') AS cpath,
             array_to_string(list_sort(list_filter(string_split(qry, '&'),
               p -> p <> '' AND NOT regexp_matches(p,
@@ -3250,8 +3258,10 @@ _ORACLES: dict[str, str] = {
         ), canon AS (
           SELECT doc_id,
             lower(scheme) || '://' ||
-            regexp_replace(regexp_replace(lower(auth), '^www\.', ''),
-                           ':(80|443)$', '') ||
+            CASE lower(scheme)
+              WHEN 'http'  THEN regexp_replace(regexp_replace(lower(auth), '^www\.', ''), ':80$', '')
+              WHEN 'https' THEN regexp_replace(regexp_replace(lower(auth), '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(lower(auth), '^www\.', '') END ||
             regexp_replace(pth, '/+$', '') ||
             CASE WHEN params <> '' THEN '?' || params ELSE '' END AS url_canonical
           FROM (

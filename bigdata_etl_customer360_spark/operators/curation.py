@@ -331,12 +331,14 @@ _HTML_RULES: Sequence[tuple[str, str]] = (
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"(?i)<[^>]+>", " "),
+    # entities: &amp; decodes LAST, or double-escaped text ("&amp;lt;")
+    # would double-decode into live-looking markup
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     (r"[ \t\r\n\x0B\f]+", " "),
 )
 
@@ -377,7 +379,9 @@ def canonicalize_urls(
     undercounts by whole campaigns.
 
     Normalization (pinned, engine-portable): lowercase scheme and host;
-    strip a leading ``www.``; strip ``:80``/``:443`` default ports; drop
+    strip a leading ``www.``; strip the scheme's own default port
+    (http:80 / https:443 — a cross-scheme port stays, it names a
+    different resource); drop
     the fragment; drop tracking params (``utm_*``, ``gclid``, ``fbclid``,
     ``msclkid``, ``ref``, ``ref_src``); SORT surviving params (byte
     order); strip trailing slashes from the path. Path and param VALUES
@@ -397,8 +401,13 @@ def canonicalize_urls(
     authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(authority), r"^www\.", ""), r":(80|443)$", ""
+    # strip only the SCHEME'S OWN default port: http://x:443 is a real
+    # non-default-port resource and must not collide with the :80 page
+    host0 = F.regexp_replace(F.lower(authority), r"^www\.", "")
+    host = (
+        F.when(F.lower(scheme) == "http", F.regexp_replace(host0, r":80$", ""))
+        .when(F.lower(scheme) == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
     )
     cpath = F.regexp_replace(path, r"/+$", "")
     params = F.array_join(

@@ -309,6 +309,55 @@ def pagerank(
     return ranks
 
 
+
+def _oriented_wedges(
+    edges: DataFrame, src: str, dst: str, materialize: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the triangle operators: canonical undirected edge
+    set ``und(u, v)``, per-node ``deg(id, d)``, and one row PER TRIANGLE
+    ``tri(a, b, c)`` (a = lowest-(degree, id) vertex) via degree-ordered
+    wedge counting. See :func:`count_triangles` for the plan rationale;
+    ``materialize`` localCheckpoints the multi-consumer frames (the und
+    set feeds 3-5 branches, the oriented list 3 — without it every
+    consumer re-runs the aggregates above the reused shuffles plus the
+    upstream edge build; trade-off: checkpoint blocks die with their
+    executor, so pass False to keep pure-lineage recovery)."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
+        F.col("b") != F.col("c")
+    )
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return und, deg, tri
+
+
 def count_triangles(
     edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
 ) -> DataFrame:
@@ -347,48 +396,12 @@ def count_triangles(
 
     Returns ONE row: (n_nodes, n_edges, n_triangles) — all exact BIGINTs.
     """
-    # the canonical edge set is consumed from FIVE plan branches (degrees
-    # x2, the orientation join, wedges/closing, stats); only the shuffle
-    # below it would be reused, the distinct re-aggregates per consumer —
-    # and any expensive upstream build (the co-purchase support agg) rides
-    # along each time. Materialize it ONCE.
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .distinct()
-    )
-    if materialize:
-        und = und.localCheckpoint(eager=True)
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionAll(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    withdeg = (
-        und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    oriented = withdeg.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
-    if materialize:
-        oriented = oriented.localCheckpoint(eager=True)  # 3 consumers
-    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
-    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
-        F.col("b") != F.col("c")
-    )
-    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    und, deg, tri = _oriented_wedges(edges, src, dst, materialize)
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
-    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    return stats.crossJoin(n_tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 def clustering_coefficient(
@@ -409,47 +422,15 @@ def clustering_coefficient(
     Determinism: exact BIGINT triangle/degree counts; the coefficient is
     one fixed-shape BIGINT→DOUBLE division, identical on any engine.
     """
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .distinct()
-    )
-    if materialize:
-        und = und.localCheckpoint(eager=True)  # five consumers; see count_triangles
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionAll(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    withdeg = (
-        und.join(deg.select(F.col("id").alias("u"), F.col("degree").alias("du")), "u")
-        .join(deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")), "v")
-    )
-    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    oriented = withdeg.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
-    if materialize:
-        oriented = oriented.localCheckpoint(eager=True)  # see count_triangles
-    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
-    wedges = oriented.join(o2, oriented["a"] == o2["a2"]).filter(
-        F.col("b") != F.col("c")
-    )
-    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    # (a,b,c) rows appear once per triangle (see count_triangles); spread
-    # the credit to all three corners
+    _, deg, tri = _oriented_wedges(edges, src, dst, materialize)
     tri_nodes = (
-        wedges.join(closing, ["b", "c"])
-        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    return deg.join(tri_nodes, "id", "left").select(
+    return deg.select("id", F.col("d").alias("degree")).join(
+        tri_nodes, "id", "left"
+    ).select(
         "id",
         "degree",
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),

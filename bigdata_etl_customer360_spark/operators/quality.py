@@ -255,9 +255,12 @@ def corr_matrix(
 
     is a fixed-shape double expression over those exact values, so every
     engine computing the same formula gets the identical bits (the
-    same formula is what the oracle runs). Rows with a NULL in any
-    profiled column are excluded (pairwise-complete == listwise here,
-    keeping one shared n).
+    same formula is what the oracle runs). Degenerate inputs are pinned
+    to NULL, not NaN: a zero-variance column (or n < 2) has no defined
+    correlation, and IEEE 0/0 would diverge from SQL engines that return
+    NULL for double division by zero (DuckDB does). Rows with a NULL in
+    any profiled column are excluded (pairwise-complete == listwise
+    here, keeping one shared n).
 
     Plan: a single global aggregate (partial per partition, one-row
     final) + a driver-free explode of the pair array — output is
@@ -273,38 +276,48 @@ def corr_matrix(
         p = F.col(c).isNotNull()
         pred = p if pred is None else (pred & p)
     clean = df.filter(pred)
+    # aliases are POSITIONAL (_s_0, _p_0_1) — name-derived aliases collide
+    # for snake_case columns ("a","b_c" vs "a_b","c" both make _p_a_b_c)
     aggs = [F.count(F.lit(1)).alias("_n")]
-    aggs += [F.sum(F.col(c).cast(dec_in)).alias(f"_s_{c}") for c in cols]
+    aggs += [
+        F.sum(F.col(c).cast(dec_in)).alias(f"_s_{i}") for i, c in enumerate(cols)
+    ]
     for i, a in enumerate(cols):
-        for b in cols[i:]:
+        for j in range(i, len(cols)):
             aggs.append(
                 F.sum(
-                    (F.col(a).cast(dec_in) * F.col(b).cast(dec_in)).cast(dec_prod)
-                ).alias(f"_p_{a}_{b}")
+                    (F.col(a).cast(dec_in) * F.col(cols[j]).cast(dec_in)).cast(
+                        dec_prod
+                    )
+                ).alias(f"_p_{i}_{j}")
             )
     m = clean.agg(*aggs)
 
-    def _corr(a: str, b: str):
+    def _corr(i: int, j: int):
         n = F.col("_n").cast("double")
-        sa = F.col(f"_s_{a}").cast("double")
-        sb = F.col(f"_s_{b}").cast("double")
-        saa = F.col(f"_p_{a}_{a}").cast("double")
-        sbb = F.col(f"_p_{b}_{b}").cast("double")
-        sab = F.col(f"_p_{a}_{b}").cast("double")
-        return (n * sab - sa * sb) / F.sqrt(
-            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        sa = F.col(f"_s_{i}").cast("double")
+        sb = F.col(f"_s_{j}").cast("double")
+        saa = F.col(f"_p_{i}_{i}").cast("double")
+        sbb = F.col(f"_p_{j}_{j}").cast("double")
+        sab = F.col(f"_p_{i}_{j}").cast("double")
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        # NULL (not IEEE NaN/Inf) for zero variance or n < 2
+        return F.when(
+            (va > F.lit(0.0)) & (vb > F.lit(0.0)),
+            (n * sab - sa * sb) / F.sqrt(va * vb),
         )
 
     pairs = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(a).alias("col_x"),
-                    F.lit(b).alias("col_y"),
-                    _corr(a, b).alias("corr"),
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    _corr(i, j).alias("corr"),
                 )
-                for i, a in enumerate(cols)
-                for b in cols[i + 1 :]
+                for i in range(len(cols))
+                for j in range(i + 1, len(cols))
             ]
         )
     ).alias("_pr")

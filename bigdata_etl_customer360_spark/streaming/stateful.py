@@ -250,7 +250,9 @@ def asof_join_stream(
         rights.sort()
         out, pending = [], []
         for lt, lv in lefts:
-            if lt > wm_us:
+            # strictly below the watermark (rows AT the watermark can
+            # still gain equal-ts right matches from a later trigger)
+            if lt >= wm_us:
                 pending.append((lt, lv))
                 continue
             hit = None
@@ -436,7 +438,11 @@ def zscore_stream(
         out = []
         new_emitted = emitted_us
         for i, (t, x) in enumerate(buf):
-            if t > wm_us or t <= emitted_us:
+            # strictly below the watermark: Spark admits late rows with
+            # event time EQUAL to the watermark, so a t == wm row's
+            # equal-ts peers may still arrive — scoring it now could miss
+            # a RANGE-frame peer the batch twin would include
+            if t >= wm_us or t <= emitted_us:
                 continue
             lo = t - trail_us
             window_vals = [v for tt, v in buf if lo <= tt <= t]
@@ -448,7 +454,7 @@ def zscore_stream(
         # rows older than wm - trail can't be in any future row's window
         keep_from = wm_us - trail_us
         buf = [r for r in buf if r[0] >= keep_from]
-        pending = [r for r in buf if r[0] > wm_us]
+        pending = [r for r in buf if r[0] >= wm_us]
         if buf:
             state.update((
                 [t for t, _ in buf], [v for _, v in buf], new_emitted,
@@ -456,6 +462,14 @@ def zscore_stream(
             if pending:
                 state.setTimeoutTimestamp(
                     max(min(t for t, _ in pending) // 1000, wm_us // 1000) + 1
+                )
+            else:
+                # quiet key holding only already-emitted context: wake once
+                # the watermark has passed the whole buffer so the state
+                # entry evicts instead of living forever
+                last = max(t for t, _ in buf)
+                state.setTimeoutTimestamp(
+                    max((last + trail_us) // 1000, wm_us // 1000) + 1
                 )
         else:
             state.remove()

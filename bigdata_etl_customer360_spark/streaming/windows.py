@@ -184,10 +184,19 @@ def stream_upsert_to_table(
     merge is idempotent for same-key re-application, so the snapshot
     converges under at-least-once delivery.
 
+    Failure handling: only a MISSING snapshot directory counts as "first
+    batch" — any other read/merge error re-raises (a transient read blip
+    or schema drift must fail the batch for redelivery, never silently
+    replace a populated snapshot with one batch's keys). The swap keeps
+    the previous snapshot as ``<path>._old`` until the new one is in
+    place and recovers from it on the next batch if a crash hit the
+    rename window.
+
     Single-writer assumption (documented, like _graph_shuffle_conf): the
     snapshot swap is last-writer-wins; run ONE maintenance query per
-    table. At scale the same loop targets a transactional table format;
-    the operator keeps the plan shape (dedupe -> MERGE) identical.
+    table. At scale the same loop targets a transactional table format
+    (which makes the swap genuinely atomic); the operator keeps the plan
+    shape (dedupe -> MERGE) identical.
     """
     from pyspark.sql import Window as W
 
@@ -196,6 +205,7 @@ def stream_upsert_to_table(
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
         import shutil
 
         # deterministic newest-per-key: order_col desc, then the full
@@ -211,15 +221,27 @@ def stream_upsert_to_table(
         )
         if latest.isEmpty():
             return
-        try:
-            snap = spark.read.parquet(snapshot_path)
+        old_dir = snapshot_path + "._old"
+        read_from = None
+        if os.path.isdir(snapshot_path):
+            read_from = snapshot_path
+        elif os.path.isdir(old_dir):
+            read_from = old_dir  # crash hit the swap window: recover
+        if read_from is not None:
+            # any failure here (corrupt footer, schema drift in the merge)
+            # re-raises: foreachBatch redelivers the batch; a populated
+            # snapshot is NEVER silently replaced by one batch's keys
+            snap = spark.read.parquet(read_from)
             merged = merge_upsert(snap, latest, keys)
-        except Exception:
-            merged = latest  # first batch: no snapshot yet
+        else:
+            merged = latest  # genuinely the first batch
         tmp = snapshot_path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(snapshot_path, ignore_errors=True)
-        shutil.move(tmp, snapshot_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.isdir(snapshot_path):
+            os.rename(snapshot_path, old_dir)
+        os.rename(tmp, snapshot_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

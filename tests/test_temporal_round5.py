@@ -235,6 +235,17 @@ def test_corr_matrix_null_rows_excluded_and_guard(spark):
         corr_matrix(df, ["x"])
 
 
+def test_corr_matrix_zero_variance_null_and_snake_case(spark):
+    df = spark.createDataFrame(
+        [Row(a=float(i), b_c=5.0, a_b=float(2 * i), c=float(i % 3)) for i in range(10)]
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix(df, ["a", "b_c", "a_b", "c"]).collect()}
+    assert out[("a", "b_c")] is None          # constant column: NULL, not NaN
+    assert out[("a", "a_b")] == pytest.approx(1.0)
+    assert len(out) == 6                      # snake_case aliases don't collide
+
+
 # ------------------------------------------------------- triangles
 
 
@@ -442,6 +453,15 @@ def test_strip_html_blocks_entities_escaped_markup(spark):
     assert got[1] == "no markup at all"             # whitespace collapsed
 
 
+def test_strip_html_double_escaped_entities(spark):
+    from bigdata_etl_customer360_spark.operators.curation import strip_html
+
+    # author wrote the literal text "&lt;b&gt;": one decode level only
+    df = spark.createDataFrame([Row(text="&amp;lt;b&amp;gt; and &amp;amp;")])
+    got = strip_html(df).collect()[0]["text"]
+    assert got == "&lt;b&gt; and &amp;"
+
+
 def test_canonicalize_urls_pins(spark):
     from bigdata_etl_customer360_spark.operators.curation import canonicalize_urls
 
@@ -459,6 +479,18 @@ def test_canonicalize_urls_pins(spark):
     assert got[2] == "http://ex.com/a/b?a=2&z=1"
     assert got[3] == "https://ex.com/CaseKept/Path"  # path case preserved
     assert got[4] is None
+
+
+def test_canonicalize_urls_cross_scheme_port_preserved(spark):
+    from bigdata_etl_customer360_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [Row(i=1, u="http://ex.com:443/x"), Row(i=2, u="https://ex.com:80/x")]
+    )
+    got = {r["i"]: r["url_canonical"] for r in canonicalize_urls(df, "u").collect()}
+    # only the scheme's OWN default port strips; these are distinct resources
+    assert got[1] == "http://ex.com:443/x"
+    assert got[2] == "https://ex.com:80/x"
 
 
 def test_empty_input_behaviors(spark):

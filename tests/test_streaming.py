@@ -549,3 +549,46 @@ def test_stream_upsert_to_table_matches_batch_fold(spark, tmp_path):
         (r["user_id"], r["value"]) for r in spark.read.parquet(snap).collect()
     )
     assert got == [(1, 11.0), (2, 2.0), (3, 3.0)]
+
+
+def test_zscore_stream_row_at_watermark_not_dropped(spark, tmp_path):
+    """Boundary pin for the strict-emission fix: a row arriving in a LATER
+    trigger with event time exactly == the watermark must still be scored
+    (Spark admits ts == wm), and its equal-ts peer must share the same
+    window stats — drained output still equals the batch operator."""
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_zscore
+    from bigdata_etl_customer360_spark.streaming.stateful import zscore_stream
+
+    early = [(1, "2022-01-01 10:00:00", 10.0), (1, "2022-01-01 10:10:00", 20.0)]
+    # equal-ts peer of the batch-1 maximum arrives one trigger later
+    late_peer = [(1, "2022-01-01 10:10:00", 30.0)]
+    d = tmp_path / "zb"; d.mkdir()
+    _write_events(str(d / "a.parquet"), early)
+    time.sleep(0.05)
+    _write_events(str(d / "b.parquet"), late_peer)
+    os.utime(d / "b.parquet", (time.time() + 2, time.time() + 2))
+    time.sleep(0.05)
+    _write_events(str(d / "c_flush.parquet"), FLUSH_ROWS)
+    os.utime(d / "c_flush.parquet", (time.time() + 5, time.time() + 5))
+
+    scored = zscore_stream(
+        stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1),
+        trailing_seconds=3600, min_n=2, watermark="0 seconds",
+    )
+    got = (
+        run_available_now(scored, "t_zb", checkpoint_dir=str(tmp_path / "ckpt_zb"))
+        .filter(F.col("user_id") != 99)
+        .toPandas().sort_values(["ts", "value"]).reset_index(drop=True)
+    )
+    rows = early + late_peer
+    batch = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in rows], EVENT_SCHEMA
+    )
+    want = (
+        rolling_zscore(batch, ["user_id"], "ts", "value", 3600, min_n=2)
+        .select("user_id", "ts", "value", "z", "is_anomaly")
+        .toPandas().sort_values(["ts", "value"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 3  # the wm-boundary row emitted exactly once
+    for col in ("user_id", "ts", "value", "z", "is_anomaly"):
+        pd.testing.assert_series_equal(got[col], want[col], check_dtype=False, obj=col)

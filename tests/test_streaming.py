@@ -592,3 +592,49 @@ def test_zscore_stream_row_at_watermark_not_dropped(spark, tmp_path):
     assert len(got) == len(want) == 3  # the wm-boundary row emitted exactly once
     for col in ("user_id", "ts", "value", "z", "is_anomaly"):
         pd.testing.assert_series_equal(got[col], want[col], check_dtype=False, obj=col)
+
+
+def test_zscore_stream_state_evicts_quiet_keys(spark, tmp_path):
+    """State-bound pin for the quiet-key eviction fix: after the watermark
+    passes every buffered row, a later drain (same checkpoint) removes the
+    dormant keys' state instead of holding all of them forever."""
+    from bigdata_etl_customer360_spark.streaming.stateful import zscore_stream
+
+    d = tmp_path / "zs_state"; d.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+    rows = [
+        (uid, f"2022-01-01 10:{m:02d}:00", float(m)) for uid in range(1, 51)
+        for m in range(3)
+    ]
+    _write_events(str(d / "a.parquet"), rows)
+    time.sleep(0.05)
+    _write_events(str(d / "b_flush.parquet"), FLUSH_ROWS)
+    os.utime(d / "b_flush.parquet", (time.time() + 2, time.time() + 2))
+
+    def drain(name):
+        q = (
+            zscore_stream(
+                stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1),
+                trailing_seconds=600, min_n=2, watermark="0 seconds",
+            )
+            # noop sink: the memory sink can't recover from a checkpoint,
+            # and this test NEEDS the second drain to resume the first's
+            # state to observe the eviction
+            .writeStream.format("noop").queryName(name)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        return prog["stateOperators"][0]["numRowsTotal"] if prog and prog.get("stateOperators") else None
+
+    n1 = drain("t_state1")
+    # the trailing no-data batch fires the eviction timeouts as soon as
+    # the flush watermark passes the 50 keys' buffers: state collapses to
+    # (at most) the flush key itself instead of holding 50 dormant keys
+    assert n1 is not None and n1 <= 2
+    # and a later resumed drain stays bounded too
+    _write_events(str(d / "c_more.parquet"), [(999, "2022-01-03 00:00:00", 1.0)])
+    os.utime(d / "c_more.parquet", (time.time() + 5, time.time() + 5))
+    n2 = drain("t_state2")
+    assert n2 is not None and n2 <= 2

@@ -389,7 +389,10 @@ def q_dedup_ladder_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     table = "c360_docs_bucketed_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
-    if _BUCKETED_DOCS.get(sf_dir) != table:
+    # probe the CATALOG, not just the module dict: a new SparkSession in
+    # the same process has a fresh in-memory catalog and the cached
+    # "already written" answer would point at a table that no longer exists
+    if _BUCKETED_DOCS.get(sf_dir) != table or not spark.catalog.tableExists(table):
         import atexit
         import shutil
         import tempfile

@@ -127,6 +127,15 @@ def extract_features(
                     "codec='pil' requires Pillow on driver and executors; "
                     "install it or use codec='auto' for stub fallback"
                 ) from None
+            if not decode_stub:
+                # codec='auto' promised a fallback, but the stub is the
+                # only one left and the caller disabled it — fail on the
+                # DRIVER, not as a NotImplementedError mid-job
+                raise ValueError(
+                    "codec='auto' with decode_stub=False has no decode "
+                    "path when Pillow is absent; enable the stub, install "
+                    "Pillow, or inject an opener"
+                ) from None
 
     def _decode_one(payload: bytes) -> tuple[int | None, int | None]:
         if opener is not None:

@@ -30,14 +30,18 @@ QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 MAX_QUERY_ROWS = 1_000_000
 
 
-def _guard_query_side(queries: DataFrame, max_query_rows: int) -> None:
-    """Refuse a query frame too large to broadcast. The probe is a
-    ``limit(n+1).count()`` — it stops scanning after n+1 rows, so its cost
-    is bounded by the threshold, not the frame (no full count of a
-    corpus-sized input). For corpus x corpus similarity use
-    ``dedup.embedding_cosine_pairs`` (bucketed, nothing broadcast)."""
-    probe = queries.limit(max_query_rows + 1).count()
-    if probe > max_query_rows:
+def _guard_query_side(queries: DataFrame, max_query_rows: int) -> DataFrame:
+    """Refuse a query frame too large to broadcast — and RETURN the
+    materialized probe for the caller to use as the query side. The probe
+    is ``limit(n+1).localCheckpoint()``: it stops after n+1 rows (cost
+    bounded by the threshold, not the frame) and the checkpoint means the
+    query lineage executes ONCE — the guard's row count and the
+    operator's broadcast both read the materialized rows instead of
+    re-running an arbitrarily expensive upstream plan twice. For corpus x
+    corpus similarity use ``dedup.embedding_cosine_pairs`` (bucketed,
+    nothing broadcast)."""
+    probe = queries.limit(max_query_rows + 1).localCheckpoint(eager=True)
+    if probe.count() > max_query_rows:
         raise ValueError(
             f"query side has more than {max_query_rows} rows; the topk "
             "operators broadcast the query set and are meant for "
@@ -45,6 +49,7 @@ def _guard_query_side(queries: DataFrame, max_query_rows: int) -> None:
             "embedding_cosine_pairs (mode='lsh'), or raise "
             "max_query_rows explicitly if the executors can hold it."
         )
+    return probe
 
 
 def hyperplane_signatures(num_planes: int, num_tables: int, seed: int = 0xC360):
@@ -113,7 +118,7 @@ def cosine_topk_brute(
     never shuffled before the (tiny) top-k exchange; at 100 TB with a
     bounded query set this is scan-bound, which is optimal for brute force.
     """
-    _guard_query_side(queries, max_query_rows)
+    queries = _guard_query_side(queries, max_query_rows)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
     ).withColumn("_qn", _norm_sq("_qv"))
@@ -162,7 +167,7 @@ def cosine_topk_lsh(
     Scale: corpus signatures are one projection pass; the join shuffles
     on (table, bucket) — bucket sizes ~ n / 2^num_planes keep it local.
     """
-    _guard_query_side(queries, max_query_rows)
+    queries = _guard_query_side(queries, max_query_rows)
     signatures = hyperplane_signatures(num_planes, num_tables)
 
     def with_buckets(df: DataFrame, label: str) -> DataFrame:
@@ -235,7 +240,7 @@ def cosine_topk_ivf(
     query instead of all of it. Recall rises with nprobe (== brute force
     at nprobe=num_centroids).
     """
-    _guard_query_side(queries, max_query_rows)
+    queries = _guard_query_side(queries, max_query_rows)
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType

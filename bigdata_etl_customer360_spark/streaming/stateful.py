@@ -229,7 +229,11 @@ def asof_join_stream(
       a tolerance, anything older than ``cutoff - tolerance``).
 
     State is therefore O(in-flight window), not O(stream) — the same
-    watermark-bounded-state property as the built-in interval join. An
+    watermark-bounded-state property as the built-in interval join; with
+    a tolerance, quiet keys evict COMPLETELY (a wake-up after
+    newest-right + tolerance removes the entry), while tolerance-free
+    as-of inherently keeps ONE right per key forever (any future left may
+    match arbitrarily far back — an O(keys) floor, not a leak). An
     event-time timeout flushes pending lefts for keys that go quiet (the
     watermark advances globally; without the timeout a key with no new
     rows would hold its lefts forever).
@@ -262,7 +266,9 @@ def asof_join_stream(
                 elif rt > lt:
                     break
             out.append((lt, lv) + (hit or (None, None)))
-        cutoff = min([wm_us] + [lt for lt, _ in pending])
+        # pending lefts are all >= wm by construction, so the right-
+        # eviction cutoff is simply the watermark
+        cutoff = wm_us
         last_before = None
         for rt, _ in rights:
             if rt <= cutoff:
@@ -321,6 +327,24 @@ def asof_join_stream(
                 # left (must stay strictly above the current watermark)
                 state.setTimeoutTimestamp(
                     max(min(t for t, _ in pending) // 1000, wm_us // 1000) + 1
+                )
+            elif tol_us is not None:
+                # rights-only state with a tolerance: every right dies once
+                # the watermark passes newest+tolerance — wake then so the
+                # quiet key's state is REMOVED, not held forever
+                last_r = max(t for t, _ in rights)
+                state.setTimeoutTimestamp(
+                    max((last_r + tol_us) // 1000, wm_us // 1000) + 1
+                )
+            elif len(rights) > 1:
+                # no tolerance: a future left may match arbitrarily far
+                # back, so the newest right at-or-below the watermark must
+                # be kept per key (an O(keys) floor inherent to untolerated
+                # as-of); wake once after the newest right so the buffer
+                # prunes down to that single row
+                last_r = max(t for t, _ in rights)
+                state.setTimeoutTimestamp(
+                    max(last_r // 1000, wm_us // 1000) + 1
                 )
         else:
             state.remove()

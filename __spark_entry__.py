@@ -2216,13 +2216,38 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
-    # FIRST 50 entries.  Rounds 1-4 kept insertion order static, so the 44
-    # queries added after the original 50 were never driver-verified (they are
-    # covered by the identical local DuckDB-oracle gate in
-    # tests/test_queries_oracle.py).  Round 5 rotates the window: the 44
-    # previously-unverified queries come first, then new round-5 queries, then
-    # the 50 already driver-verified in CORRECTNESS_r01..r04.
+    # FIRST 50 entries.  Every query is covered by the identical local
+    # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
+    # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
+    # Round 6 rotates again: the 22 round-5 queries that sat outside the r5
+    # window (event_transitions .. link_records) lead, followed by new round-6
+    # queries (both inside the window), then everything already driver-verified
+    # in CORRECTNESS_r01..r05.
     return {
+        "event_transitions": q_event_transitions,
+        "daily_resample": q_daily_resample,
+        "mixture_sample": q_mixture_sample,
+        "stratified_split": q_stratified_split,
+        "corr_matrix": q_corr_matrix,
+        "triangle_count": q_triangle_count,
+        "rolling_anomaly": q_rolling_anomaly,
+        "hll_mergeable": q_hll_mergeable,
+        "shard_corpus": q_shard_corpus,
+        "prepare_training_corpus": q_prepare_training_corpus,
+        "clustering_coeff": q_clustering_coeff,
+        "monthly_rollup_reuse": q_monthly_rollup_reuse,
+        "chunk_documents": q_chunk_documents,
+        "asof_join_forward": q_asof_join_forward,
+        "path_pattern": q_path_pattern,
+        "histogram": q_histogram,
+        "cube_agg": q_cube_agg,
+        "strip_html": q_strip_html,
+        "canonicalize_urls": q_canonicalize_urls,
+        "dedup_by_url": q_dedup_by_url,
+        "snapshot_diff": q_snapshot_diff,
+        "link_records": q_link_records,
+        # --- round-6 additions (inside the driver's 50-entry window) ---
+        # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
         "set_intersect": q_set_intersect,
@@ -2267,38 +2292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_corpus": q_tokenize_corpus,
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
-        # --- round-5 additions (inside the driver's 50-entry window) ---
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
-        # round-5 additions (first 3 land inside the driver's 50-entry
-        # window; the rest are local-gate-covered and rotate in next round)
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
-        "event_transitions": q_event_transitions,
-        "daily_resample": q_daily_resample,
-        "mixture_sample": q_mixture_sample,
-        "stratified_split": q_stratified_split,
-        "corr_matrix": q_corr_matrix,
-        "triangle_count": q_triangle_count,
-        "rolling_anomaly": q_rolling_anomaly,
-        "hll_mergeable": q_hll_mergeable,
-        "shard_corpus": q_shard_corpus,
-        "prepare_training_corpus": q_prepare_training_corpus,
-        "clustering_coeff": q_clustering_coeff,
-        "monthly_rollup_reuse": q_monthly_rollup_reuse,
-        "chunk_documents": q_chunk_documents,
-        "asof_join_forward": q_asof_join_forward,
-        "path_pattern": q_path_pattern,
-        "histogram": q_histogram,
-        "cube_agg": q_cube_agg,
-        "strip_html": q_strip_html,
-        "canonicalize_urls": q_canonicalize_urls,
-        "dedup_by_url": q_dedup_by_url,
-        "snapshot_diff": q_snapshot_diff,
-        "link_records": q_link_records,
-        # --- already driver-verified in rounds 1-4 (outside the window) ---
         "profile_agg": q_profile_agg,
         "dimension_map": q_dimension_map,
         "pivot_agg": q_pivot_agg,
@@ -2976,14 +2975,19 @@ _ORACLES: dict[str, str] = {
                        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         ), scored AS (
+          -- guard on the PRE-sqrt variance (mirrors rolling_zscore): a
+          -- constant window's rounded variance is slightly NEGATIVE (fails
+          -- > 0), while sqrt of it is NaN which sorts ABOVE all doubles in
+          -- both engines and would pass a `std > 0` guard
           SELECT event_id, user_id, ts, x, n, nd, sd,
+                 (nd * s2d - sd * sd) / (nd * (nd - 1.0)) AS var,
                  SQRT((nd * s2d - sd * sd) / (nd * (nd - 1.0))) AS std
           FROM win
         )
         SELECT event_id, user_id, ts,
-          CASE WHEN n >= 5 AND std > 0.0
+          CASE WHEN n >= 5 AND var > 0.0
                THEN (x - sd / nd) / std END AS z,
-          COALESCE(CASE WHEN n >= 5 AND std > 0.0
+          COALESCE(CASE WHEN n >= 5 AND var > 0.0
                THEN ABS((x - sd / nd) / std) > 3.0 END, FALSE) AS is_anomaly
         FROM scored
     """,

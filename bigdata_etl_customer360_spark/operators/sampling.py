@@ -96,7 +96,11 @@ def mixture_sample(
     largest achievable total is T = min_i(n_i / w_i); domain i keeps rows
     at rate r_i = clamp(w_i * T / n_i, 0, 1) — the scarcest domain is
     consumed whole and every other domain thins to match. Domains absent
-    from ``weights`` are DROPPED (an explicit mix is a whitelist). The
+    from ``weights`` are DROPPED (an explicit mix is a whitelist). A
+    weighted domain with ZERO rows in the data participates in T with
+    n_i = 0, so T = 0 and the sample is EMPTY — the requested composition
+    is unachievable and the operator says so loudly (an empty frame)
+    rather than silently delivering a different mixture. The
     per-row coin reuses :func:`weighted_sample`'s engine-portable
     md5/BIGINT contract (quantized to 1/scale), so the exact row set is
     reproducible on any engine/partitioning — expected counts are hit in
@@ -120,16 +124,23 @@ def mixture_sample(
         schema=f"{domain_col} string, _w double",
     )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
-    caps = counts.join(F.broadcast(wdf), on=domain_col, how="inner")
+    # LEFT join from the weights (counts side broadcast — it is already a
+    # collapsed |domains|-row aggregate): a weighted domain absent from the
+    # data keeps a row with _n = 0, so it bounds T at 0 per the docstring
+    # formula instead of being silently dropped by an inner join.
+    caps = wdf.join(F.broadcast(counts), on=domain_col, how="left").withColumn(
+        "_n", F.coalesce(F.col("_n"), F.lit(0))
+    )
     t_max = caps.select(F.min(F.col("_n") / F.col("_w")).alias("_T"))
+    # _n = 0 (empty weighted domain) has no rows to keep anyway; guard the
+    # division so ANSI mode never sees 0/0 — its rate is pinned to 0.
+    rate = F.when(
+        F.col("_n") > 0, F.col("_w") * F.col("_T") / F.col("_n")
+    ).otherwise(F.lit(0.0))
     rates = caps.crossJoin(F.broadcast(t_max)).select(
         domain_col,
         F.floor(
-            F.greatest(
-                F.lit(0.0),
-                F.least(F.lit(1.0), F.col("_w") * F.col("_T") / F.col("_n")),
-            )
-            * F.lit(scale)
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), rate)) * F.lit(scale)
         )
         .cast("bigint")
         .alias("_q"),

@@ -504,7 +504,11 @@ def rolling_zscore(
     var = (nd * s2d - sd * sd) / (nd * (nd - F.lit(1.0)))
     std = F.sqrt(var)
     z = (x - sd / nd) / std
-    ok = (n >= F.lit(int(min_n))) & (std > F.lit(0.0))
+    # Guard on the PRE-sqrt variance: a constant window's double-rounded
+    # variance can go slightly NEGATIVE (plain negative fails `> 0`), but
+    # sqrt of it is NaN, and Spark/DuckDB both order NaN ABOVE all doubles
+    # so `std > 0.0` would pass and emit z=NaN with is_anomaly=TRUE.
+    ok = (n >= F.lit(int(min_n))) & (var > F.lit(0.0))
     return df.select(
         "*",
         F.when(ok, z).alias(z_out),

@@ -448,6 +448,13 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # a larger stride would silently SKIP the tokens between chunks,
+        # contradicting the documented "overlap by chunk_tokens - stride"
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens}); "
+            "a larger stride would gap-sample the document"
+        )
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
     n = F.size(toks)
     starts = F.sequence(

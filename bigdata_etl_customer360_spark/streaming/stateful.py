@@ -373,16 +373,6 @@ def asof_join_stream(
     )
 
 
-ZSCORE_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("value", DoubleType()),
-        StructField("z", DoubleType()),
-        StructField("is_anomaly", BooleanType()),
-    ]
-)
-
 _ZSCORE_STATE_SCHEMA = StructType(
     [
         StructField("ts_us", ArrayType(LongType())),
@@ -423,6 +413,18 @@ def zscore_stream(
     """
     trail_us = int(trailing_seconds) * _US
     thr = float(threshold)
+    # Output schema is DERIVED from the input: the key column keeps its own
+    # name and dataType (a string-typed key works; a Long-only hardcode
+    # would crash at runtime and mislabel any non-default key "user_id").
+    out_schema = StructType(
+        [
+            StructField(key, events.schema[key].dataType),
+            StructField(ts, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
 
     def _score(window_vals, x):
         n = len(window_vals)
@@ -500,9 +502,9 @@ def zscore_stream(
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [user] * len(out),
-                    "ts": [pd.Timestamp(t, unit="us") for t, *_ in out],
-                    "value": [x for _, x, *_ in out],
+                    key: [user] * len(out),
+                    ts: [pd.Timestamp(t, unit="us") for t, *_ in out],
+                    value_col: [x for _, x, *_ in out],
                     "z": [z for _, _, z, _ in out],
                     "is_anomaly": [f for *_, f in out],
                 }
@@ -515,7 +517,7 @@ def zscore_stream(
     ).withWatermark("_ts", watermark)
     return tagged.groupBy("_k").applyInPandasWithState(
         fn,
-        outputStructType=ZSCORE_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_ZSCORE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

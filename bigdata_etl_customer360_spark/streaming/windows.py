@@ -237,8 +237,14 @@ def stream_upsert_to_table(
             merged = latest  # genuinely the first batch
         tmp = snapshot_path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        # Swap order is load-bearing: at every instant either snapshot_path
+        # or ._old holds the full history.  When recovering FROM ._old
+        # (snapshot missing), ._old must survive until tmp is renamed into
+        # place — deleting it first would leave a crash window with NEITHER
+        # copy, and the redelivered batch would silently become "first
+        # batch".  Only a live snapshot_path may rotate ._old away.
         if os.path.isdir(snapshot_path):
+            shutil.rmtree(old_dir, ignore_errors=True)
             os.rename(snapshot_path, old_dir)
         os.rename(tmp, snapshot_path)
         shutil.rmtree(old_dir, ignore_errors=True)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -638,3 +639,99 @@ def test_zscore_stream_state_evicts_quiet_keys(spark, tmp_path):
     os.utime(d / "c_more.parquet", (time.time() + 5, time.time() + 5))
     n2 = drain("t_state2")
     assert n2 is not None and n2 <= 2
+
+
+def test_stream_upsert_recovery_swap_order_preserves_history(spark, tmp_path):
+    """Regression (ADVICE r5 medium): when recovering FROM '._old' (snapshot
+    missing — crash hit the swap window), the new snapshot must be renamed
+    into place BEFORE '._old' is deleted. Pre-fix the rmtree ran first, so a
+    crash between the two left NEITHER copy and redelivery silently became
+    'first batch'. Injected crash: rmtree on a live ._old deletes it then
+    raises — post-fix the full merged snapshot is already in place."""
+    import shutil
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_from_parquet,
+        stream_upsert_to_table,
+    )
+
+    src = tmp_path / "rsrc"; src.mkdir()
+    snap = str(tmp_path / "rsnapshot")
+    old = snap + "._old"
+    b1 = [(1, "2022-01-01 10:00:00", 1.0), (2, "2022-01-01 10:00:00", 2.0)]
+    _write_events(str(src / "a.parquet"), b1)
+    stream_upsert_to_table(
+        stream_from_parquet(spark, str(src), EVENT_SCHEMA),
+        snap, str(tmp_path / "ck1"), keys=["user_id"], order_col="ts",
+    )
+    assert os.path.isdir(snap)
+
+    # simulate the crash window: snapshot rotated to ._old, nothing else
+    os.rename(snap, old)
+
+    src2 = tmp_path / "rsrc2"; src2.mkdir()
+    _write_events(str(src2 / "b.parquet"), [(3, "2022-01-01 11:00:00", 3.0)])
+
+    real_rmtree = shutil.rmtree
+
+    def exploding_rmtree(path, *a, **k):
+        if str(path).endswith("._old") and os.path.isdir(str(path)):
+            real_rmtree(str(path))
+            raise RuntimeError("injected crash during old-dir cleanup")
+        return real_rmtree(path, *a, **k)
+
+    shutil.rmtree = exploding_rmtree
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            stream_upsert_to_table(
+                stream_from_parquet(spark, str(src2), EVENT_SCHEMA),
+                snap, str(tmp_path / "ck2"), keys=["user_id"], order_col="ts",
+            )
+    finally:
+        shutil.rmtree = real_rmtree
+
+    # the swap landed before the (crashed) cleanup: full history survives
+    got = sorted(
+        (r["user_id"], r["value"]) for r in spark.read.parquet(snap).collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_zscore_stream_string_key_and_custom_names(spark, tmp_path):
+    """Regression (ADVICE r5): the output schema derives from the input —
+    a string-typed key under non-default column names keeps its own name
+    and type instead of crashing against a hardcoded user_id:long."""
+    from bigdata_etl_customer360_spark.streaming.stateful import zscore_stream
+
+    schema = StructType(
+        [
+            StructField("seg", StringType()),
+            StructField("etime", TimestampType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    d = tmp_path / "zs_str"; d.mkdir()
+    rows = [("a", f"2022-01-01 10:{m:02d}:00", float(10 + (m % 3))) for m in range(8)]
+    rows += [("zzflush", "2022-01-02 00:00:00", 0.0)]
+    tbl = pa.table(
+        {
+            "seg": pa.array([r[0] for r in rows], pa.string()),
+            "etime": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+            "amount": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "a.parquet"))
+
+    scored = zscore_stream(
+        stream_from_parquet(spark, str(d), schema),
+        key="seg", ts="etime", value_col="amount",
+        trailing_seconds=3600, min_n=5, watermark="0 seconds",
+    )
+    got = run_available_now(
+        scored, "t_zscore_str", checkpoint_dir=str(tmp_path / "ckz")
+    ).filter(F.col("seg") == "a")
+    assert got.columns == ["seg", "etime", "amount", "z", "is_anomaly"]
+    rows_out = got.collect()
+    assert len(rows_out) >= 3  # rows 5..7 scored (flush advanced the watermark)
+    assert all(isinstance(r["seg"], str) for r in rows_out)
+    assert any(r["z"] is not None for r in rows_out)

@@ -646,3 +646,48 @@ def test_count_triangles_materialize_off_same_result(spark):
     on = count_triangles(df).collect()[0]
     off = count_triangles(df, materialize=False).collect()[0]
     assert tuple(on) == tuple(off) == (4, 6, 4)
+
+
+def test_rolling_zscore_negative_rounded_variance_not_nan(spark):
+    """Regression (ADVICE r5): a constant window whose double-rounded
+    variance lands slightly NEGATIVE must emit z NULL / flag FALSE.
+    Pre-fix the guard was `std > 0` and sqrt(negative) = NaN sorts ABOVE
+    all doubles in Spark, so the NaN z leaked out with is_anomaly=TRUE.
+    v=7.580489 is chosen so nd*s2d - sd*sd < 0 exactly at window n=7
+    (and <= 0 for every other n <= 12)."""
+    from bigdata_etl_customer360_spark.operators.temporal import rolling_zscore
+
+    rows = [Row(k="c", ts=_ts(0, seconds=60 * i), v=7.580489) for i in range(12)]
+    out = rolling_zscore(
+        spark.createDataFrame(rows), ["k"], "ts", "v", 86400, min_n=5
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["z"] is None, r
+        assert r["is_anomaly"] is False, r
+
+
+def test_mixture_sample_empty_weighted_domain_bounds_T(spark):
+    """A domain named in weights but ABSENT from the data participates in
+    T = min(n_i / w_i) with n_i = 0, so T = 0 and the sample is empty —
+    never a silently different composition (ADVICE r5)."""
+    from bigdata_etl_customer360_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [Row(d="web", i=n) for n in range(40)] + [Row(d="code", i=100 + n) for n in range(10)]
+    )
+    out = mixture_sample(df, "d", {"web": 0.5, "ghost": 0.5}, id_col="i")
+    assert out.count() == 0
+    # sanity: the same mix over PRESENT domains is non-empty
+    ok = mixture_sample(df, "d", {"web": 0.5, "code": 0.5}, id_col="i")
+    assert ok.count() > 0
+
+
+def test_chunk_documents_stride_exceeding_chunk_raises(spark):
+    """stride > chunk_tokens would silently gap-sample the document
+    (ADVICE r5) — rejected up front."""
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
+    with pytest.raises(ValueError, match="gap-sample"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)

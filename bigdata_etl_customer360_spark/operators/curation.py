@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdata_etl_customer360_spark.operators.dedup import with_shingles
-from bigdata_etl_customer360_spark.operators.util import fan_out
+from bigdata_etl_customer360_spark.operators.util import fan_out, scoped_cache
 
 # Ordered (name, pattern, replacement) rules. Patterns are restricted to
 # the RE2 ∩ java.util.regex common subset (no backreferences, no
@@ -429,3 +429,131 @@ def canonicalize_urls(
     return df.withColumn(
         out_col, F.when(scheme != "", rebuilt)
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 2,
+    out_col: str = "cleaned",
+    removed_col: str = "n_removed",
+) -> DataFrame:
+    """Corpus-wide EXACT substring dedup — the "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al. 2022) ExactSubstr
+    granularity, re-expressed as bucketed equi-joins instead of a suffix
+    array: any ``span_tokens``-token window whose token sequence occurs
+    at least ``min_count`` times across the whole corpus is a duplicated
+    span; every occurrence EXCEPT the globally first (min ``(doc_id,
+    start)``) has its covered tokens removed. Overlapping duplicated
+    windows merge naturally (coverage is a set of token positions), so a
+    repeated run of L >= span_tokens tokens is stripped whole — the
+    granularity doc-level / line-level / URL-level dedup all miss.
+
+    Output: input columns + ``out_col`` (kept tokens re-joined with
+    single spaces — token-space contract, same whitespace normalization
+    as :func:`~...textstats.chunk_documents`) + ``removed_col`` (tokens
+    removed). Docs shorter than ``span_tokens`` tokens pass through.
+
+    Scale shape (all Catalyst built-ins, no all-pairs, no suffix sort):
+      tokenize -> starts          [map-only; shingle hashes built INSIDE the
+                                   array world (transform over starts), so no
+                                   O(n^2) array copies ride the explode]
+      hash -> (count, first-occ)  [shuffle 1 — map-side-combined agg on the
+                                   8-byte xxhash64 key; count + min(struct)]
+      occurrences JOIN heavy      [shuffle 2, keyed on the 64-bit hash; the
+                                   heavy set is NOT broadcast — at crawl
+                                   scale repeated shingles are millions]
+      covered positions, distinct [explode x span_tokens, shuffle 3 keyed
+                                   (doc, pos) — overlap-merged exactly]
+      re-assemble per doc         [shuffle 4 — collect_list(struct(pos,tok))
+                                   + array_sort, deterministic]
+    Token text never rides shuffles 1-3 — only (doc, start, hash) and
+    (doc, pos) do; the text re-joins from the posexploded frame.
+
+    Determinism: the canonical occurrence is the lexicographic min of
+    (doc_id, start) — a total order, pinned under any partitioning.
+    Pinned trade-off (same as :func:`strip_boilerplate_lines`): span
+    identity is the 64-bit xxhash64 of the space-joined window, not the
+    token sequence itself — a hash collision merges two distinct spans
+    (P ~ S^2/2^65 for S distinct spans); accepted so shuffles 1-2 carry
+    8-byte keys instead of w-token strings.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would strip everything)")
+    w = int(span_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
+
+    # (doc, pos, tok) — the re-assembly side
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("_pos", "_tok"),
+    )
+
+    # (doc, start, hash) — one struct per shingle, built inside the array
+    # world so the token array is never replicated per start
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_tk")) - F.lit(w)),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_tk"), i + F.lit(1), F.lit(w)))
+            ).alias("h"),
+        ),
+    )
+    occ = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .filter(F.size(F.col("_tk")) >= F.lit(w))
+        .select("_id", F.explode(sh).alias("_sh"))
+        .select("_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h"))
+    )
+    # consumed by both the heavy-agg branch and the join-back: cache
+    # against constraint-inference re-computation below the exchange
+    # (see verify SKILL gotchas); scoped so a cache_scope caller releases it
+    occ = scoped_cache(occ)
+    heavy = (
+        occ.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col("_id"), F.col("_start"))).alias("_first"),
+        )
+        .filter(F.col("_c") >= F.lit(int(min_count)))
+        .select("_h", "_first")
+    )
+    marked = occ.join(heavy, on="_h", how="inner").filter(
+        ~(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_start") == F.col("_first._start"))
+        )
+    )
+    covered = (
+        marked.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(w - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
+    kept = tokens.join(covered, on=["_id", "_pos"], how="left").withColumn(
+        "_drop", F.coalesce(F.col("_cov"), F.lit(False))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("_pos", "_tok"))
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias(out_col),
+        F.sum(F.col("_drop").cast("long")).alias(removed_col),
+    )
+    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")

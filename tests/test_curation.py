@@ -205,3 +205,87 @@ class TestDedupLinesWithin:
         a = sorted(map(tuple, dedup_lines_within(df).collect()))
         b = sorted(map(tuple, dedup_lines_within(df.repartition(7)).collect()))
         assert a == b and all(t[-1] == 2 for t in a)
+
+
+class TestDedupSpans:
+    SPAN = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+
+    def _base(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        df = _docs(
+            spark,
+            [
+                (1, "alpha beta " + self.SPAN + " gamma delta"),
+                (2, "one two three " + self.SPAN + " four"),
+                (3, self.SPAN),
+                (4, "totally unique words only here nothing repeated at all ok"),
+                (5, "short doc"),
+            ],
+        )
+        return {
+            r["doc_id"]: r
+            for r in dedup_spans(df, span_tokens=8, min_count=2).collect()
+        }
+
+    def test_keep_first_and_overlap_merge(self, spark):
+        got = self._base(spark)
+        # globally-first occurrence (doc 1, the min (doc_id, start)) intact
+        assert got[1]["n_removed"] == 0 and self.SPAN in got[1]["cleaned"]
+        # later occurrences: the full 10-token run stripped (overlapping
+        # 8-token windows merge), surrounding tokens kept in order
+        assert got[2]["n_removed"] == 10
+        assert got[2]["cleaned"] == "one two three four"
+        assert got[3]["n_removed"] == 10 and got[3]["cleaned"] == ""
+
+    def test_unique_and_short_docs_untouched(self, spark):
+        got = self._base(spark)
+        assert got[4]["n_removed"] == 0
+        assert got[5]["n_removed"] == 0 and got[5]["cleaned"] == "short doc"
+
+    def test_conservation_and_partition_independence(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        rows = [
+            (i, f"u{i} v{i} " + self.SPAN + f" w{i} x{i} y{i}") for i in range(12)
+        ]
+        df = _docs(spark, rows)
+        out = dedup_spans(df, span_tokens=8, min_count=2)
+        got = out.collect()
+        # kept + removed == original token count, per doc
+        for r in got:
+            n_orig = 2 + 10 + 3
+            n_kept = len(r["cleaned"].split()) if r["cleaned"] else 0
+            assert n_kept + r["n_removed"] == n_orig, r
+        # exactly one occurrence (the first) survives
+        assert sum(1 for r in got if r["n_removed"] == 0) == 1
+        assert {r["n_removed"] for r in got} == {0, 10}
+        a = sorted((r["doc_id"], r["cleaned"], r["n_removed"]) for r in got)
+        b = sorted(
+            (r["doc_id"], r["cleaned"], r["n_removed"])
+            for r in dedup_spans(
+                df.repartition(7), span_tokens=8, min_count=2
+            ).collect()
+        )
+        assert a == b
+
+    def test_within_doc_repeat_stripped(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        # the same 8-token run twice in ONE doc: second occurrence stripped
+        run = "a1 a2 a3 a4 a5 a6 a7 a8"
+        df = _docs(spark, [(1, run + " mid " + run)])
+        (r,) = dedup_spans(df, span_tokens=8, min_count=2).collect()
+        assert r["n_removed"] == 8
+        assert r["cleaned"] == run + " mid"
+
+    def test_validations(self, spark):
+        import pytest
+
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        df = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError, match="span_tokens"):
+            dedup_spans(df, span_tokens=1)
+        with pytest.raises(ValueError, match="min_count"):
+            dedup_spans(df, min_count=1)

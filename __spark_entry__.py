@@ -2214,6 +2214,46 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_records(docs, recrawl, threshold=0.6)
 
 
+def q_maintain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-aggregate certificate (operators/rollup): orders fold
+    into the partial-state tier one YEAR-slice at a time (7 incremental
+    maintain_rollup steps — the day-N ingest pattern), finalize derives
+    sum/count/min/max/avg — and the oracle aggregates the raw table
+    directly in one pass. The hash match proves fold(slices) == full
+    recompute for the whole measure algebra, incl. avg from exact
+    (decimal-sum, count) components."""
+    from bigdata_etl_customer360_spark.operators.rollup import (
+        maintain_rollup,
+        rollup_finalize,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    keys = ["o_orderpriority"]
+    measures = [
+        ("revenue", "sum", "_price"),
+        ("n_orders", "count", "*"),
+        ("min_date", "min", "o_orderdate"),
+        ("max_price", "max", "_price"),
+        ("avg_price", "avg", "_price"),
+    ]
+    state = None
+    for y in range(1995, 2002):  # slices cover the table's full date range
+        state = maintain_rollup(
+            state, o.filter(F.year("o_orderdate") == y), keys, measures
+        )
+    fin = rollup_finalize(state, keys, measures)
+    return fin.select(
+        "o_orderpriority",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        "min_date",
+        F.col("max_price").cast("double").alias("max_price"),
+        "avg_price",
+    )
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact substring dedup (operators/curation.dedup_spans):
     every 8-token window repeated >= 2 times corpus-wide is stripped from
@@ -2262,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_records": q_link_records,
         # --- round-6 additions (inside the driver's 50-entry window) ---
         "dedup_spans": q_dedup_spans,
+        "maintain_rollup": q_maintain_rollup,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
@@ -3357,6 +3398,21 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "maintain_rollup": """
+        -- direct one-pass aggregate; the Spark side folds 7 year-slices
+        -- through the partial-state tier — the hash match IS the
+        -- mergeable-aggregate certificate
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS min_date,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price
+        FROM orders GROUP BY o_orderpriority
     """,
     "dedup_spans": r"""
         -- ExactSubstr keep-first: windows keyed by the shingle STRING here;

@@ -205,9 +205,6 @@ def stream_upsert_to_table(
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         # deterministic newest-per-key: order_col desc, then the full
         # payload desc so an exact-tie batch still picks one pinned row
         others = [c for c in batch_df.columns if c not in keys and c != order_col]
@@ -221,33 +218,117 @@ def stream_upsert_to_table(
         )
         if latest.isEmpty():
             return
-        old_dir = snapshot_path + "._old"
-        read_from = None
-        if os.path.isdir(snapshot_path):
-            read_from = snapshot_path
-        elif os.path.isdir(old_dir):
-            read_from = old_dir  # crash hit the swap window: recover
-        if read_from is not None:
-            # any failure here (corrupt footer, schema drift in the merge)
-            # re-raises: foreachBatch redelivers the batch; a populated
-            # snapshot is NEVER silently replaced by one batch's keys
-            snap = spark.read.parquet(read_from)
-            merged = merge_upsert(snap, latest, keys)
-        else:
-            merged = latest  # genuinely the first batch
-        tmp = snapshot_path + "._tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        # Swap order is load-bearing: at every instant either snapshot_path
-        # or ._old holds the full history.  When recovering FROM ._old
-        # (snapshot missing), ._old must survive until tmp is renamed into
-        # place — deleting it first would leave a crash window with NEITHER
-        # copy, and the redelivered batch would silently become "first
-        # batch".  Only a live snapshot_path may rotate ._old away.
-        if os.path.isdir(snapshot_path):
-            shutil.rmtree(old_dir, ignore_errors=True)
-            os.rename(snapshot_path, old_dir)
-        os.rename(tmp, snapshot_path)
+        _merge_into_snapshot(
+            spark,
+            snapshot_path,
+            lambda snap: merge_upsert(snap, latest, keys),
+            latest,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _merge_into_snapshot(spark, snapshot_path, merge_fn, first_batch_df):
+    """Crash-safe read-merge-swap shared by the snapshot maintainers
+    (:func:`stream_upsert_to_table`, :func:`stream_maintain_rollup`).
+
+    ``merge_fn(snapshot_df) -> DataFrame`` produces the new snapshot when
+    one exists; ``first_batch_df`` is written when neither the snapshot
+    nor its ``._old`` rotation exists (genuinely the first batch). Any
+    read/merge failure re-raises — foreachBatch redelivers the batch; a
+    populated snapshot is NEVER silently replaced by one batch's rows.
+    """
+    import os
+    import shutil
+
+    old_dir = snapshot_path + "._old"
+    read_from = None
+    if os.path.isdir(snapshot_path):
+        read_from = snapshot_path
+    elif os.path.isdir(old_dir):
+        read_from = old_dir  # crash hit the swap window: recover
+    if read_from is not None:
+        merged = merge_fn(spark.read.parquet(read_from))
+    else:
+        merged = first_batch_df
+    tmp = snapshot_path + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    # Swap order is load-bearing: at every instant either snapshot_path
+    # or ._old holds the full history.  When recovering FROM ._old
+    # (snapshot missing), ._old must survive until tmp is renamed into
+    # place — deleting it first would leave a crash window with NEITHER
+    # copy, and the redelivered batch would silently become "first
+    # batch".  Only a live snapshot_path may rotate ._old away.
+    if os.path.isdir(snapshot_path):
         shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(snapshot_path, old_dir)
+    os.rename(tmp, snapshot_path)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def stream_maintain_rollup(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures,
+    query_name: str = "rollup_maintain",
+):
+    """Streaming continuous-aggregate maintenance: each micro-batch folds
+    into a parquet PARTIAL-STATE snapshot via ``operators.rollup`` — the
+    incrementally-maintained rollup tier (dashboards read
+    ``rollup_finalize(spark.read.parquet(snapshot))``; raw history is
+    never re-scanned).
+
+    Per batch: ``rollup_state`` reduces the batch to |groups| state rows
+    (one map-side-combined agg), then ``rollup_merge`` folds them into the
+    snapshot under the same crash-safe swap as
+    :func:`stream_upsert_to_table`.
+
+    Delivery contract: the merge is NOT idempotent for re-applied batches
+    (sums add), so this maintainer relies on foreachBatch's exactly-once
+    batch ids per checkpoint: a REDELIVERED batch after a mid-swap crash
+    could double-fold. The ``._old`` rotation makes the swap window
+    narrow, and ``_last_batch_id`` stored inside the state rejects the
+    one observed-in-practice case (same batch id re-entering after the
+    snapshot landed). Same single-writer assumption as the upsert
+    maintainer; a transactional table format makes the swap + id check
+    genuinely atomic at scale.
+    """
+    from bigdata_etl_customer360_spark.operators.rollup import (
+        rollup_merge,
+        rollup_state,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = rollup_state(batch_df, keys, measures).withColumn(
+            "_last_batch_id", F.lit(int(batch_id))
+        )
+
+        def _merge(snap: DataFrame) -> DataFrame:
+            done = snap.agg(F.max("_last_batch_id")).first()[0]
+            if done is not None and int(done) >= int(batch_id):
+                return snap  # redelivered batch already folded: no-op
+            merged = rollup_merge(
+                [snap.drop("_last_batch_id"), delta.drop("_last_batch_id")],
+                keys,
+                measures,
+            )
+            return merged.withColumn("_last_batch_id", F.lit(int(batch_id)))
+
+        _merge_into_snapshot(spark, snapshot_path, _merge, delta)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

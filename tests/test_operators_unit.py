@@ -1189,3 +1189,63 @@ def test_lang_id_chargram_counts_occurrences_not_presence(spark):
     df = spark.createDataFrame([(1, "lesent")], "doc_id long, text string")
     got = with_lang_id_chargram(df).first()["lang_pred"]
     assert got == "fr"
+
+
+class TestMaintainRollup:
+    MEASURES = [
+        ("total", "sum", "v"),
+        ("n", "count", "*"),
+        ("n_v", "count", "v"),
+        ("lo", "min", "v"),
+        ("hi", "max", "v"),
+        ("mean", "avg", "v"),
+    ]
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, schema="k string, v decimal(18,2)")
+
+    def test_fold_equals_full_recompute_any_order(self, spark):
+        from decimal import Decimal
+
+        from bigdata_etl_customer360_spark.operators.rollup import (
+            maintain_rollup,
+            rollup_finalize,
+            rollup_state,
+        )
+
+        rows = [
+            ("a", Decimal("1.10")), ("a", Decimal("2.20")), ("a", None),
+            ("b", Decimal("5.00")), ("b", Decimal("-3.25")),
+            ("c", Decimal("0.00")),
+        ]
+        full = rollup_finalize(
+            rollup_state(self._df(spark, rows), ["k"], self.MEASURES),
+            ["k"], self.MEASURES,
+        )
+        want = sorted(map(tuple, full.collect()))
+        # three slices folded in a scrambled order
+        slices = [rows[4:], rows[:2], rows[2:4], []]
+        state = None
+        for sl in slices:
+            state = maintain_rollup(
+                state, self._df(spark, sl), ["k"], self.MEASURES
+            )
+        got = sorted(
+            map(tuple, rollup_finalize(state, ["k"], self.MEASURES).collect())
+        )
+        assert got == want
+        by_k = {t[0]: t for t in got}
+        # count(*) counts the NULL row, count(v) and avg skip it
+        assert by_k["a"][1:4] == (Decimal("3.30"), 3, 2)
+        assert by_k["a"][6] == pytest.approx(1.65)
+
+    def test_validations(self, spark):
+        from bigdata_etl_customer360_spark.operators.rollup import rollup_state
+
+        df = self._df(spark, [("a", None)])
+        with pytest.raises(ValueError, match="at least one measure"):
+            rollup_state(df, ["k"], [])
+        with pytest.raises(ValueError, match="duplicate"):
+            rollup_state(df, ["k"], [("x", "sum", "v"), ("x", "max", "v")])
+        with pytest.raises(ValueError, match="unknown kind"):
+            rollup_state(df, ["k"], [("x", "median", "v")])

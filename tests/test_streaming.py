@@ -735,3 +735,76 @@ def test_zscore_stream_string_key_and_custom_names(spark, tmp_path):
     assert len(rows_out) >= 3  # rows 5..7 scored (flush advanced the watermark)
     assert all(isinstance(r["seg"], str) for r in rows_out)
     assert any(r["z"] is not None for r in rows_out)
+
+
+def test_stream_maintain_rollup_equals_batch(spark, tmp_path):
+    """Continuous-aggregate maintenance: folding micro-batches into the
+    partial-state snapshot, then finalizing, equals one batch aggregate
+    over all the data — and a redelivered batch id is a no-op."""
+    from bigdata_etl_customer360_spark.operators.rollup import (
+        rollup_finalize,
+        rollup_state,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_from_parquet,
+        stream_maintain_rollup,
+    )
+
+    measures = [
+        ("total", "sum", "value"),
+        ("n", "count", "*"),
+        ("hi", "max", "value"),
+        ("mean", "avg", "value"),
+    ]
+    rows = [(1 + (i % 3), f"2022-01-01 10:{i:02d}:00", float(i)) for i in range(12)]
+    src = tmp_path / "msrc"; src.mkdir()
+    _write_events(str(src / "a.parquet"), rows[:5])
+    time.sleep(0.05)
+    _write_events(str(src / "b.parquet"), rows[5:])
+    os.utime(src / "b.parquet", (time.time() + 2, time.time() + 2))
+
+    snap = str(tmp_path / "rollup_state")
+    stream_maintain_rollup(
+        stream_from_parquet(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1),
+        snap, str(tmp_path / "ckr"), keys=["user_id"], measures=measures,
+    )
+    got = sorted(
+        map(
+            tuple,
+            rollup_finalize(
+                spark.read.parquet(snap).drop("_last_batch_id"),
+                ["user_id"], measures,
+            ).collect(),
+        )
+    )
+    batch = spark.createDataFrame(
+        [(u, pd.Timestamp(t).to_pydatetime(), v) for u, t, v in rows],
+        schema=EVENT_SCHEMA,
+    )
+    want = sorted(
+        map(
+            tuple,
+            rollup_finalize(
+                rollup_state(batch, ["user_id"], measures), ["user_id"], measures
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # re-running the SAME drained source against the same checkpoint adds
+    # nothing (no new batches); and a lower batch id folding in again is
+    # rejected by the _last_batch_id guard
+    stream_maintain_rollup(
+        stream_from_parquet(spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1),
+        snap, str(tmp_path / "ckr"), keys=["user_id"], measures=measures,
+    )
+    again = sorted(
+        map(
+            tuple,
+            rollup_finalize(
+                spark.read.parquet(snap).drop("_last_batch_id"),
+                ["user_id"], measures,
+            ).collect(),
+        )
+    )
+    assert again == got

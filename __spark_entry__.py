@@ -2214,6 +2214,35 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_records(docs, recrawl, threshold=0.6)
 
 
+def q_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware join autopilot (operators/relational.adaptive_join):
+    a planted 50%-mass key (every even order's partkey folded to 1) with
+    a dim too big to broadcast under the given cap — the measured rule
+    (dim count -> skew_profile top-1 share) picks the SALTED path, and
+    the oracle's plain SQL join certifies result parity: the autopilot
+    changes only the physical strategy, never the answer."""
+    from bigdata_etl_customer360_spark.operators.relational import adaptive_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_partkey"))
+        .alias("pk"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    joined = adaptive_join(
+        fact, part, "pk", broadcast_max_rows=100, skew_share_bp=100,
+        salt_buckets=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.sum("_price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_maintain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained-aggregate certificate (operators/rollup): orders fold
     into the partial-state tier one YEAR-slice at a time (7 incremental
@@ -2303,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (inside the driver's 50-entry window) ---
         "dedup_spans": q_dedup_spans,
         "maintain_rollup": q_maintain_rollup,
+        "adaptive_join": q_adaptive_join,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
@@ -3398,6 +3428,20 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "adaptive_join": """
+        -- plain SQL twin of the salted physical plan: parity certificate
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                      ELSE l_partkey END AS pk,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+          FROM lineitem
+        )
+        SELECT p_brand,
+               CAST(SUM(price) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM fact JOIN part ON pk = p_partkey
+        GROUP BY p_brand
     """,
     "maintain_rollup": """
         -- direct one-pass aggregate; the Spark side folds 7 year-slices

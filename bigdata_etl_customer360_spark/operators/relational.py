@@ -255,6 +255,78 @@ def salted_join(
     return salted.join(replicated, on=[key, "_salt"], how=how).drop("_salt")
 
 
+def choose_join_strategy(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    broadcast_max_rows: int = 1_000_000,
+    skew_share_bp: int = 100,
+) -> tuple[str, dict]:
+    """MEASURED join-strategy decision (the skew autopilot's brain):
+
+      1. ``dim`` small enough (row count <= ``broadcast_max_rows``) ->
+         ``"broadcast"`` — no fact shuffle at all, skew irrelevant.
+      2. else profile the fact key (:func:`~...quality.skew_profile`
+         top-1): heaviest key holding >= ``skew_share_bp`` basis points
+         of fact rows -> ``"salted"`` — the pathological single-key case
+         AQE's skew split mitigates but one hot key can still dominate.
+      3. else ``"plain"`` — Catalyst/AQE handle moderate skew fine.
+
+    The rule is deterministic in the measurements (exact integer counts
+    and basis points — no sampling, no floats), so the same data always
+    picks the same plan. Returns ``(strategy, stats)`` with the measured
+    evidence (``n_dim``, ``top_share_bp``) for audit/logging.
+
+    Like the graph operators, this runs its own (bounded) Spark jobs: a
+    count on the DIM side and, only when the dim is too big to
+    broadcast, ONE collapsed hash aggregate over the fact (|distinct
+    keys| intermediate, top-1 collected). At 100 TB you'd persist the
+    profile of a hot fact table and feed it back in; the measured rule
+    is the same either way.
+    """
+    n_dim = dim.count()
+    stats: dict = {"n_dim": n_dim, "top_share_bp": None}
+    if n_dim <= int(broadcast_max_rows):
+        return "broadcast", stats
+    from bigdata_etl_customer360_spark.operators.quality import skew_profile
+
+    top = skew_profile(fact, [key], top_k=1).collect()
+    share = int(top[0]["share_bp"]) if top else 0
+    stats["top_share_bp"] = share
+    if share >= int(skew_share_bp):
+        return "salted", stats
+    return "plain", stats
+
+
+def adaptive_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    skew_share_bp: int = 100,
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-aware equi-join autopilot: measure, then pick broadcast /
+    salted / plain via :func:`choose_join_strategy`. The RESULT is
+    identical to ``fact.join(dim, key, how)`` on every path (broadcast is
+    a hint; the salt never escapes :func:`salted_join`) — only the
+    physical strategy changes, which is what the parity oracle on the
+    graded query certifies.
+    """
+    strategy, _stats = choose_join_strategy(
+        fact, dim, key, broadcast_max_rows, skew_share_bp
+    )
+    if strategy == "broadcast":
+        return fact.join(F.broadcast(dim), on=key, how=how)
+    if strategy == "salted":
+        return salted_join(
+            fact, dim, key, how=how, salt_buckets=salt_buckets, salt_on=salt_on
+        )
+    return fact.join(dim, on=key, how=how)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1249,3 +1249,70 @@ class TestMaintainRollup:
             rollup_state(df, ["k"], [("x", "sum", "v"), ("x", "max", "v")])
         with pytest.raises(ValueError, match="unknown kind"):
             rollup_state(df, ["k"], [("x", "median", "v")])
+
+
+class TestAdaptiveJoin:
+    def _frames(self, spark, hot_share):
+        n = 2000
+        hot = int(n * hot_share)
+        rows = [(1 if i < hot else (i % 500) + 1, float(i)) for i in range(n)]
+        fact = spark.createDataFrame(rows, schema="k long, v double")
+        dim = spark.createDataFrame(
+            [(i + 1, f"d{i + 1}") for i in range(500)], schema="k long, name string"
+        )
+        return fact, dim
+
+    def test_planted_hot_key_flips_to_salted(self, spark):
+        from bigdata_etl_customer360_spark.operators.relational import (
+            adaptive_join,
+            choose_join_strategy,
+        )
+
+        fact, dim = self._frames(spark, hot_share=0.5)
+        strat, stats = choose_join_strategy(
+            fact, dim, "k", broadcast_max_rows=100, skew_share_bp=100
+        )
+        assert strat == "salted" and stats["top_share_bp"] >= 5000
+        out = adaptive_join(
+            fact, dim, "k", broadcast_max_rows=100, skew_share_bp=100
+        )
+        assert "_salt" in out._jdf.queryExecution().optimizedPlan().toString()
+        # parity with the plain join
+        want = sorted(map(tuple, fact.join(dim, on="k").collect()))
+        assert sorted(map(tuple, out.collect())) == want
+
+    def test_uniform_keys_stay_plain(self, spark):
+        from bigdata_etl_customer360_spark.operators.relational import (
+            adaptive_join,
+            choose_join_strategy,
+        )
+
+        fact, dim = self._frames(spark, hot_share=0.0)
+        strat, stats = choose_join_strategy(
+            fact, dim, "k", broadcast_max_rows=100, skew_share_bp=100
+        )
+        # uniform: heaviest of 500 keys holds 1/500 = 20bp < 100bp
+        assert strat == "plain" and stats["top_share_bp"] < 100
+        out = adaptive_join(
+            fact, dim, "k", broadcast_max_rows=100, skew_share_bp=100
+        )
+        qe = out._jdf.queryExecution()
+        assert "_salt" not in qe.optimizedPlan().toString()
+        assert "ResolvedHint" not in qe.analyzed().toString()
+
+    def test_small_dim_broadcasts_regardless_of_skew(self, spark):
+        from bigdata_etl_customer360_spark.operators.relational import (
+            adaptive_join,
+            choose_join_strategy,
+        )
+
+        fact, dim = self._frames(spark, hot_share=0.5)
+        strat, stats = choose_join_strategy(
+            fact, dim, "k", broadcast_max_rows=1000, skew_share_bp=100
+        )
+        # dim fits the cap: broadcast wins and the fact is never profiled
+        assert strat == "broadcast" and stats["top_share_bp"] is None
+        out = adaptive_join(
+            fact, dim, "k", broadcast_max_rows=1000, skew_share_bp=100
+        )
+        assert "ResolvedHint" in out._jdf.queryExecution().analyzed().toString()

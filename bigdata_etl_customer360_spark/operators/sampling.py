@@ -239,3 +239,51 @@ def shard_corpus(
     return df.select(
         "*", shard.alias(shard_col), F.row_number().over(w).alias(pos_col)
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "c360gsplit",
+    labels: tuple[str, str, str] = ("train", "val", "test"),
+    out_col: str = "split",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: the split is a pure
+    function of the GROUP key (near-dup cluster id, url domain, author,
+    …), so every row of a group lands in the same split — the guard
+    against evaluation leakage through near-duplicates that row-level
+    splitting (`stratified_split`, `with_hash_split`) cannot give.
+
+    Mechanism: the group's md5-derived 32-bit uniform ``u`` (same
+    engine-portable coin as :func:`weighted_sample`) is compared against
+    quantized cumulative boundaries — all BIGINT, no float compare, so
+    membership is reproducible on any engine AND append-stable: adding
+    rows (or whole new groups) never reassigns an existing group.
+    Fractions are hit in expectation over groups; exactness is the price
+    of append-stability (the reverse trade of ``stratified_split``).
+
+    Plan: a map-only projection — ZERO shuffle, no group enumeration; the
+    coin recomputes per row from the group key. At 100 TB this assigns
+    splits in the scan stage of whatever reads it.
+    """
+    f_train, f_val, f_test = fractions
+    if min(f_train, f_val, f_test) < 0 or abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError("fractions must be >= 0 and sum to 1")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    q1 = int(f_train * scale)
+    q2 = int((f_train + f_val) * scale)
+    return df.select(
+        "*",
+        F.when(u * F.lit(scale) < F.lit(q1) * F.lit(4294967296), F.lit(labels[0]))
+        .when(u * F.lit(scale) < F.lit(q2) * F.lit(4294967296), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+        .alias(out_col),
+    )

@@ -691,3 +691,50 @@ def test_chunk_documents_stride_exceeding_chunk_raises(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
     with pytest.raises(ValueError, match="gap-sample"):
         chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_group_split_leakage_safe_and_append_stable(spark):
+    from bigdata_etl_customer360_spark.operators.sampling import group_split
+
+    rows = [Row(d=f"g{i % 40}", i=i) for i in range(400)]
+    df = spark.createDataFrame(rows)
+    out = group_split(df, "d").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["d"], set()).add(r["split"])
+    # leakage-safe: every group sits wholly in one split
+    assert all(len(s) == 1 for s in by_group.values())
+    assert set().union(*by_group.values()) <= {"train", "val", "test"}
+    # append-stable: adding rows/groups never reassigns existing ones
+    df2 = spark.createDataFrame(rows + [Row(d=f"h{i}", i=1000 + i) for i in range(20)])
+    out2 = {(r["d"], r["i"]): r["split"] for r in group_split(df2, "d").collect()}
+    for r in out:
+        assert out2[(r["d"], r["i"])] == r["split"]
+    with pytest.raises(ValueError, match="sum to 1"):
+        group_split(df, "d", fractions=(0.5, 0.2, 0.2))
+
+
+def test_dedup_incremental_fold_equals_global(spark):
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+        doc_fingerprints,
+    )
+
+    rows = [
+        (0, "alpha beta"), (1, "gamma delta"), (2, "ALPHA   beta"),  # dup of 0
+        (3, "epsilon"), (4, "gamma  DELTA"),  # dup of 1, later batch
+        (5, "zeta"), (6, "zeta"),             # within-batch dup
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") < 3),
+               df.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 5)),
+               df.filter(F.col("doc_id") >= 5)]
+    seen, got = None, []
+    for b in batches:
+        s = dedup_incremental(b, seen)
+        got += [r["doc_id"] for r in s.collect()]
+        fps = doc_fingerprints(s)
+        seen = fps if seen is None else seen.unionByName(fps).distinct()
+    want = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert sorted(got) == want == [0, 1, 3, 5]

@@ -11,7 +11,7 @@ Phases:
      probabilistic tier): quality gate -> exact dedup -> LSH near-dup ->
      connected components -> canonical -> stratified sample.
   C. bucketed-vs-plain canonical dedup chain at the same scale: identical
-     row sets (asserted), bucketed side must shuffle LESS (asserted).
+     row sets (asserted); shuffle bytes recorded per side.
 
 Run: PYTHONPATH=/root/repo python scripts/stress_ladder.py
 """
@@ -172,7 +172,13 @@ def main():
         "plain_sec": plain_sec, "plain_shuffle_mb": plain_mb,
         "bucketed_sec": b_sec, "bucketed_shuffle_mb": b_mb,
     }
-    assert b_mb < plain_mb, (b_mb, plain_mb)
+    # Measured finding (recorded in BASELINE.md, round 6): at the MINHASH
+    # tier the chain's shuffle bytes are dominated by shingle/band-hash
+    # keys, NOT doc_id — bucketing by id removes only the signature
+    # groupBy / canonical-join exchanges, a noise-level slice of total
+    # bytes here (10388 vs 10390 MB at 500k docs). The id-bucketing win
+    # belongs to id-keyed ladders (dedup_ladder_bucketed's plan test);
+    # no bytes assert — row equality above is the hard gate.
 
     print(json.dumps(report, indent=1))
     spark.stop()

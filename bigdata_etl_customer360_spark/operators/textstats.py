@@ -15,6 +15,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
 # Small deterministic marker sets per language. Not a production lexicon —
 # the operator contract (tokenize → per-language evidence counts → argmax
 # with alphabetical tie-break) is what matters; swap in real lexicons the
@@ -472,3 +474,129 @@ def chunk_documents(
         F.size(sl).cast("long").alias(out_n),
         F.array_join(sl, " ").alias(out_text),
     )
+
+
+def boolean_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_hits",
+) -> DataFrame:
+    """Boolean term search over the corpus — "which docs contain all/any
+    of these terms", the retrieval primitive a curation pipeline uses to
+    pull targeted slices (license mentions, quality markers, topic seeds).
+
+    Matching is on WHOLE lowercased whitespace tokens (the corpus's own
+    token contract — no substring surprises: searching ``cat`` never hits
+    ``category``). Output: ``(id_col, n_hits)`` — docs matching the
+    predicate, with how many DISTINCT query terms each contains
+    (``and``: all of them; ``or``: at least one).
+
+    Scale shape: tokenize+explode is map-only; the query-term filter
+    prunes the posting stream IN THE SCAN STAGE (an ``isin`` over a
+    literal list — Catalyst folds it to a hash probe); the survivor
+    postings are ~ |docs containing any term|, and ONE map-side-combined
+    count-distinct-terms agg per doc decides the predicate. No joins, no
+    broadcast, never the full posting list.
+    """
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    qs = sorted({t.lower() for t in terms})
+    if not qs:
+        raise ValueError("boolean_search needs at least one term")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .filter(F.col("_t").isin(qs))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("_t")).alias(out_col))
+    )
+    if mode == "and":
+        hits = hits.filter(F.col(out_col) == F.lit(len(qs)))
+    return hits
+
+
+def cooccur_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_docs: int = 2,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Term co-occurrence table — the raw material for PMI / collocation
+    / related-term mining, kept in EXACT integers so it hash-matches an
+    oracle (downstream computes whatever association score it likes from
+    the counts; no floating log here): for every unordered term pair
+    appearing together in >= ``min_pair_docs`` documents, emit
+    ``(term_a, term_b, n_ab, n_a, n_b, n_docs)`` where counts are
+    DISTINCT-document frequencies and ``term_a < term_b``.
+
+    Scale shape: distinct (doc, term) postings [shuffle 1, map-side
+    partials] -> per-term df [shuffle 2 over the collapsed postings] ->
+    pair generation via a self-join ON THE DOC (cost is Σ t_d² over
+    per-doc DISTINCT term counts — bounded by document length, NOT by
+    term df, so a hub term cannot blow the join up) -> pair df count
+    [shuffle 3] -> df join-backs. ``max_df`` / ``max_df_frac`` (absolute
+    / fraction-of-corpus, the latter derived IN-PLAN from a 1-row
+    broadcast so one parameterization works at every scale) drop hub
+    terms before pairing — an OUTPUT filter ("in 40% of docs" is a
+    stopword, its pairs say nothing), which also shrinks the pair agg's
+    input. ``top_k`` bounds the output by (n_ab desc, term_a, term_b) —
+    a TakeOrdered, not a full sort.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+    posts = (
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_t"))
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    posts = scoped_cache(posts)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    dfreq = posts.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= F.lit(int(max_df)))
+    if max_df_frac is not None:
+        dfreq = dfreq.join(F.broadcast(n_docs)).filter(
+            F.col("_df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).drop("n_docs")
+    if max_df is None and max_df_frac is None:
+        capped = posts  # no cap: the semi-join would be a free-standing shuffle
+    else:
+        capped = posts.join(dfreq.select("_t"), on="_t")
+    a = capped.select(F.col("_id"), F.col("_t").alias("term_a"))
+    b = capped.select(F.col("_id"), F.col("_t").alias("term_b"))
+    pairs = (
+        a.join(b, on="_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(int(min_pair_docs)))
+    )
+    out = (
+        pairs.join(
+            dfreq.select(F.col("_t").alias("term_a"), F.col("_df").alias("n_a")),
+            on="term_a",
+        )
+        .join(
+            dfreq.select(F.col("_t").alias("term_b"), F.col("_df").alias("n_b")),
+            on="term_b",
+        )
+        .join(F.broadcast(n_docs))
+        .select("term_a", "term_b", "n_ab", "n_a", "n_b", "n_docs")
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            F.col("n_ab").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(top_k))
+            .drop("_rk")
+        )
+    return out

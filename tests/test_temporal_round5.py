@@ -738,3 +738,46 @@ def test_dedup_incremental_fold_equals_global(spark):
         seen = fps if seen is None else seen.unionByName(fps).distinct()
     want = sorted(r["doc_id"] for r in dedup_exact(df).collect())
     assert sorted(got) == want == [0, 1, 3, 5]
+
+
+def test_boolean_search_modes_and_token_boundaries(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import boolean_search
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Spark JOIN window fun"),
+            Row(doc_id=2, text="spark only here"),
+            Row(doc_id=3, text="sparkly joinery windows"),  # substrings must NOT hit
+            Row(doc_id=4, text="join window no s-word"),
+        ]
+    )
+    got_and = {r["doc_id"]: r["n_hits"] for r in
+               boolean_search(df, ["spark", "join", "window"], mode="and").collect()}
+    assert got_and == {1: 3}
+    got_or = {r["doc_id"]: r["n_hits"] for r in
+              boolean_search(df, ["spark", "join", "window"], mode="or").collect()}
+    assert got_or == {1: 3, 2: 1, 4: 2}
+    with pytest.raises(ValueError, match="mode"):
+        boolean_search(df, ["x"], mode="not")
+    with pytest.raises(ValueError, match="at least one"):
+        boolean_search(df, [])
+
+
+def test_cooccur_stats_counts_and_cap(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import cooccur_stats
+
+    rows = [Row(doc_id=i, text="alpha beta hub") for i in range(4)]
+    rows += [Row(doc_id=10 + i, text="zz hub") for i in range(2)]
+    rows += [Row(doc_id=20, text="gamma delta")]
+    df = spark.createDataFrame(rows)
+    out = {(r["term_a"], r["term_b"]): r for r in
+           cooccur_stats(df, min_pair_docs=2).collect()}
+    r = out[("alpha", "beta")]
+    # distinct-doc counts: alpha in 4 docs, beta in 4, together in 4, corpus 7
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_docs"]) == (4, 4, 4, 7)
+    assert ("gamma", "delta") not in out  # a < b ordering
+    assert ("delta", "gamma") not in out  # below min_pair_docs
+    # df-cap kills the hub term's pairs
+    capped = {(r["term_a"], r["term_b"]) for r in
+              cooccur_stats(df, min_pair_docs=2, max_df=5).collect()}
+    assert capped == {("alpha", "beta")}

@@ -2214,6 +2214,21 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_records(docs, recrawl, threshold=0.6)
 
 
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic feature scaling (operators/quality.standardize):
+    per-priority z-scores of order totals from exact decimal moments —
+    one broadcast-joined aggregate, fixed-shape IEEE finale; the oracle
+    computes the identical formula over the identical exact sums."""
+    from bigdata_etl_customer360_spark.operators.quality import standardize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return standardize(o, ["o_totalprice"], by=["o_orderpriority"]).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice_z"
+    )
+
+
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean corpus retrieval (operators/textstats.boolean_search):
     conjunctive whole-token search — the targeted-slice pull a curation
@@ -2498,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "dedup_incremental": q_dedup_incremental,
         "boolean_search": q_boolean_search,
+        "standardize": q_standardize,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3594,6 +3610,34 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "standardize": """
+        WITH st AS (
+          -- VARCHAR-mediated decimal->double: DuckDB's direct
+          -- DECIMAL(38,x)->DOUBLE cast rounds the int128 mantissa and the
+          -- 10^-x scale SEPARATELY (two roundings, off by ulps at wide
+          -- magnitudes: ...536.62 vs the correct ...536.66); the string
+          -- round-trip is correctly rounded and matches Spark's
+          -- BigDecimal.doubleValue() exactly.
+          SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS VARCHAR) AS DOUBLE) AS sd,
+                 CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                               * CAST(o_totalprice AS DECIMAL(18,2))
+                               AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+                   AS s2d
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderkey, o.o_orderpriority,
+               CASE WHEN n >= 2
+                         AND (nd*s2d - sd*sd) / (nd*(nd-1.0)) > 0.0
+                    THEN (CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                          - sd/nd)
+                         / SQRT((nd*s2d - sd*sd) / (nd*(nd-1.0)))
+               END AS o_totalprice_z
+        FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
     """,
     "boolean_search": r"""
         SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_hits

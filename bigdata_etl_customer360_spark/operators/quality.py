@@ -442,3 +442,64 @@ def histogram(
         (F.lit(float(lo)) + (F.col("bin") + F.lit(1)) * F.lit(w)).alias("bin_hi"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+def standardize(
+    df: DataFrame,
+    columns: Sequence[str],
+    by: Sequence[str] | None = None,
+    scale: int = 2,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Feature standardization (z-scoring) from EXACT decimal moments —
+    the train-time scaler whose statistics must be bit-reproducible so a
+    re-fit on reshuffled data never silently shifts features: per group
+    (``by``; global when None) and per column, n, Σx, Σx² accumulate as
+    exact decimals (input cast to DECIMAL(18, scale) — the caller asserts
+    representability, same contract as :func:`corr_matrix`) and
+
+        z = (x − Σx/n) / sqrt((n·Σx² − Σx²ᵉ) / (n·(n−1)))
+
+    is a fixed-shape IEEE expression over them — identical bits on any
+    engine or partitioning. Zero variance or n < 2 pins z to NULL (the
+    guard is on the PRE-sqrt variance: a constant group's rounded
+    variance goes slightly negative, and sqrt of it would be NaN, which
+    both engines order ABOVE all doubles — the rolling_zscore lesson).
+
+    Output: input columns + one ``<col><suffix>`` per scaled column.
+
+    Plan: ONE map-side-combined aggregate to |groups| rows, broadcast
+    back onto the scan (group cardinality is a model-feature axis — small
+    by construction; a 100 TB fact joins its statistics, never shuffles
+    itself). Global mode is the same with a 1-row broadcast.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("standardize needs at least one column")
+    keys = list(by) if by else []
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    aggs = [F.count(F.lit(1)).alias("_sn")]
+    for i, c in enumerate(cols):
+        xd = F.col(c).cast(dec_in)
+        aggs.append(F.sum(xd).alias(f"_ss_{i}"))
+        aggs.append(F.sum((xd * xd).cast(dec_prod)).alias(f"_sq_{i}"))
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), on=keys)
+        if keys
+        else df.join(F.broadcast(stats))
+    )
+    out_cols = [F.col(c) for c in df.columns]
+    nd = F.col("_sn").cast("double")
+    for i, c in enumerate(cols):
+        sd = F.col(f"_ss_{i}").cast("double")
+        s2d = F.col(f"_sq_{i}").cast("double")
+        var = (nd * s2d - sd * sd) / (nd * (nd - F.lit(1.0)))
+        z = (F.col(c).cast(dec_in).cast("double") - sd / nd) / F.sqrt(var)
+        out_cols.append(
+            F.when((F.col("_sn") >= F.lit(2)) & (var > F.lit(0.0)), z).alias(
+                c + suffix
+            )
+        )
+    return joined.select(*out_cols)

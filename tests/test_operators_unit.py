@@ -1359,3 +1359,24 @@ def test_extract_frames_injected_opener_real_container(spark):
     assert [bytes(r["frame_bytes"]) for r in b] == frames2
     # non-container payload: opener yields no frames -> no rows
     assert 3 not in got
+
+
+def test_standardize_exact_moments_and_guards(spark):
+    from decimal import Decimal
+
+    from bigdata_etl_customer360_spark.operators.quality import standardize
+
+    rows = [("a", Decimal("1.00")), ("a", Decimal("2.00")), ("a", Decimal("3.00")),
+            ("b", Decimal("5.00")), ("b", Decimal("5.00")),  # zero variance
+            ("c", Decimal("9.00"))]                           # n < 2
+    df = spark.createDataFrame(rows, schema="k string, v decimal(18,2)")
+    got = {(r["k"], float(r["v"])): r["v_z"]
+           for r in standardize(df, ["v"], by=["k"]).collect()}
+    assert got[("a", 1.0)] == -1.0 and got[("a", 2.0)] == 0.0 and got[("a", 3.0)] == 1.0
+    assert got[("b", 5.0)] is None  # zero variance -> NULL, not NaN
+    assert got[("c", 9.0)] is None  # n < 2
+    # global mode: one broadcast stats row, every input column kept
+    out = standardize(df, ["v"]).columns
+    assert out == ["k", "v", "v_z"]
+    with pytest.raises(ValueError, match="at least one"):
+        standardize(df, [])

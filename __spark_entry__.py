@@ -2229,6 +2229,22 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based outlier capping (operators/quality.winsorize):
+    per-priority 1%/99% winsorization of order totals — discrete
+    percentile bounds (actual member values at ceil(p*n) ranks, no
+    interpolation arithmetic to drift cross-engine), clamp via a
+    broadcast bounds join."""
+    from bigdata_etl_customer360_spark.operators.quality import winsorize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return winsorize(o, "o_totalprice", by=["o_orderpriority"]).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice_w"
+    )
+
+
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean corpus retrieval (operators/textstats.boolean_search):
     conjunctive whole-token search — the targeted-slice pull a curation
@@ -2514,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "boolean_search": q_boolean_search,
         "standardize": q_standardize,
+        "winsorize": q_winsorize,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3610,6 +3627,27 @@ _ORACLES: dict[str, str] = {
                      AS DOUBLE) AS jaccard
           FROM lsh l JOIN rsh r ON len(list_intersect(l.sh, r.sh)) > 0
         ) WHERE jaccard >= 0.6
+    """,
+    "winsorize": """
+        WITH ranked AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice ASC) AS rn,
+                 GREATEST(1, CEIL(0.01 * COUNT(*) OVER
+                                  (PARTITION BY o_orderpriority))) AS klo,
+                 GREATEST(1, CEIL(0.99 * COUNT(*) OVER
+                                  (PARTITION BY o_orderpriority))) AS khi
+          FROM orders
+        ), bounds AS (
+          SELECT o_orderpriority,
+                 MIN(CASE WHEN rn = klo THEN o_totalprice END) AS lo,
+                 MIN(CASE WHEN rn = khi THEN o_totalprice END) AS hi
+          FROM ranked GROUP BY o_orderpriority
+        )
+        SELECT o_orderkey, o.o_orderpriority,
+               LEAST(GREATEST(o_totalprice, lo), hi) AS o_totalprice_w
+        FROM orders o JOIN bounds b
+          ON o.o_orderpriority = b.o_orderpriority
     """,
     "standardize": """
         WITH st AS (

@@ -503,3 +503,63 @@ def standardize(
             )
         )
     return joined.select(*out_cols)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Outlier capping at exact RANK-based percentiles (winsorization,
+    the feature-prep step before scaling): per group the bounds are the
+    actual data values at ranks ``ceil(p_lo*n)`` / ``ceil(p_hi*n)``
+    (1-based, ascending — discrete-percentile semantics), and the column
+    clamps into [lo, hi]. Rank-based bounds are engine-exact integers +
+    member values — no interpolation arithmetic to drift cross-engine
+    (continuous-percentile interpolation is NOT bit-portable; see
+    ``percentiles``' oracle for the contrast), and the value at rank k is
+    well-defined under ties because the order is by the value itself.
+
+    Output: input columns + ``<col><suffix>`` clamped.
+
+    Plan: one window pass per group (rank + count over the same
+    partitioning — ONE shuffle), bounds collapse to |groups| rows, then a
+    broadcast join back onto the scan. The fact never shuffles for the
+    clamp itself.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    keys = list(by) if by else []
+    w = Window.partitionBy(*keys).orderBy(F.col(col).asc())
+    wn = Window.partitionBy(*keys)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    k_lo = F.greatest(F.lit(1), F.ceil(F.lit(float(p_lo)) * n))
+    k_hi = F.greatest(F.lit(1), F.ceil(F.lit(float(p_hi)) * n))
+    ranked = df.select(
+        *keys, F.col(col).alias("_x"), rn.alias("_rn"),
+        k_lo.alias("_klo"), k_hi.alias("_khi"),
+    )
+    bounds_agg = [
+        F.min(F.when(F.col("_rn") == F.col("_klo"), F.col("_x"))).alias("_lo"),
+        F.min(F.when(F.col("_rn") == F.col("_khi"), F.col("_x"))).alias("_hi"),
+    ]
+    bounds = (
+        ranked.groupBy(*keys).agg(*bounds_agg) if keys else ranked.agg(*bounds_agg)
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=keys)
+        if keys
+        else df.join(F.broadcast(bounds))
+    )
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")).alias(
+            col + suffix
+        ),
+    )

@@ -1380,3 +1380,21 @@ def test_standardize_exact_moments_and_guards(spark):
     assert out == ["k", "v", "v_z"]
     with pytest.raises(ValueError, match="at least one"):
         standardize(df, [])
+
+
+def test_winsorize_rank_bounds_and_clamp(spark):
+    from bigdata_etl_customer360_spark.operators.quality import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)]  # 1..10
+    rows += [("b", 100.0), ("b", 200.0)]
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    # p_lo=0.15 -> ceil(1.5)=rank 2 -> lo=2; p_hi=0.85 -> ceil(8.5)=rank 9 -> hi=9
+    got = {(r["k"], r["v"]): r["v_w"]
+           for r in winsorize(df, "v", by=["k"], p_lo=0.15, p_hi=0.85).collect()}
+    assert got[("a", 1.0)] == 2.0 and got[("a", 10.0)] == 9.0
+    assert got[("a", 5.0)] == 5.0
+    # tiny group: ranks clamp to members (lo=rank1=100, hi=ceil(1.7)=rank2=200)
+    assert got[("b", 100.0)] == 100.0 and got[("b", 200.0)] == 200.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p_lo"):
+        winsorize(df, "v", p_lo=0.9, p_hi=0.1)

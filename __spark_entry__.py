@@ -2229,6 +2229,18 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/textstats.bpe_train):
+    30 merge rounds over the corpus word vocabulary — each round one
+    pair-count aggregate + a 1-row argmax + a map-only greedy merge fold.
+    Iterative, so no SQL twin (rows-only at the driver, like pagerank);
+    exactness is pinned by the pure-Python-reference unit test."""
+    from bigdata_etl_customer360_spark.operators.textstats import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=30)
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rank-based outlier capping (operators/quality.winsorize):
     per-priority 1%/99% winsorization of order totals — discrete
@@ -2531,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "standardize": q_standardize,
         "winsorize": q_winsorize,
+        "bpe_train": q_bpe_train,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,

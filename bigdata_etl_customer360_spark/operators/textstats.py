@@ -600,3 +600,189 @@ def cooccur_stats(
             .drop("_rk")
         )
     return out
+
+
+def _bpe_merges_py(
+    word_freqs: dict[str, int], num_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side BPE merge loop over a collected (word, freq) table —
+    the same algorithm and (count DESC, left ASC, right ASC) tie-break as
+    the distributed path in :func:`bpe_train`."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for w, n in word_freqs.items():
+        vocab[tuple(w)] += n
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), score = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if score < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right, int(score)))
+        new_vocab: Counter = Counter()
+        for syms, n in vocab.items():
+            out, i, ln = [], 0, len(syms)
+            while i < ln:
+                if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+    driver_vocab_threshold: int = 200_000,
+) -> DataFrame:
+    """Distributed byte-pair-encoding merge learning — the tokenizer-
+    TRAINING step (`build_vocab`/`encode_docs` consume a vocabulary;
+    this one learns subword merges from the corpus): starting from
+    per-character symbol sequences over the word vocabulary, repeatedly
+    (1) count adjacent symbol pairs weighted by word frequency, (2) take
+    the heaviest pair (ties: count DESC, left ASC, right ASC — pinned),
+    (3) merge it greedily left-to-right in every word (a token minted in
+    this pass cannot chain-merge until the next pass — the standard BPE
+    rule, so "aaa" + (a,a) -> [aa, a]).
+
+    Output: ``(rank, left, right, merged, score)`` — the ordered merge
+    table a tokenizer replays. Deterministic end-to-end: integer
+    frequency sums and a total-order tie-break; the exactness gate is a
+    pure-Python reference implementation in the unit tests
+    (iterative — no SQL twin, rows-only at the driver like pagerank).
+
+    Scale shape: the DISTRIBUTED part is the corpus scan — one shuffle
+    collapses 100 TB of text to the (word, freq) vocabulary, the classic
+    BPE trick (|vocab| << corpus, sublinear in data). The merge loop
+    itself then runs DRIVER-SIDE on the collected vocabulary when it has
+    at most ``driver_vocab_threshold`` rows (the normal case — real
+    tokenizer trainers operate on exactly this table; a 200k-row
+    (word, freq) list is a few MB) — a documented bounded collect, like
+    IVF's centroid fit. An oversized vocabulary falls back to the fully
+    distributed loop: per round ONE pair-count aggregate (map-side
+    combined, adjacent pairs via a zip of array slices) + a 1-row argmax
+    collect + an Arrow-batched merge map, lineage cut every
+    ``checkpoint_every`` rounds (the iterative-operator rule from
+    `operators/graph.py`). Both paths are the SAME algorithm with the
+    same pinned tie-break — the unit test runs them against each other
+    and a pure-Python reference.
+    """
+    spark = df.sparkSession
+    out_schema = "rank int, left string, right string, merged string, score long"
+    if num_merges < 1:
+        return spark.createDataFrame([], out_schema)
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+    words = (
+        df.select(F.explode(toks).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n_vocab = words.count()
+    if n_vocab <= int(driver_vocab_threshold):
+        rows = words.collect()  # bounded by driver_vocab_threshold
+        merges = _bpe_merges_py(
+            {r["_w"]: int(r["_n"]) for r in rows},
+            int(num_merges),
+            int(min_pair_count),
+        )
+        return spark.createDataFrame(merges, out_schema)
+    # size the frame to the vocab: an iterative loop pays per-partition
+    # task overhead EVERY round x every job; ~100k words per partition
+    # keeps one partition here and still parallelizes a crawl-scale vocab
+    n_parts = max(1, n_vocab // 100_000 + (1 if n_vocab % 100_000 else 0))
+    vocab = (
+        words.select(
+            F.filter(F.split(F.col("_w"), ""), lambda s: s != "").alias("_syms"),
+            F.col("_n"),
+        )
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+
+    def adjacent_pairs(frame: DataFrame) -> DataFrame:
+        sz = F.size(F.col("_syms"))
+        zipped = F.arrays_zip(
+            F.slice(F.col("_syms"), 1, sz - F.lit(1)).alias("l"),
+            F.slice(F.col("_syms"), 2, sz - F.lit(1)).alias("r"),
+        )
+        return (
+            frame.filter(sz >= 2)
+            .select(F.explode(zipped).alias("_p"), F.col("_n"))
+            .select(
+                F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r"), F.col("_n")
+            )
+        )
+
+    def apply_merge(frame: DataFrame, left: str, right: str) -> DataFrame:
+        # Arrow-batched pandas transform, not a Catalyst HOF fold: the
+        # per-round cost of this loop is DRIVER plan analysis, and the
+        # nested aggregate/when fold tree made every round pay ~0.4s of
+        # analysis (measured 16.8s -> 7.5s for 30 merges at sf0.1 after
+        # the swap). Executor-side work is a trivial per-word scan either
+        # way — the vocabulary frame is the small, collapsed tier.
+        import pandas as pd
+
+        merged_tok = left + right
+
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for syms in pdf["_syms"]:
+                    res, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            res.append(merged_tok)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"_syms": out, "_n": pdf["_n"]})
+
+        return frame.mapInPandas(run, schema="_syms array<string>, _n long")
+
+    from bigdata_etl_customer360_spark.operators.graph import _graph_shuffle_conf
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    # iterative-operator rule (operators/graph.py): every round pays the
+    # shuffle-partition count; size it to the VOCAB, not the session
+    # default (num_merges x empty-task scheduling dominates otherwise)
+    with _graph_shuffle_conf(spark, n_vocab):
+        for i in range(int(num_merges)):
+            best = (
+                adjacent_pairs(vocab)
+                .groupBy("_l", "_r")
+                .agg(F.sum("_n").alias("_c"))
+                .orderBy(F.col("_c").desc(), F.col("_l").asc(), F.col("_r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["_c"] < min_pair_count:
+                break
+            left, right, score = best[0]["_l"], best[0]["_r"], int(best[0]["_c"])
+            merges.append((i, left, right, left + right, score))
+            vocab = apply_merge(vocab, left, right)
+            if (i + 1) % checkpoint_every == 0:
+                vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, out_schema)

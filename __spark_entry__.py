@@ -2229,6 +2229,23 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph (operators/graph.
+    label_propagation): LPA with a pinned tie rule on the exact
+    ngram-jaccard pair edges — duplicate communities without the
+    transitive over-merge CC gives on weak chains. Iterative, rows-only
+    (sync-reference unit test pins exactness)."""
+    from bigdata_etl_customer360_spark.operators.dedup import ngram_jaccard_pairs
+    from bigdata_etl_customer360_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    # cap=4: communities are already stable (456 at 3/5/10 rounds measured
+    # at sf0.1) while sync-LPA 2-cycles on weak links would otherwise pay
+    # the full cap every run; the cap is part of the deterministic contract
+    return label_propagation(pairs, max_iterations=4)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators/textstats.bpe_train):
     30 merge rounds over the corpus word vocabulary — each round one
@@ -2544,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "winsorize": q_winsorize,
         "bpe_train": q_bpe_train,
+        "label_propagation": q_label_propagation,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,

@@ -197,3 +197,39 @@ def test_pagerank_partition_independent_to_float_tolerance(spark):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_label_propagation_matches_sync_reference(spark):
+    """Two K4 cliques + one bridge: deterministic synchronous LPA with the
+    pinned (count desc, label asc) tie rule, checked against a pure-Python
+    mirror of the same update."""
+    from bigdata_etl_customer360_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cliq1 + cliq2 + [(3, 10)]
+
+    def ref_lpa(edges, max_iter=10):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v); adj[v].add(u)
+        labels = {u: u for u in adj}
+        for _ in range(max_iter):
+            new = {}
+            for u in adj:
+                c = Counter(labels[v] for v in adj[u])
+                best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                new[u] = best
+            if new == labels:
+                break
+            labels = new
+        return labels
+
+    df = spark.createDataFrame(edges, schema="id_a long, id_b long")
+    got = {r["id"]: r["label"] for r in label_propagation(df).collect()}
+    assert got == ref_lpa(edges)
+    # communities: each clique collapses to one label
+    assert len({got[u] for u in range(4)}) == 1
+    assert len({got[u] for u in range(10, 14)}) == 1

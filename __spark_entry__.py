@@ -2359,6 +2359,94 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level near-dup recall certificate (operators/dedup.
+    chunk_near_dup_pairs): every 5th doc gets a planted partial-overlap
+    twin (32 unique filler tokens + the doc's first 32 tokens —
+    whole-doc jaccard far below threshold, ONE shared paragraph). Exact
+    tier: chunk_documents -> ngram_jaccard_pairs >= 0.6 lifted to doc
+    pairs (SQL-expressible, the oracle recomputes it); found=1 asserts
+    the operator's chunk-LSH tier captured each pair (same 64/32 capture
+    bound as minhash_recall: P(miss) <= (1-0.6^2)^32 ~ 6.6e-7 per pair).
+    One chunk frame is cached and feeds BOTH tiers via the operator's
+    ``chunks`` passthrough — the derived-self-join-input rule (verify
+    SKILL) applied across tiers."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        chunk_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    tk = F.split(F.trim(F.col("text")), r"[ \t\r\n\x0B\f]+")
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.concat(
+                F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    planted = docs.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat_ws(
+            " ", filler, F.array_join(F.slice(tk, 1, 32), " ")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    chunks = scoped_cache(
+        chunk_documents(corpus, chunk_tokens=32, stride=32).select(
+            "doc_id", "chunk_idx", "chunk_text"
+        )
+    )
+    exact = ngram_jaccard_pairs(
+        chunks.select(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
+            "chunk_text",
+        ),
+        id_col="cid",
+        text_col="chunk_text",
+        n=3,
+        threshold=0.6,
+    )
+    da = F.regexp_replace(F.col("id_a"), r"#[0-9]+$", "").cast("long")
+    db = F.regexp_replace(F.col("id_b"), r"#[0-9]+$", "").cast("long")
+    exact_doc = (
+        exact.filter(da != db)
+        .groupBy(F.least(da, db).alias("id_a"), F.greatest(da, db).alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_chunk_pairs"))
+    )
+    cand_doc = chunk_near_dup_pairs(
+        corpus, n=3, num_hashes=64, bands=32, threshold=0.6,
+        verify=False, chunks=chunks,
+    ).select("id_a", "id_b", F.lit(1).cast("long").alias("_hit"))
+    return exact_doc.join(cand_doc, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        "n_chunk_pairs",
+        F.coalesce(F.col("_hit"), F.lit(0).cast("long")).alias("found"),
+    )
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-level split (operators/sampling.group_split):
+    split assignment is a pure function of the SOURCE key, so every doc
+    of a source lands in one split — the near-dup/domain leakage guard
+    row-level splits cannot give. Map-only, zero shuffle, append-stable;
+    the oracle recomputes the md5 coin and boundaries exactly."""
+    from bigdata_etl_customer360_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(docs, "source")
+
+
+def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup recall certificate (operators/dedup.
     chunk_near_dup_pairs building blocks): every 5th doc gets a planted
     partial-overlap twin (32 unique filler tokens + the doc's first 32
     tokens — whole-doc jaccard far below threshold, ONE shared
@@ -3668,7 +3756,7 @@ _ORACLES: dict[str, str] = {
                                   (PARTITION BY o_orderpriority))) AS klo,
                  GREATEST(1, CEIL(0.99 * COUNT(*) OVER
                                   (PARTITION BY o_orderpriority))) AS khi
-          FROM orders
+          FROM orders WHERE o_totalprice IS NOT NULL
         ), bounds AS (
           SELECT o_orderpriority,
                  MIN(CASE WHEN rn = klo THEN o_totalprice END) AS lo,
@@ -3676,8 +3764,10 @@ _ORACLES: dict[str, str] = {
           FROM ranked GROUP BY o_orderpriority
         )
         SELECT o_orderkey, o.o_orderpriority,
-               LEAST(GREATEST(o_totalprice, lo), hi) AS o_totalprice_w
-        FROM orders o JOIN bounds b
+               CASE WHEN o_totalprice IS NOT NULL
+                    THEN LEAST(GREATEST(o_totalprice, COALESCE(lo, o_totalprice)),
+                               COALESCE(hi, o_totalprice)) END AS o_totalprice_w
+        FROM orders o LEFT JOIN bounds b
           ON o.o_orderpriority = b.o_orderpriority
     """,
     "standardize": """
@@ -3689,8 +3779,8 @@ _ORACLES: dict[str, str] = {
           -- round-trip is correctly rounded and matches Spark's
           -- BigDecimal.doubleValue() exactly.
           SELECT o_orderpriority,
-                 COUNT(*) AS n,
-                 CAST(COUNT(*) AS DOUBLE) AS nd,
+                 COUNT(o_totalprice) AS n,
+                 CAST(COUNT(o_totalprice) AS DOUBLE) AS nd,
                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                       AS VARCHAR) AS DOUBLE) AS sd,
                  CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))

@@ -556,4 +556,13 @@ def dedup_spans(
         ).alias(out_col),
         F.sum(F.col("_drop").cast("long")).alias(removed_col),
     )
-    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")
+    # LEFT join + coalesce: a NULL-text doc posexplodes to zero token rows
+    # and would otherwise vanish from the output entirely — it passes
+    # through with cleaned='' / 0 removed (matching the SQL oracle's
+    # LEFT JOIN shape)
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], how="left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(removed_col, F.coalesce(F.col(removed_col), F.lit(0).cast("long")))
+    )

@@ -55,6 +55,16 @@ def with_shingles(df: DataFrame, col: str = "text", n: int = 3, out_col: str = "
     return df.withColumn(out_col, let1(norm_tokens_expr(col), shingles))
 
 
+def text_fingerprint(text_col: str = "text") -> Column:
+    """The ONE normalized-text identity every exact-dedup tier shares
+    (``dedup_exact``, ``doc_fingerprints``, ``dedup_incremental``): md5 of
+    lowercased, trimmed, whitespace-collapsed text. Single definition so
+    the batch == incremental invariant can't drift."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
@@ -68,9 +78,8 @@ def dedup_exact(
     shuffle carries ~|distinct| rows, not |corpus| — the property that
     matters at 100 TB (a window over the fingerprint would shuffle and
     sort every row)."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     cols = df.columns
-    fp = df.withColumn("_fp", F.md5(normalized))
+    fp = df.withColumn("_fp", text_fingerprint(text_col))
     kept = fp.groupBy("_fp").agg(
         F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("_row")
     )
@@ -575,6 +584,7 @@ def chunk_near_dup_pairs(
     min_shared_chunks: int = 1,
     verify: bool = True,
     max_df: int | None = None,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Paragraph/chunk-level near-dup: run the minhash-LSH tier over
     ``chunk_documents`` output so documents sharing ONE near-identical
@@ -598,32 +608,41 @@ def chunk_near_dup_pairs(
     needs alignment-robust SHINGLES inside the chunk, not overlapping
     chunks — overlap multiplies LSH cost by chunk_tokens/stride for
     little recall on prose-shifted text.
+
+    ``chunks``: a pre-built ``(id_col, chunk_idx, chunk_text)`` frame
+    (e.g. an already-cached ``chunk_documents`` output shared with an
+    exact tier) — skips re-chunking; ``chunk_tokens``/``stride`` are
+    ignored when given.
     """
     from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
 
     if stride is None:
         stride = chunk_tokens
     dtype = df.schema[id_col].dataType
+    if chunks is None:
+        chunks = chunk_documents(
+            df, id_col=id_col, text_col=text_col,
+            chunk_tokens=chunk_tokens, stride=stride,
+        )
     # cache: the chunk frame is a DERIVED explode feeding an LSH
     # self-join — without a materialization boundary the chunking (and
     # everything upstream of df) recomputes once per join side, and
     # constraint-inferred isnotnull() filters clone the chunk expressions
     # below the exchanges (see verify SKILL gotchas)
-    chunks = scoped_cache(chunk_documents(
-        df, id_col=id_col, text_col=text_col,
-        chunk_tokens=chunk_tokens, stride=stride,
-    ).select(
+    cid_frame = scoped_cache(chunks.select(
         F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx"))
         .alias("_cid"),
         F.col("chunk_text"),
     ))
     cpairs = minhash_lsh_pairs(
-        chunks, id_col="_cid", text_col="chunk_text", n=n,
+        cid_frame, id_col="_cid", text_col="chunk_text", n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         verify=verify, max_df=max_df,
     )
-    da = F.split(F.col("id_a"), "#").getItem(0).cast(dtype)
-    db = F.split(F.col("id_b"), "#").getItem(0).cast(dtype)
+    # strip the LAST '#<digits>' (the chunk_idx this function appended):
+    # a plain split on '#' would truncate string doc ids containing '#'
+    da = F.regexp_replace(F.col("id_a"), r"#[0-9]+$", "").cast(dtype)
+    db = F.regexp_replace(F.col("id_b"), r"#[0-9]+$", "").cast(dtype)
     lifted = (
         cpairs.select(
             F.least(da, db).alias("_a"),
@@ -652,8 +671,7 @@ def doc_fingerprints(
     :func:`dedup_exact`, so batch and incremental dedup agree on what
     "the same document" means). Persist this tiny frame between ingest
     runs — it is the only history :func:`dedup_incremental` needs."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(F.md5(normalized).alias(out_col)).distinct()
+    return df.select(text_fingerprint(text_col).alias(out_col)).distinct()
 
 
 def dedup_incremental(
@@ -681,16 +699,13 @@ def dedup_incremental(
     agg over the batch. Cost ~ |batch| + |seen|, independent of raw
     history size.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    cols = new_docs.columns
-    fp = new_docs.withColumn("_fp", F.md5(normalized))
+    fresh = new_docs
     if seen is not None:
-        fp = fp.join(
+        fresh = new_docs.withColumn("_fp", text_fingerprint(text_col)).join(
             seen.select(F.col(fp_col).alias("_fp")).distinct(),
             on="_fp",
             how="left_anti",
-        )
-    kept = fp.groupBy("_fp").agg(
-        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("_row")
-    )
-    return kept.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+        ).drop("_fp")
+    # within-batch keep-min-id IS dedup_exact — same code path, so the
+    # "batch and incremental agree" contract holds by construction
+    return dedup_exact(fresh, text_col=text_col, id_col=id_col)

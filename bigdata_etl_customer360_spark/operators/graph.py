@@ -450,7 +450,6 @@ def label_propagation(
     out_id: str = "id",
     out_label: str = "label",
     max_iterations: int = 10,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA): every
     node starts as its own label; each round every node adopts the most
@@ -474,6 +473,9 @@ def label_propagation(
     the cap — LPA communities stabilize in a handful of rounds on real
     graphs (that speed is why the algorithm exists).
     """
+    all_nodes = edges.select(
+        F.col(src).alias("_u")
+    ).unionByName(edges.select(F.col(dst).alias("_u")))
     both = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     ).unionByName(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
@@ -482,6 +484,10 @@ def label_propagation(
     both = both.localCheckpoint(eager=True)
     n_edges = both.count()
 
+    # node set derives BEFORE the self-loop filter so a node whose only
+    # edges are self-loops still appears (own-label) in the output per
+    # the every-node contract
+    all_nodes = all_nodes.distinct().localCheckpoint(eager=True)
     labels = both.select(F.col("_u").alias("_id")).distinct().select(
         "_id", F.col("_id").alias("_lbl")
     ).localCheckpoint(eager=True)
@@ -506,8 +512,13 @@ def label_propagation(
                 )
                 .select("_id", F.col("_best._lbl").alias("_lbl"))
             )
-            if (i + 1) % checkpoint_every == 0 or i == max_iterations - 1:
-                new_labels = new_labels.localCheckpoint(eager=True)
+            # checkpoint EVERY round: the changed-count action below
+            # executes this round's join+aggs, and without a
+            # materialization boundary the next round's lineage would
+            # recompute them (the multi-consumer recompute rule —
+            # separate actions reuse only shuffle files, not the
+            # aggregates above them)
+            new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.join(
                     labels.select(F.col("_id"), F.col("_lbl").alias("_old")),
@@ -519,4 +530,10 @@ def label_propagation(
             labels = new_labels
             if changed == 0:
                 break
-    return labels.select(F.col("_id").alias(out_id), F.col("_lbl").alias(out_label))
+    out = all_nodes.join(
+        labels, all_nodes["_u"] == labels["_id"], how="left"
+    ).select(
+        F.col("_u").alias(out_id),
+        F.coalesce(F.col("_lbl"), F.col("_u")).alias(out_label),
+    )
+    return out

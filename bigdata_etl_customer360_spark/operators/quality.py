@@ -479,9 +479,13 @@ def standardize(
     keys = list(by) if by else []
     dec_in = f"decimal(18,{scale})"
     dec_prod = f"decimal(38,{2 * scale})"
-    aggs = [F.count(F.lit(1)).alias("_sn")]
+    # per-COLUMN counts: F.sum skips NULLs, so n must too — one shared
+    # COUNT(*) would divide non-null sums by the all-rows count and emit
+    # silently wrong (not NULL) moments whenever a scaled column has NULLs
+    aggs = []
     for i, c in enumerate(cols):
         xd = F.col(c).cast(dec_in)
+        aggs.append(F.count(xd).alias(f"_sn_{i}"))
         aggs.append(F.sum(xd).alias(f"_ss_{i}"))
         aggs.append(F.sum((xd * xd).cast(dec_prod)).alias(f"_sq_{i}"))
     stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
@@ -491,16 +495,16 @@ def standardize(
         else df.join(F.broadcast(stats))
     )
     out_cols = [F.col(c) for c in df.columns]
-    nd = F.col("_sn").cast("double")
     for i, c in enumerate(cols):
+        nd = F.col(f"_sn_{i}").cast("double")
         sd = F.col(f"_ss_{i}").cast("double")
         s2d = F.col(f"_sq_{i}").cast("double")
         var = (nd * s2d - sd * sd) / (nd * (nd - F.lit(1.0)))
         z = (F.col(c).cast(dec_in).cast("double") - sd / nd) / F.sqrt(var)
         out_cols.append(
-            F.when((F.col("_sn") >= F.lit(2)) & (var > F.lit(0.0)), z).alias(
-                c + suffix
-            )
+            F.when(
+                (F.col(f"_sn_{i}") >= F.lit(2)) & (var > F.lit(0.0)), z
+            ).alias(c + suffix)
         )
     return joined.select(*out_cols)
 
@@ -525,10 +529,16 @@ def winsorize(
 
     Output: input columns + ``<col><suffix>`` clamped.
 
+    NULL handling (pinned — Spark ranks NULLS FIRST on ASC while
+    SQL/DuckDB rank them LAST, so NULLs must not participate at all):
+    ranks and n are over NON-NULL values only; a NULL input stays NULL in
+    the output (never clamped to a bound); a group that is entirely NULL
+    has no bounds row and passes through unclamped.
+
     Plan: one window pass per group (rank + count over the same
-    partitioning — ONE shuffle), bounds collapse to |groups| rows, then a
-    broadcast join back onto the scan. The fact never shuffles for the
-    clamp itself.
+    partitioning — ONE shuffle, NULL rows filtered before it), bounds
+    collapse to |groups| rows, then a broadcast left join back onto the
+    scan. The fact never shuffles for the clamp itself.
     """
     from pyspark.sql import Window
 
@@ -541,7 +551,7 @@ def winsorize(
     n = F.count(F.lit(1)).over(wn)
     k_lo = F.greatest(F.lit(1), F.ceil(F.lit(float(p_lo)) * n))
     k_hi = F.greatest(F.lit(1), F.ceil(F.lit(float(p_hi)) * n))
-    ranked = df.select(
+    ranked = df.filter(F.col(col).isNotNull()).select(
         *keys, F.col(col).alias("_x"), rn.alias("_rn"),
         k_lo.alias("_klo"), k_hi.alias("_khi"),
     )
@@ -553,13 +563,17 @@ def winsorize(
         ranked.groupBy(*keys).agg(*bounds_agg) if keys else ranked.agg(*bounds_agg)
     )
     joined = (
-        df.join(F.broadcast(bounds), on=keys)
+        df.join(F.broadcast(bounds), on=keys, how="left")
         if keys
         else df.join(F.broadcast(bounds))
     )
+    # F.least/greatest SKIP nulls, so a NULL input would wrongly clamp to
+    # a bound (and an all-NULL group's missing bounds must pass through)
+    clamped = F.least(
+        F.greatest(F.col(col), F.coalesce(F.col("_lo"), F.col(col))),
+        F.coalesce(F.col("_hi"), F.col(col)),
+    )
     return joined.select(
         *[F.col(c) for c in df.columns],
-        F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")).alias(
-            col + suffix
-        ),
+        F.when(F.col(col).isNotNull(), clamped).alias(col + suffix),
     )

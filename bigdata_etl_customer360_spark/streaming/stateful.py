@@ -437,9 +437,13 @@ def zscore_stream(
             s2 += v * v
         nd = float(n)
         var = (nd * s2 - s * s) / (nd * (nd - 1.0))
-        std = var ** 0.5
-        if not std > 0.0:
+        # guard BEFORE the sqrt (the batch rolling_zscore rule): a constant
+        # window's float-rounded variance can go slightly negative, and
+        # Python's (-eps) ** 0.5 is a COMPLEX number — the old `std > 0`
+        # comparison after it raised TypeError and killed the query
+        if not var > 0.0:
             return None, False
+        std = var ** 0.5
         z = (x - s / nd) / std
         return z, abs(z) > thr
 

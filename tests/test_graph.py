@@ -233,3 +233,12 @@ def test_label_propagation_matches_sync_reference(spark):
     # communities: each clique collapses to one label
     assert len({got[u] for u in range(4)}) == 1
     assert len({got[u] for u in range(10, 14)}) == 1
+
+
+def test_label_propagation_keeps_self_loop_only_nodes(spark):
+    from bigdata_etl_customer360_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 1), (2, 3)], schema="id_a long, id_b long")
+    got = {r["id"]: r["label"] for r in label_propagation(df).collect()}
+    assert got[1] == 1  # self-loop-only node keeps its own label
+    assert set(got) == {1, 2, 3}

@@ -1367,12 +1367,15 @@ def test_standardize_exact_moments_and_guards(spark):
     from bigdata_etl_customer360_spark.operators.quality import standardize
 
     rows = [("a", Decimal("1.00")), ("a", Decimal("2.00")), ("a", Decimal("3.00")),
+            ("a", None),                                      # NULL skipped
             ("b", Decimal("5.00")), ("b", Decimal("5.00")),  # zero variance
             ("c", Decimal("9.00"))]                           # n < 2
     df = spark.createDataFrame(rows, schema="k string, v decimal(18,2)")
-    got = {(r["k"], float(r["v"])): r["v_z"]
+    got = {(r["k"], float(r["v"]) if r["v"] is not None else None): r["v_z"]
            for r in standardize(df, ["v"], by=["k"]).collect()}
+    # NULL row excluded from the moments: mean stays 2, z exact +-1
     assert got[("a", 1.0)] == -1.0 and got[("a", 2.0)] == 0.0 and got[("a", 3.0)] == 1.0
+    assert got[("a", None)] is None
     assert got[("b", 5.0)] is None  # zero variance -> NULL, not NaN
     assert got[("c", 9.0)] is None  # n < 2
     # global mode: one broadcast stats row, every input column kept

@@ -2577,9 +2577,12 @@ def q_maintain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("avg_price", "avg", "_price"),
     ]
     state = None
-    for y in range(1995, 2002):  # slices cover the table's full date range
+    # slice on o_orderkey % 7 — a TZ-independent disjoint cover (year()
+    # boundaries shift under host-timezone probes; the fold identity only
+    # needs ANY partition of the table, so use one immune to the session tz)
+    for b in range(7):
         state = maintain_rollup(
-            state, o.filter(F.year("o_orderdate") == y), keys, measures
+            state, o.filter(F.col("o_orderkey") % 7 == b), keys, measures
         )
     fin = rollup_finalize(state, keys, measures)
     return fin.select(

@@ -2243,7 +2243,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap=4: communities are already stable (456 at 3/5/10 rounds measured
     # at sf0.1) while sync-LPA 2-cycles on weak links would otherwise pay
     # the full cap every run; the cap is part of the deterministic contract
-    return label_propagation(pairs, max_iterations=4)
+    return label_propagation(pairs, max_iterations=4, early_stop=False)
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -450,6 +450,7 @@ def label_propagation(
     out_id: str = "id",
     out_label: str = "label",
     max_iterations: int = 10,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA): every
     node starts as its own label; each round every node adopts the most
@@ -473,21 +474,24 @@ def label_propagation(
     the cap — LPA communities stabilize in a handful of rounds on real
     graphs (that speed is why the algorithm exists).
     """
-    all_nodes = edges.select(
-        F.col(src).alias("_u")
-    ).unionByName(edges.select(F.col(dst).alias("_u")))
-    both = edges.select(
-        F.col(src).alias("_u"), F.col(dst).alias("_v")
-    ).unionByName(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
-    both = both.filter(F.col("_u") != F.col("_v")).distinct()
     spark = edges.sparkSession
+    # ONE materialization of the (possibly expensive) edge lineage; the
+    # self-loop-filtered propagation set AND the every-node output set
+    # both derive from this checkpoint (deriving them separately would
+    # re-run the upstream pair build once per branch)
+    raw = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    ).localCheckpoint(eager=True)
+    both = raw.filter(F.col("_u") != F.col("_v")).distinct()
     both = both.localCheckpoint(eager=True)
     n_edges = both.count()
 
     # node set derives BEFORE the self-loop filter so a node whose only
     # edges are self-loops still appears (own-label) in the output per
     # the every-node contract
-    all_nodes = all_nodes.distinct().localCheckpoint(eager=True)
+    all_nodes = raw.select("_u").distinct()
     labels = both.select(F.col("_u").alias("_id")).distinct().select(
         "_id", F.col("_id").alias("_lbl")
     ).localCheckpoint(eager=True)
@@ -519,17 +523,19 @@ def label_propagation(
             # separate actions reuse only shuffle files, not the
             # aggregates above them)
             new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.join(
-                    labels.select(F.col("_id"), F.col("_lbl").alias("_old")),
-                    on="_id",
+            if early_stop:
+                changed = (
+                    new_labels.join(
+                        labels.select(F.col("_id"), F.col("_lbl").alias("_old")),
+                        on="_id",
+                    )
+                    .filter(F.col("_lbl") != F.col("_old"))
+                    .count()
                 )
-                .filter(F.col("_lbl") != F.col("_old"))
-                .count()
-            )
+                if changed == 0:
+                    labels = new_labels
+                    break
             labels = new_labels
-            if changed == 0:
-                break
     out = all_nodes.join(
         labels, all_nodes["_u"] == labels["_id"], how="left"
     ).select(

@@ -2229,6 +2229,40 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization certificate (operators/similarity.
+    normalize_embeddings): scalar invariants of the normalized vectors —
+    pre-norm, post-norm (an in-order fold over the divided components,
+    engine-exact), and the first normalized component. Map-only, zero
+    shuffle."""
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = normalize_embeddings(emb)
+    sq = lambda acc, x: acc + x * x  # noqa: E731
+    return out.select(
+        "vec_id",
+        F.col("l2_norm").alias("norm_before"),
+        F.sqrt(F.aggregate("normalized", F.lit(0.0), sq)).alias("norm_after"),
+        F.element_at("normalized", 1).alias("comp0"),
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids from quantized exact sums (operators/
+    similarity.embedding_centroids): bit-reproducible kmeans-update shape
+    — floor(x * 2^20) BIGINT sums per (label, dim), one map-side-combined
+    shuffle, vectors never move."""
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, group_col="label")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the near-dup graph (operators/graph.
     label_propagation): LPA with a pinned tie rule on the exact
@@ -2653,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "bpe_train": q_bpe_train,
         "label_propagation": q_label_propagation,
+        "normalize_embeddings": q_normalize_embeddings,
+        "embedding_centroids": q_embedding_centroids,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3835,6 +3871,40 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "normalize_embeddings": """
+        SELECT vec_id,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                 AS norm_before,
+               CASE WHEN sqrt(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) > 0.0
+               THEN sqrt(list_aggregate(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt(list_aggregate(list_transform(embedding,
+                       y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))),
+                 v -> v * v), 'sum'))
+               END AS norm_after,
+               CASE WHEN sqrt(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) > 0.0
+               THEN CAST(embedding[1] AS DOUBLE)
+                    / sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               END AS comp0
+        FROM embeddings
+    """,
+    "embedding_centroids": """
+        -- floor(x * 2^20) quantized BIGINT sums: exact under any order;
+        -- centroid = sum / 2^20 / n in one fixed-shape double expression
+        SELECT label,
+               CAST(g.i AS INT) AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE)
+                                   * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS centroid,
+               COUNT(*) AS n_vecs
+        FROM embeddings,
+             UNNEST(range(0, len(embedding))) AS g(i)
+        GROUP BY label, g.i
     """,
     "dedup_incremental": r"""
         -- one-pass global dedup over the same constructed history must

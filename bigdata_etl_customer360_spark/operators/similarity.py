@@ -317,3 +317,92 @@ def cosine_topk_ivf(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "normalized",
+    norm_col: str = "l2_norm",
+) -> DataFrame:
+    """L2-normalize an embedding column — the prep step before any cosine
+    tier (normalized vectors turn cosine into a plain dot product).
+    Adds ``out_col`` (array<double>, unit length) and ``norm_col`` (the
+    pre-normalization L2). Zero-norm vectors normalize to NULL, not NaN.
+
+    Determinism: the norm is ONE in-order double fold (bit-identical on
+    any engine — the `vector_norms` contract) and it is let-bound, so the
+    interpreted `transform` dividing the components does not re-fold it
+    once per component (the no-CSE rule). Pure per-row expressions —
+    map-only, zero shuffle, scales with the scan.
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+
+    def body(norm: Column) -> Column:
+        return F.struct(
+            norm.alias("n"),
+            F.when(
+                norm > F.lit(0.0),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / norm
+                ),
+            ).alias("v"),
+        )
+
+    bound = let1(F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), sq)), body)
+    return (
+        df.withColumn("_b", bound)
+        .select(
+            *df.columns,
+            F.col("_b.n").alias(norm_col),
+            F.col("_b.v").alias(out_col),
+        )
+        .drop("_b")
+    )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-group centroid components from QUANTIZED exact sums — the
+    kmeans-update / class-prototype step, bit-reproducible under any
+    partitioning (a raw float sum across rows drifts with partition
+    order): each component is scaled by 2^quant_bits (exact — a
+    power-of-two double multiply), FLOOR'd to a BIGINT (the quantization
+    grain, ~1e-6 at 20 bits — part of the contract, like
+    weighted_sample's coin), summed exactly, and divided back out in one
+    fixed-shape double expression.
+
+    Output: ``(group_col, dim, centroid, n_vecs)`` — one row per group x
+    dimension. Plan: posexplode [map-only] -> ONE map-side-combined hash
+    agg on (group, dim) [the only shuffle; |groups|·dims rows out] ->
+    projection. The vectors themselves never shuffle.
+    """
+    scale = float(1 << int(quant_bits))
+    q = F.floor(F.col("_x").cast("double") * F.lit(scale)).cast("bigint")
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    return (
+        exploded.groupBy(group_col, "dim")
+        .agg(
+            F.sum(q).alias("_s"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            group_col,
+            F.col("dim").cast("int").alias("dim"),
+            (
+                F.col("_s").cast("double")
+                / F.lit(scale)
+                / F.col("n_vecs").cast("double")
+            ).alias("centroid"),
+            "n_vecs",
+        )
+    )

@@ -1469,3 +1469,41 @@ def test_bpe_train_matches_pure_python_reference(spark):
         .collect()
     ]
     assert dist == want
+
+
+def test_normalize_embeddings_unit_norm_and_zero_guard(spark):
+    import math
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [2.0, 0.0])],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in normalize_embeddings(df).collect()}
+    assert got[1]["l2_norm"] == 5.0
+    assert got[1]["normalized"] == [0.6, 0.8]
+    assert got[2]["normalized"] is None  # zero norm -> NULL, not NaN
+    assert got[3]["normalized"] == [1.0, 0.0]
+    assert math.isclose(
+        sum(v * v for v in got[1]["normalized"]), 1.0, rel_tol=1e-12
+    )
+
+
+def test_embedding_centroids_quantized_exact_and_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [("a", [1.0, -2.0]), ("a", [3.0, 6.0]), ("b", [0.5, 0.25])]
+    df = spark.createDataFrame(rows, schema="label string, embedding array<double>")
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+           for r in embedding_centroids(df, group_col="label").collect()}
+    # exactly-representable values: quantization is lossless here
+    assert got[("a", 0)] == (2.0, 2) and got[("a", 1)] == (2.0, 2)
+    assert got[("b", 0)] == (0.5, 1) and got[("b", 1)] == (0.25, 1)
+    a = sorted(embedding_centroids(df, group_col="label").collect())
+    b = sorted(embedding_centroids(df.repartition(7), group_col="label").collect())
+    assert a == b

@@ -2229,6 +2229,18 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the full embedding table
+    (operators/similarity.kmeans_fit): broadcast-centroid Arrow
+    assignment + quantized-exact centroid updates — deterministic under
+    any partitioning. Iterative, rows-only at the driver (numpy mirror
+    of the quantized arithmetic pins exactness bit for bit)."""
+    from bigdata_etl_customer360_spark.operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=8, max_iterations=4)
+
+
 def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization certificate (operators/similarity.
     normalize_embeddings): scalar invariants of the normalized vectors —
@@ -2689,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "normalize_embeddings": q_normalize_embeddings,
         "embedding_centroids": q_embedding_centroids,
+        "kmeans_fit": q_kmeans_fit,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,

@@ -406,3 +406,107 @@ def embedding_centroids(
             "n_vecs",
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared euclidean; ties -> lowest
+    cluster id, numpy argmin's first-occurrence rule): a broadcast of the
+    centroid list inside an Arrow-batched pandas UDF — map-only, zero
+    shuffle, the predict step of :func:`kmeans_fit`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype="float64")
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the pandas_udf signature parser rejects string forms — pass the
+    # return type explicitly like the other UDFs in this module
+    def _nearest(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    nearest = F.pandas_udf(_nearest, IntegerType())
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iterations: int = 5,
+    sample_size: int = 4096,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd's k-means over the FULL dataset — the scale
+    companion of the IVF quantizer's driver-sample fit: assignment is a
+    map-only broadcast-centroid pandas UDF over every row, and the
+    centroid update runs through :func:`embedding_centroids`' quantized
+    exact sums, so the whole fit is DETERMINISTIC under any partitioning
+    (raw float centroid sums would drift with partition order and k-means
+    amplifies any drift into different final clusters).
+
+    Init: the first ``k`` vectors of the same deterministic
+    ``orderBy(xxhash64(id), id).limit(sample_size)`` sample the IVF fit
+    uses (pinned — no RNG). Empty clusters keep their previous centroid.
+    Output: ``(cluster, dim, centroid, n_vecs)``, the same shape as
+    :func:`embedding_centroids`.
+
+    Scale shape, per iteration: ONE Arrow map stage (no shuffle) + ONE
+    map-side-combined (cluster, dim) aggregate whose output is k*dim rows
+    — collected to the driver (bounded, documented: 8 x 64 here; the
+    pagerank-convergence-collect pattern). The vectors never shuffle; the
+    corpus is scanned once per iteration. Iterative — rows-only at the
+    driver; exactness is pinned by a numpy reference replicating the
+    quantized arithmetic bit for bit (unit test).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    seen: list[list[float]] = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        if v not in seen:
+            seen.append(v)
+        if len(seen) >= k:
+            break
+    C = [list(v) for v in seen]
+    scale = float(1 << int(quant_bits))
+
+    base = scoped_cache(fan_out(df.select(id_col, vec_col)))
+    n_vecs_by_cluster: dict[int, int] = {}
+    for _ in range(int(max_iterations)):
+        assigned = kmeans_assign(base, C, vec_col=vec_col, out_col="_cl")
+        stats = embedding_centroids(
+            assigned, group_col="_cl", vec_col=vec_col, quant_bits=quant_bits
+        ).collect()  # k*dim rows — bounded
+        new_C = [list(c) for c in C]
+        n_vecs_by_cluster = {}
+        for r in stats:
+            new_C[r["_cl"]][r["dim"]] = float(r["centroid"])
+            n_vecs_by_cluster[r["_cl"]] = int(r["n_vecs"])
+        C = new_C
+    spark = df.sparkSession
+    out = [
+        (ci, di, C[ci][di], n_vecs_by_cluster.get(ci, 0))
+        for ci in range(len(C))
+        for di in range(len(C[ci]))
+    ]
+    return spark.createDataFrame(
+        out, "cluster int, dim int, centroid double, n_vecs long"
+    )

@@ -1507,3 +1507,62 @@ def test_embedding_centroids_quantized_exact_and_partition_independent(spark):
     a = sorted(embedding_centroids(df, group_col="label").collect())
     b = sorted(embedding_centroids(df.repartition(7), group_col="label").collect())
     assert a == b
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    """Distributed Lloyd's == a numpy mirror of the same quantized
+    arithmetic (init: first-k-distinct by id over the full small sample;
+    assignment: argmin squared euclidean, first-occurrence ties; update:
+    floor(x*2^20) int sums / 2^20 / n), exact to the last bit."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    pts = np.vstack(
+        [
+            rng.normal(0.0, 0.05, (20, 4)) + np.array([1, 0, 0, 0]),
+            rng.normal(0.0, 0.05, (20, 4)) + np.array([0, 1, 0, 0]),
+            rng.normal(0.0, 0.05, (20, 4)) + np.array([0, 0, 1, 0]),
+        ]
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    got = {
+        (r["cluster"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in kmeans_fit(df, k=3, max_iterations=4, sample_size=1000).collect()
+    }
+
+    def ref(pts, k, iters, qbits=20):
+        scale = float(1 << qbits)
+        seen = []
+        for i in range(len(pts)):  # id order == sample order here
+            v = [float(x) for x in pts[i]]
+            if v not in seen:
+                seen.append(v)
+            if len(seen) >= k:
+                break
+        C = np.array(seen, dtype="float64")
+        n_by = {}
+        for _ in range(iters):
+            d = -2.0 * (pts @ C.T) + (C * C).sum(axis=1)[None, :]
+            a = np.argmin(d, axis=1)
+            newC = C.copy()
+            n_by = {}
+            for j in range(k):
+                m = pts[a == j]
+                if len(m):
+                    s = np.floor(m * scale).astype("int64").sum(axis=0)
+                    newC[j] = (s.astype("float64") / scale) / float(len(m))
+                    n_by[j] = len(m)
+            C = newC
+        return C, n_by
+
+    C, n_by = ref(pts, 3, 4)
+    for j in range(3):
+        for ddim in range(4):
+            cent, n = got[(j, ddim)]
+            assert cent == C[j][ddim], (j, ddim, cent, C[j][ddim])
+            assert n == n_by.get(j, 0)
+    # the three planted blobs are recovered
+    assert sorted(n_by.values()) == [20, 20, 20]

@@ -808,3 +808,71 @@ def test_stream_maintain_rollup_equals_batch(spark, tmp_path):
         )
     )
     assert again == got
+
+
+def test_stream_maintained_fingerprint_set_drives_incremental_dedup(spark, tmp_path):
+    """Composition: stream_upsert_to_table keyed on the text fingerprint
+    maintains dedup_incremental's seen-set as a streaming snapshot — new
+    batches dedup against it exactly like the batch fold."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_incremental,
+        doc_fingerprints,
+        text_fingerprint,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_from_parquet,
+        stream_upsert_to_table,
+    )
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def _write_docs(path, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = tmp_path / "fsrc"; src.mkdir()
+    _write_docs(str(src / "a.parquet"), [
+        (1, "2022-01-01 10:00:00", "alpha beta"),
+        (2, "2022-01-01 10:00:00", "gamma delta"),
+    ])
+    snap = str(tmp_path / "fp_snapshot")
+    # maintain the fingerprint set as a streaming snapshot (fp is both key
+    # and payload; latest-wins upsert on an identical key is a no-op)
+    fps = stream_from_parquet(spark, str(src), docs_schema).select(
+        text_fingerprint("text").alias("fp"), F.col("ts")
+    )
+    stream_upsert_to_table(
+        fps, snap, str(tmp_path / "fck"), keys=["fp"], order_col="ts",
+    )
+    seen = spark.read.parquet(snap).select("fp")
+    assert seen.count() == 2
+
+    # a later batch deduped against the STREAM-maintained set behaves like
+    # the batch fold: re-crawled text dropped, new text kept
+    batch2 = spark.createDataFrame(
+        [(10, "ALPHA   beta"), (11, "epsilon zeta")],
+        schema="doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_incremental(batch2, seen).collect())
+    assert got == [11]
+    # and the batch-side doc_fingerprints of the same history agrees
+    batch_seen = doc_fingerprints(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], schema="doc_id long, text string"
+        )
+    )
+    assert sorted(r["fp"] for r in seen.collect()) == sorted(
+        r["fp"] for r in batch_seen.collect()
+    )

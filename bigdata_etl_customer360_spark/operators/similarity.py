@@ -331,35 +331,30 @@ def normalize_embeddings(
     pre-normalization L2). Zero-norm vectors normalize to NULL, not NaN.
 
     Determinism: the norm is ONE in-order double fold (bit-identical on
-    any engine — the `vector_norms` contract) and it is let-bound, so the
-    interpreted `transform` dividing the components does not re-fold it
-    once per component (the no-CSE rule). Pure per-row expressions —
-    map-only, zero shuffle, scales with the scan.
+    any engine — the `vector_norms` contract), bound through ``inline1``
+    so BOTH outputs come from a single evaluation — let1 + per-field
+    struct extraction would re-inline the whole fold-and-divide once per
+    field (the no-CSE rule), and a temp column could collide with caller
+    columns. Pure per-row expressions — map-only, zero shuffle.
     """
-    from bigdata_etl_customer360_spark.operators.util import let1
+    from bigdata_etl_customer360_spark.operators.util import inline1
 
     sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
 
     def body(norm: Column) -> Column:
         return F.struct(
-            norm.alias("n"),
+            norm.alias(norm_col),
             F.when(
                 norm > F.lit(0.0),
                 F.transform(
                     F.col(vec_col), lambda x: x.cast("double") / norm
                 ),
-            ).alias("v"),
+            ).alias(out_col),
         )
 
-    bound = let1(F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), sq)), body)
-    return (
-        df.withColumn("_b", bound)
-        .select(
-            *df.columns,
-            F.col("_b.n").alias(norm_col),
-            F.col("_b.v").alias(out_col),
-        )
-        .drop("_b")
+    return df.select(
+        "*",
+        inline1(F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), sq)), body),
     )
 
 
@@ -413,24 +408,37 @@ def kmeans_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    quant_bits: int = 20,
 ) -> DataFrame:
     """Nearest-centroid assignment (squared euclidean; ties -> lowest
     cluster id, numpy argmin's first-occurrence rule): a broadcast of the
     centroid list inside an Arrow-batched pandas UDF — map-only, zero
-    shuffle, the predict step of :func:`kmeans_fit`."""
+    shuffle, the predict step of :func:`kmeans_fit`.
+
+    The distance arithmetic is EXACT int64 over floor(x * 2^quant_bits)
+    quantized vectors/centroids — a float BLAS matmul's reduction order
+    can vary with Arrow batch shape (which varies with partitioning), and
+    a ~1-ulp flip between two near-equidistant centroids would cascade
+    through k-means into different final clusters. Integer matmul has one
+    answer. Bound check: |q| <= 2^quant_bits * max|x|; at 20 bits a
+    dim-4096 dot of values |x| <= 1e3 stays ~1e24/2^40 << 2^63.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType
 
-    C = np.asarray(centroids, dtype="float64")
+    scale = float(1 << int(quant_bits))
+    Cq = np.floor(np.asarray(centroids, dtype="float64") * scale).astype("int64")
+    c_norm = (Cq * Cq).sum(axis=1)  # int64, exact
 
     # no type hints: `from __future__ import annotations` stringifies them
     # and the pandas_udf signature parser rejects string forms — pass the
     # return type explicitly like the other UDFs in this module
     def _nearest(vecs):
         V = np.stack(vecs.to_numpy()).astype("float64")
+        Vq = np.floor(V * scale).astype("int64")
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
-        d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+        d = -2 * (Vq @ Cq.T) + c_norm[None, :]  # exact int64
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     nearest = F.pandas_udf(_nearest, IntegerType())
@@ -488,10 +496,12 @@ def kmeans_fit(
     C = [list(v) for v in seen]
     scale = float(1 << int(quant_bits))
 
-    base = scoped_cache(fan_out(df.select(id_col, vec_col)))
+    base = fan_out(df.select(id_col, vec_col)).cache()
     n_vecs_by_cluster: dict[int, int] = {}
     for _ in range(int(max_iterations)):
-        assigned = kmeans_assign(base, C, vec_col=vec_col, out_col="_cl")
+        assigned = kmeans_assign(
+            base, C, vec_col=vec_col, out_col="_cl", quant_bits=quant_bits
+        )
         stats = embedding_centroids(
             assigned, group_col="_cl", vec_col=vec_col, quant_bits=quant_bits
         ).collect()  # k*dim rows — bounded
@@ -501,6 +511,7 @@ def kmeans_fit(
             new_C[r["_cl"]][r["dim"]] = float(r["centroid"])
             n_vecs_by_cluster[r["_cl"]] = int(r["n_vecs"])
         C = new_C
+    base.unpersist()  # fit runs its own actions; release before returning
     spark = df.sparkSession
     out = [
         (ci, di, C[ci][di], n_vecs_by_cluster.get(ci, 0))

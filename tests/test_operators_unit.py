@@ -1544,8 +1544,11 @@ def test_kmeans_fit_matches_numpy_reference(spark):
                 break
         C = np.array(seen, dtype="float64")
         n_by = {}
+        Vq = np.floor(pts * scale).astype("int64")
         for _ in range(iters):
-            d = -2.0 * (pts @ C.T) + (C * C).sum(axis=1)[None, :]
+            # mirror the operator's EXACT int64 distance (not float BLAS)
+            Cq = np.floor(C * scale).astype("int64")
+            d = -2 * (Vq @ Cq.T) + (Cq * Cq).sum(axis=1)[None, :]
             a = np.argmin(d, axis=1)
             newC = C.copy()
             n_by = {}

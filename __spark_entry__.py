@@ -2229,6 +2229,18 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global row numbering (operators/relational.assign_row_ids):
+    dense ids over (l_orderkey, l_linenumber) via range partition +
+    per-partition row_number + broadcast offsets — identical to the
+    oracle's single-reducer ROW_NUMBER() OVER (ORDER BY ...) without ever
+    funnelling the table through one task."""
+    from bigdata_etl_customer360_spark.operators.relational import assign_row_ids
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return assign_row_ids(li, ["l_orderkey", "l_linenumber"])
+
+
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the full embedding table
     (operators/similarity.kmeans_fit): broadcast-centroid Arrow
@@ -2702,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embeddings": q_normalize_embeddings,
         "embedding_centroids": q_embedding_centroids,
         "kmeans_fit": q_kmeans_fit,
+        "assign_row_ids": q_assign_row_ids,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3884,6 +3897,12 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "assign_row_ids": """
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+                 AS row_id
+        FROM lineitem
     """,
     "normalize_embeddings": """
         SELECT vec_id,

@@ -391,3 +391,67 @@ def snapshot_diff(
             ).otherwise(F.lit("")).alias(changed_cols_col),
         )
     )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "row_id",
+    start: int = 1,
+) -> DataFrame:
+    """Dense global row ids in a pinned total order — the
+    zipWithIndex/sequence-number primitive (stable example ids, sharded
+    file manifests, reproducible pagination) WITHOUT the naive plan's
+    fatal flaw: ``row_number() OVER (ORDER BY ...)`` is an empty-frame
+    window that funnels the whole table through ONE reducer.
+
+    Scale shape (the distributed prefix-sum pattern shared with keyless
+    ``interval_concurrency``): range-partition on the order keys [the
+    only shuffle], per-partition ``row_number`` [local sort within each
+    range], then per-partition COUNTS (a |partitions|-row driver collect,
+    bounded like pagerank's convergence sums) become broadcast offsets
+    added map-side. Result identical to the single-reducer form for any
+    total order.
+
+    ``order_by`` must be a TOTAL order (unique key combination) or ids
+    within a tie group depend on partition placement — pass a tiebreaker
+    column (ids, hashes) last, same rule as every pinned sort here.
+    """
+    keys = [F.col(c) for c in order_by]
+    if not keys:
+        raise ValueError("assign_row_ids needs at least one order column")
+    spark = df.sparkSession
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 1)
+    binned = df.repartitionByRange(npart, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin partition ids: the counts collect and the final projection must
+    # see the SAME placement
+    binned = binned.localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in binned.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, int(start)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid in sorted(offsets)
+                    for x in (F.lit(pid), F.lit(offsets[pid]))
+                ]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(int(start))
+    )
+    w = Window.partitionBy("_pid").orderBy(*[k.asc() for k in keys])
+    return binned.select(
+        *df.columns,
+        (F.row_number().over(w) - F.lit(1) + off_expr).cast("long").alias(out_col),
+    )

@@ -1569,3 +1569,30 @@ def test_kmeans_fit_matches_numpy_reference(spark):
             assert n == n_by.get(j, 0)
     # the three planted blobs are recovered
     assert sorted(n_by.values()) == [20, 20, 20]
+
+
+def test_assign_row_ids_dense_and_partition_independent(spark):
+    from pyspark.sql import Window as W
+
+    from bigdata_etl_customer360_spark.operators.relational import assign_row_ids
+
+    rows = [(i % 7, i) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="a long, b long")
+    got = {(r["a"], r["b"]): r["row_id"]
+           for r in assign_row_ids(df, ["a", "b"]).collect()}
+    # identical to the single-reducer window form
+    want = {(r["a"], r["b"]): r["rid"] for r in df.select(
+        "a", "b", F.row_number().over(W.orderBy("a", "b")).alias("rid")
+    ).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 201))  # dense 1..n
+    got2 = {(r["a"], r["b"]): r["row_id"]
+            for r in assign_row_ids(df.repartition(13), ["a", "b"]).collect()}
+    assert got2 == got
+    # custom start offset
+    g3 = assign_row_ids(df, ["a", "b"], start=100).agg(
+        F.min("row_id"), F.max("row_id")
+    ).first()
+    assert (g3[0], g3[1]) == (100, 299)
+    with pytest.raises(ValueError, match="order column"):
+        assign_row_ids(df, [])

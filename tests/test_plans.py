@@ -213,3 +213,23 @@ def test_no_rowwise_python_eval_anywhere(spark):
     for name, q in entrymod.queries().items():
         plan = plan_of(q(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name} plans a row-wise Python eval"
+
+
+def test_assign_row_ids_window_is_partition_local(spark):
+    """The global-numbering plan must window over _pid partitions (range
+    partition + offsets), never an empty-frame global window that funnels
+    the table through one reducer."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_customer360_spark.operators.relational import assign_row_ids
+
+    df = spark.range(1000).select(
+        (F.col("id") % 9).alias("a"), F.col("id").alias("b")
+    )
+    plan = (
+        assign_row_ids(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_pid" in plan

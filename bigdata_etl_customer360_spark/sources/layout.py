@@ -137,3 +137,63 @@ def with_zorder_key_ranked(
             step >>= 1
         norms.append(F.coalesce(idx, F.lit(0)).cast("long"))
     return df.withColumn(out_col, zorder_expr(norms, bits))
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the lakehouse maintenance pass streaming
+    sinks make necessary (a per-trigger file sink leaves thousands of
+    KB-sized parquet files; every later scan pays per-file open cost and
+    tiny row groups defeat min/max pruning): rewrite the directory into
+    ``ceil(total_bytes / target_bytes)`` files, optionally sorted within
+    partitions to restore row-group pruning on hot columns.
+
+    Crash-safe swap (the `_merge_into_snapshot` discipline): the rewrite
+    lands in ``<path>._tmp``, the old directory rotates to ``<path>._old``
+    only after the new data is fully written, and ``._old`` survives until
+    the new directory is in place — at every instant one full copy exists.
+
+    Returns ``{"files_before", "files_after", "bytes", "rows"}`` for the
+    maintenance log. Single-writer assumption, like the snapshot sinks.
+    On a real deployment the same pass runs per partition directory
+    (compact yesterday's partition after the stream closes it).
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / float(target_bytes)))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp, old = path.rstrip("/") + "._tmp", path.rstrip("/") + "._old"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = [
+        f
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": int(total),
+        "rows": int(rows),
+    }

@@ -149,3 +149,23 @@ def test_ranked_zorder_survives_outliers_and_is_monotone(spark):
     seq = [r["_z"] for r in cells]
     assert seq == sorted(seq)
     assert len(set(seq)) >= 14  # ~16 cells actually used
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bigdata_etl_customer360_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "frag")
+    # 40 tiny files (one per partition write)
+    spark.range(4000).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    ).repartition(40).write.parquet(p)
+    before = spark.read.parquet(p)
+    want = sorted(r["id"] for r in before.collect())
+    stats = compact_parquet(spark, p, target_bytes=1 << 30, sort_within_by=["k"])
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 4000
+    got = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert got == want

@@ -2229,6 +2229,24 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup pair graph (operators/graph.
+    bfs_distances): min hops from every 50th doc — the ONE iterative
+    graph operator whose answer is a unique fixed point, so the
+    recursive-CTE oracle hash-matches exact integers (pagerank/LPA stay
+    rows-only by nature; this one closes the loop on iterative-operator
+    verifiability)."""
+    from bigdata_etl_customer360_spark.operators.dedup import ngram_jaccard_pairs
+    from bigdata_etl_customer360_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_distances(pairs, seeds, max_depth=8)
+
+
 def q_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable global row numbering (operators/relational.assign_row_ids):
     dense ids over (l_orderkey, l_linenumber) via range partition +
@@ -2715,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "kmeans_fit": q_kmeans_fit,
         "assign_row_ids": q_assign_row_ids,
+        "bfs_distances": q_bfs_distances,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3897,6 +3916,41 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "bfs_distances": r"""
+        -- pairs (same SQL as the ngram_jaccard oracle) -> undirected
+        -- edges -> recursive frontier expansion bounded at 8 hops ->
+        -- min hops per node; seeds at 0 even when isolated
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+          ) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS id, CAST(0 AS BIGINT) AS d
+          FROM documents WHERE doc_id % 50 = 0
+          UNION
+          SELECT e.v, reach.d + 1 FROM reach JOIN edges e ON reach.id = e.u
+          WHERE reach.d < 8
+        )
+        SELECT id, MIN(d) AS dist FROM reach GROUP BY id
     """,
     "assign_row_ids": """
         SELECT l_orderkey, l_linenumber,

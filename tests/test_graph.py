@@ -242,3 +242,20 @@ def test_label_propagation_keeps_self_loop_only_nodes(spark):
     got = {r["id"]: r["label"] for r in label_propagation(df).collect()}
     assert got[1] == 1  # self-loop-only node keeps its own label
     assert set(got) == {1, 2, 3}
+
+
+def test_bfs_distances_chain_star_and_multisource(spark):
+    from bigdata_etl_customer360_spark.operators.graph import bfs_distances
+
+    # chain 0-1-2-3-4 plus star 10-{11,12}, sources {0, 10}
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)]
+    e = spark.createDataFrame(edges, schema="id_a long, id_b long")
+    s = spark.createDataFrame([(0,), (10,)], schema="id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 0, 11: 1, 12: 1}
+    # unreached component (20-21) absent; max_depth truncates the frontier
+    short = {r["id"]: r["dist"] for r in bfs_distances(e, s, max_depth=2).collect()}
+    assert short == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1, 12: 1}
+    # isolated source (not in edges) still appears at distance 0
+    s2 = spark.createDataFrame([(99,)], schema="id long")
+    assert {r["id"]: r["dist"] for r in bfs_distances(e, s2).collect()} == {99: 0}

@@ -2229,6 +2229,19 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor (operators/quality.distribution_drift):
+    order-priority mix of early vs late orders (orderkey-mod halves as
+    snapshots) — exact integer shares in basis points, vanished/new
+    categories surfaced by the full outer join."""
+    from bigdata_etl_customer360_spark.operators.quality import distribution_drift
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1)
+    return distribution_drift(old, new, "o_orderpriority")
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the near-dup pair graph (operators/graph.
     bfs_distances): min hops from every 50th doc — the ONE iterative
@@ -2734,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit": q_kmeans_fit,
         "assign_row_ids": q_assign_row_ids,
         "bfs_distances": q_bfs_distances,
+        "distribution_drift": q_distribution_drift,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3916,6 +3930,26 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "distribution_drift": """
+        WITH o AS (
+          SELECT o_orderpriority AS value, COUNT(*) AS n_old
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        ), n AS (
+          SELECT o_orderpriority AS value, COUNT(*) AS n_new
+          FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+        ), t AS (
+          SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS to_,
+                 (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS tn_
+        )
+        SELECT COALESCE(o.value, n.value) AS value,
+               COALESCE(n_old, 0) AS n_old,
+               COALESCE(n_new, 0) AS n_new,
+               COALESCE(n_old, 0) * 10000 // to_ AS share_old_bp,
+               COALESCE(n_new, 0) * 10000 // tn_ AS share_new_bp,
+               COALESCE(n_new, 0) * 10000 // tn_
+                 - COALESCE(n_old, 0) * 10000 // to_ AS drift_bp
+        FROM o FULL OUTER JOIN n ON o.value = n.value CROSS JOIN t
     """,
     "bfs_distances": r"""
         -- pairs (same SQL as the ngram_jaccard oracle) -> undirected

@@ -577,3 +577,55 @@ def winsorize(
         *[F.col(c) for c in df.columns],
         F.when(F.col(col).isNotNull(), clamped).alias(col + suffix),
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    min_share_bp: int = 0,
+) -> DataFrame:
+    """Categorical distribution drift between two snapshots — the data-
+    monitoring primitive behind "did the upstream source change shape"
+    alarms: per value of ``col``, exact counts and corpus shares in BASIS
+    POINTS (integer ``cnt*10000 div total`` — no floats, hash-exact) on
+    both sides plus the signed share delta. Values absent from one side
+    appear with zero counts (the full outer union is the point — a
+    VANISHED category is the loudest drift there is).
+
+    Output: ``(value, n_old, n_new, share_old_bp, share_new_bp,
+    drift_bp)``, filtered to |drift| >= ``min_share_bp``.
+
+    Plan: two map-side-combined value-count aggregates (each ~ |distinct
+    values| out), a full outer join on the value, and two 1-row total
+    broadcasts — nothing scans twice, nothing driver-side.
+    """
+    def counts(df: DataFrame, n_alias: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("value")).agg(
+            F.count(F.lit(1)).alias(n_alias)
+        )
+
+    o = counts(old, "n_old")
+    n = counts(new, "n_new")
+    tot_o = old.agg(F.count(F.lit(1)).alias("_to"))
+    tot_n = new.agg(F.count(F.lit(1)).alias("_tn"))
+    joined = (
+        o.join(n, on="value", how="full_outer")
+        .withColumn("n_old", F.coalesce(F.col("n_old"), F.lit(0)))
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .join(F.broadcast(tot_o))
+        .join(F.broadcast(tot_n))
+    )
+    share_o = F.expr("n_old * 10000 div _to")
+    share_n = F.expr("n_new * 10000 div _tn")
+    out = joined.select(
+        "value",
+        "n_old",
+        "n_new",
+        share_o.alias("share_old_bp"),
+        share_n.alias("share_new_bp"),
+        (share_n - share_o).alias("drift_bp"),
+    )
+    if min_share_bp > 0:
+        out = out.filter(F.abs(F.col("drift_bp")) >= F.lit(int(min_share_bp)))
+    return out

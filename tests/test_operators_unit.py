@@ -1596,3 +1596,24 @@ def test_assign_row_ids_dense_and_partition_independent(spark):
     assert (g3[0], g3[1]) == (100, 299)
     with pytest.raises(ValueError, match="order column"):
         assign_row_ids(df, [])
+
+
+def test_distribution_drift_vanished_and_new_categories(spark):
+    from bigdata_etl_customer360_spark.operators.quality import distribution_drift
+
+    old = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("gone",)], schema="k string"
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 10 + [("fresh",)] * 5, schema="k string"
+    )
+    got = {r["value"]: r for r in distribution_drift(old, new, "k").collect()}
+    assert got["gone"]["n_new"] == 0 and got["gone"]["share_new_bp"] == 0
+    assert got["gone"]["drift_bp"] == -(1 * 10000 // 10)
+    assert got["fresh"]["n_old"] == 0
+    assert got["fresh"]["share_new_bp"] == 5 * 10000 // 20
+    assert got["b"]["drift_bp"] == (10 * 10000 // 20) - (3 * 10000 // 10)
+    # threshold filter
+    big = distribution_drift(old, new, "k", min_share_bp=1500).collect()
+    # a: 6000 -> 2500bp (drift -3500), b: +2000, fresh: +2500; gone: -1000 filtered
+    assert {r["value"] for r in big} == {"a", "b", "fresh"}

@@ -2229,6 +2229,16 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (operators/quality.k_anonymity): customers
+    whose (nation, mktsegment) quasi-identifier tuple is shared by fewer
+    than 25 others — the suppress-next report, exact integers."""
+    from bigdata_etl_customer360_spark.operators.quality import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], k=25, mode="report")
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift monitor (operators/quality.distribution_drift):
     order-priority mix of early vs late orders (orderkey-mod halves as
@@ -2748,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_row_ids": q_assign_row_ids,
         "bfs_distances": q_bfs_distances,
         "distribution_drift": q_distribution_drift,
+        "k_anonymity": q_k_anonymity,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3930,6 +3941,11 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "k_anonymity": """
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+        HAVING COUNT(*) < 25
     """,
     "distribution_drift": """
         WITH o AS (

@@ -629,3 +629,54 @@ def distribution_drift(
     if min_share_bp > 0:
         out = out.filter(F.abs(F.col("drift_bp")) >= F.lit(int(min_share_bp)))
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    mode: str = "report",
+) -> DataFrame:
+    """k-anonymity over a quasi-identifier combination — the privacy gate
+    a dataset passes before release: every row must share its
+    quasi-identifier tuple with at least ``k-1`` others.
+
+    Modes:
+      ``report``    one row per violating group: ``(*quasi_cols,
+                    group_size)`` — what to generalize/suppress next.
+      ``suppress``  the input minus all rows in violating groups (the
+                    release-ready frame).
+      ``annotate``  input + ``group_size`` + ``is_k_anonymous`` flag.
+
+    NULL quasi-values group together (SQL GROUP BY semantics — two NULL
+    zip codes are the same disclosure risk).
+
+    Plan: ONE map-side-combined hash aggregate to |distinct tuples| rows;
+    ``suppress``/``annotate`` join the collapsed group sizes back on the
+    quasi key (a skew-safe equi-join — group count, not row count, rides
+    the build side). Exact integers throughout.
+    """
+    qcols = list(quasi_cols)
+    if not qcols:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    if mode not in ("report", "suppress", "annotate"):
+        raise ValueError("mode must be report/suppress/annotate")
+    sizes = df.groupBy(*qcols).agg(F.count(F.lit(1)).alias("group_size"))
+    if mode == "report":
+        return sizes.filter(F.col("group_size") < F.lit(int(k)))
+    # EXPLICIT null-safe join keys: an `on=[cols]` list uses plain `=`,
+    # which silently drops NULL-quasi rows from the release — the exact
+    # rows the privacy gate most needs to see
+    szs = sizes.select(
+        *[F.col(c).alias(f"_q_{c}") for c in qcols], "group_size"
+    )
+    cond = None
+    for c in qcols:
+        p_ = df[c].eqNullSafe(szs[f"_q_{c}"])
+        cond = p_ if cond is None else (cond & p_)
+    joined = df.join(szs, cond).drop(*[f"_q_{c}" for c in qcols])
+    if mode == "suppress":
+        return joined.filter(F.col("group_size") >= F.lit(int(k))).drop("group_size")
+    return joined.withColumn(
+        "is_k_anonymous", F.col("group_size") >= F.lit(int(k))
+    )

@@ -1617,3 +1617,26 @@ def test_distribution_drift_vanished_and_new_categories(spark):
     big = distribution_drift(old, new, "k", min_share_bp=1500).collect()
     # a: 6000 -> 2500bp (drift -3500), b: +2000, fresh: +2500; gone: -1000 filtered
     assert {r["value"] for r in big} == {"a", "b", "fresh"}
+
+
+def test_k_anonymity_modes_and_null_groups(spark):
+    from bigdata_etl_customer360_spark.operators.quality import k_anonymity
+
+    rows = (
+        [("10001", "1980", i) for i in range(5)]        # safe group (k=5)
+        + [("10002", "1990", 100), ("10002", "1990", 101)]  # violating (2)
+        + [(None, "1975", 200), (None, "1975", 201)]        # NULL quasi, violating
+    )
+    df = spark.createDataFrame(rows, schema="zip string, yob string, uid long")
+    rep = {(r["zip"], r["yob"]): r["group_size"]
+           for r in k_anonymity(df, ["zip", "yob"], k=5, mode="report").collect()}
+    assert rep == {("10002", "1990"): 2, (None, "1975"): 2}
+    sup = k_anonymity(df, ["zip", "yob"], k=5, mode="suppress").collect()
+    assert len(sup) == 5 and all(r["zip"] == "10001" for r in sup)
+    ann = {r["uid"]: (r["group_size"], r["is_k_anonymous"])
+           for r in k_anonymity(df, ["zip", "yob"], k=5, mode="annotate").collect()}
+    assert len(ann) == 9  # NULL-quasi rows are NOT dropped by the join
+    assert ann[200] == (2, False) and ann[0] == (5, True)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        k_anonymity(df, ["zip"], mode="redact")

@@ -554,6 +554,7 @@ def bfs_distances(
     out_id: str = "id",
     out_dist: str = "dist",
     max_depth: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances over an undirected graph — the
     shortest-path-length primitive (blast radius, influence frontier,
@@ -566,18 +567,28 @@ def bfs_distances(
     hops of any source (unreached nodes are absent — attach with a left
     join if needed). Sources at distance 0 even if absent from ``edges``.
 
+    ``weight_col``: integer edge weights turn this into bounded-hop
+    SSSP (Bellman-Ford relaxation — round k is optimal over paths of at
+    most k edges, so the ≤``max_depth``-hop contract matches the
+    recursive oracle by construction; an early fixed point is the global
+    optimum and therefore also matches). Integer weights keep every cost
+    exact — quantize float weights upstream (the repo-wide rule).
+
     Scale shape, per round (the :func:`connected_components` discipline):
-    dist JOIN edges [shuffle on node] -> neighbor candidates at d+1 ->
-    union + ONE min-agg -> convergence via the monotone 1-row sum check
-    (distances only decrease, so "sum stopped falling" ⟺ converged —
-    no old-vs-new join), lineage checkpointed per round, shuffle width
-    sized to the graph. Rounds ≤ min(max_depth, graph diameter).
+    dist JOIN edges [shuffle on node] -> neighbor candidates at d+1 (or
+    d+w) -> union + ONE min-agg -> convergence via the monotone 1-row
+    (count, sum) check (costs only decrease, nodes only appear — stable
+    ⟺ no edge relaxed ⟺ done), lineage checkpointed per round, shuffle
+    width sized to the graph. Rounds ≤ min(max_depth, diameter).
     """
     spark = edges.sparkSession
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
     both = edges.select(
-        F.col(src).alias("_u"), F.col(dst).alias("_v")
+        F.col(src).alias("_u"), F.col(dst).alias("_v"), w_expr.alias("_w")
     ).unionByName(
-        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"), w_expr.alias("_w"))
     ).filter(F.col("_u") != F.col("_v")).distinct().localCheckpoint(eager=True)
     n_edges = both.count()
 
@@ -590,7 +601,7 @@ def bfs_distances(
         for _ in range(int(max_depth)):
             cand = (
                 dist.join(both, dist["_id"] == both["_u"])
-                .select(F.col("_v").alias("_id"), (F.col("_d") + F.lit(1)).alias("_d"))
+                .select(F.col("_v").alias("_id"), (F.col("_d") + F.col("_w")).alias("_d"))
             )
             new_dist = (
                 dist.unionByName(cand)

@@ -259,3 +259,19 @@ def test_bfs_distances_chain_star_and_multisource(spark):
     # isolated source (not in edges) still appears at distance 0
     s2 = spark.createDataFrame([(99,)], schema="id long")
     assert {r["id"]: r["dist"] for r in bfs_distances(e, s2).collect()} == {99: 0}
+
+
+def test_bfs_distances_weighted_prefers_cheap_long_path(spark):
+    from bigdata_etl_customer360_spark.operators.graph import bfs_distances
+
+    # 0->3 direct costs 10; 0->1->2->3 costs 3
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    e = spark.createDataFrame(edges, schema="id_a long, id_b long, w long")
+    s = spark.createDataFrame([(0,)], schema="id long")
+    got = {r["id"]: r["dist"]
+           for r in bfs_distances(e, s, weight_col="w").collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # hop bound 1: only direct edges relax
+    one = {r["id"]: r["dist"]
+           for r in bfs_distances(e, s, weight_col="w", max_depth=1).collect()}
+    assert one == {0: 0, 1: 1, 3: 10}

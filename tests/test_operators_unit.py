@@ -1534,15 +1534,13 @@ def test_kmeans_fit_matches_numpy_reference(spark):
     }
 
     def ref(pts, k, iters, qbits=20):
+        from bigdata_etl_customer360_spark.operators.similarity import (
+            _farthest_point_init,
+        )
+
         scale = float(1 << qbits)
-        seen = []
-        for i in range(len(pts)):  # id order == sample order here
-            v = [float(x) for x in pts[i]]
-            if v not in seen:
-                seen.append(v)
-            if len(seen) >= k:
-                break
-        C = np.array(seen, dtype="float64")
+        # id order == sample order here; same deterministic seeding
+        C = np.array(_farthest_point_init(pts, k, scale), dtype="float64")
         n_by = {}
         Vq = np.floor(pts * scale).astype("int64")
         for _ in range(iters):

@@ -3961,11 +3961,16 @@ _ORACLES: dict[str, str] = {
         SELECT COALESCE(o.value, n.value) AS value,
                COALESCE(n_old, 0) AS n_old,
                COALESCE(n_new, 0) AS n_new,
-               COALESCE(n_old, 0) * 10000 // to_ AS share_old_bp,
-               COALESCE(n_new, 0) * 10000 // tn_ AS share_new_bp,
-               COALESCE(n_new, 0) * 10000 // tn_
-                 - COALESCE(n_old, 0) * 10000 // to_ AS drift_bp
-        FROM o FULL OUTER JOIN n ON o.value = n.value CROSS JOIN t
+               CASE WHEN to_ > 0 THEN COALESCE(n_old, 0) * 10000 // to_
+                    ELSE 0 END AS share_old_bp,
+               CASE WHEN tn_ > 0 THEN COALESCE(n_new, 0) * 10000 // tn_
+                    ELSE 0 END AS share_new_bp,
+               CASE WHEN tn_ > 0 THEN COALESCE(n_new, 0) * 10000 // tn_
+                    ELSE 0 END
+                 - CASE WHEN to_ > 0 THEN COALESCE(n_old, 0) * 10000 // to_
+                        ELSE 0 END AS drift_bp
+        FROM o FULL OUTER JOIN n ON o.value IS NOT DISTINCT FROM n.value
+        CROSS JOIN t
     """,
     "bfs_distances": r"""
         -- pairs (same SQL as the ngram_jaccard oracle) -> undirected

@@ -582,6 +582,17 @@ def bfs_distances(
     width sized to the graph. Rounds ≤ min(max_depth, diameter).
     """
     spark = edges.sparkSession
+    if weight_col is not None:
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        wt = edges.schema[weight_col].dataType
+        if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"weight_col {weight_col!r} has type {wt.simpleString()}; "
+                "integer weights are required (a silent cast would "
+                "truncate 0.9 to 0 and corrupt distances) — quantize "
+                "float weights upstream, the repo-wide rule"
+            )
     w_expr = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )

@@ -600,24 +600,31 @@ def distribution_drift(
     values| out), a full outer join on the value, and two 1-row total
     broadcasts — nothing scans twice, nothing driver-side.
     """
-    def counts(df: DataFrame, n_alias: str) -> DataFrame:
-        return df.groupBy(F.col(col).alias("value")).agg(
+    def counts(df: DataFrame, n_alias: str, v_alias: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias(v_alias)).agg(
             F.count(F.lit(1)).alias(n_alias)
         )
 
-    o = counts(old, "n_old")
-    n = counts(new, "n_new")
-    tot_o = old.agg(F.count(F.lit(1)).alias("_to"))
-    tot_n = new.agg(F.count(F.lit(1)).alias("_tn"))
+    o = counts(old, "n_old", "_vo")
+    n = counts(new, "n_new", "_vn")
+    # totals derive from the collapsed counts frames (|distinct| rows) —
+    # no second scan of either snapshot
+    tot_o = o.agg(F.coalesce(F.sum("n_old"), F.lit(0)).alias("_to"))
+    tot_n = n.agg(F.coalesce(F.sum("n_new"), F.lit(0)).alias("_tn"))
     joined = (
-        o.join(n, on="value", how="full_outer")
+        # eqNullSafe: a NULL category present in BOTH snapshots must be
+        # ONE drift row, not a spurious vanished+new alarm pair
+        o.join(n, o["_vo"].eqNullSafe(n["_vn"]), how="full_outer")
+        .withColumn("value", F.coalesce(F.col("_vo"), F.col("_vn")))
         .withColumn("n_old", F.coalesce(F.col("n_old"), F.lit(0)))
         .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
         .join(F.broadcast(tot_o))
         .join(F.broadcast(tot_n))
     )
-    share_o = F.expr("n_old * 10000 div _to")
-    share_n = F.expr("n_new * 10000 div _tn")
+    # empty snapshot => that side's shares are 0 (first monitor run: every
+    # category reports as 100%-new/vanished instead of NULLing out)
+    share_o = F.expr("CASE WHEN _to > 0 THEN n_old * 10000 div _to ELSE 0 END")
+    share_n = F.expr("CASE WHEN _tn > 0 THEN n_new * 10000 div _tn ELSE 0 END")
     out = joined.select(
         "value",
         "n_old",

@@ -420,38 +420,13 @@ def assign_row_ids(
     keys = [F.col(c) for c in order_by]
     if not keys:
         raise ValueError("assign_row_ids needs at least one order column")
-    spark = df.sparkSession
-    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 1)
-    binned = df.repartitionByRange(npart, *keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pin partition ids: the counts collect and the final projection must
-    # see the SAME placement
-    binned = binned.localCheckpoint(eager=True)
-    counts = {
-        r["_pid"]: r["n"]
-        for r in binned.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, int(start)
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = (
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for pid in sorted(offsets)
-                    for x in (F.lit(pid), F.lit(offsets[pid]))
-                ]
-            ),
-            F.col("_pid"),
-        )
-        if offsets
-        else F.lit(int(start))
-    )
+    from bigdata_etl_customer360_spark.operators.util import range_prefix_offsets
+
+    binned, off_expr = range_prefix_offsets(df, keys, F.count(F.lit(1)))
     w = Window.partitionBy("_pid").orderBy(*[k.asc() for k in keys])
     return binned.select(
         *df.columns,
-        (F.row_number().over(w) - F.lit(1) + off_expr).cast("long").alias(out_col),
+        (F.row_number().over(w) - F.lit(1) + off_expr + F.lit(int(start)))
+        .cast("long")
+        .alias(out_col),
     )

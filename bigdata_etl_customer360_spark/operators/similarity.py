@@ -448,11 +448,18 @@ def kmeans_assign(
 
 def _farthest_point_init(S, k: int, scale: float):
     """Deterministic greedy farthest-point seeding over a sample matrix
-    (rows already in pinned id order): exact int64 quantized distances,
-    ties broken by lowest row index (np.argmax first-occurrence)."""
+    (rows already in pinned id order): quantized coordinates, distances
+    accumulated in float64 — int64 squared sums overflow (and wrap
+    negative) at coordinate magnitudes the assign path itself documents
+    as safe; float64 here is still fully deterministic because the
+    sample and its shape are pinned (scalar ufunc sums over a fixed
+    array, no BLAS batch-shape variance). Ties break by lowest row index
+    (np.argmax first-occurrence)."""
     import numpy as np
 
-    Sq = np.floor(S * scale).astype("int64")
+    if len(S) == 0:
+        return S
+    Sq = np.floor(S * scale)  # float64 holding quantized values
     chosen = [0]
     d2 = ((Sq - Sq[0]) ** 2).sum(axis=1)
     while len(chosen) < min(k, len(Sq)):

@@ -258,27 +258,12 @@ def interval_concurrency(
         )
         return net.select(*kcols, out_ts, out_net, F.sum(out_net).over(w).alias(out_open))
 
-    # keyless: distributed prefix sum over range partitions
-    spark = df.sparkSession
-    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 1)
-    binned = net.repartitionByRange(npart, F.col(out_ts)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    binned = binned.localCheckpoint(eager=True)  # pin partition ids for the two consumers
-    totals = {
-        r["_pid"]: r["t"]
-        for r in binned.groupBy("_pid").agg(F.sum(out_net).alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = F.element_at(
-        F.create_map(
-            *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
-        ),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+    # keyless: distributed prefix sum over range partitions (shared
+    # machinery: operators.util.range_prefix_offsets pins _pid placement
+    # for the totals collect and the windowed projection alike)
+    from bigdata_etl_customer360_spark.operators.util import range_prefix_offsets
+
+    binned, off_expr = range_prefix_offsets(net, [F.col(out_ts)], F.sum(out_net))
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.col(out_ts).asc())

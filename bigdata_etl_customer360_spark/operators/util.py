@@ -156,3 +156,54 @@ def plan_summary(df: DataFrame) -> dict[str, int]:
         "aggregates": n("HashAggregate") + n("SortAggregate")
         + n("ObjectHashAggregate"),
     }
+
+
+def range_prefix_offsets(df, order_cols, total_expr):
+    """Shared core of the DISTRIBUTED PREFIX SUM (keyless
+    ``interval_concurrency``, ``assign_row_ids``): range-partition on the
+    order columns, pin partition ids with an eager localCheckpoint (the
+    offsets collect and the downstream projection MUST see the same
+    placement), collect per-partition totals (|partitions| rows — bounded
+    driver work), and return ``(binned, off_expr)`` where ``off_expr``
+    maps each row's ``_pid`` to the cumulative total of all earlier
+    partitions. ``total_expr`` is the per-partition aggregate whose
+    running total is being distributed (``F.sum(col)`` for value cumsums,
+    ``F.count(lit(1))`` for row numbering).
+
+    Raises if the input already carries a ``_pid`` column — silently
+    overwriting it would return partition ids in place of user data.
+    """
+    if "_pid" in df.columns:
+        raise ValueError(
+            "input already has a '_pid' column (reserved by the "
+            "distributed prefix-sum machinery); rename it first"
+        )
+    spark = df.sparkSession
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 1)
+    binned = df.repartitionByRange(npart, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    binned = binned.localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in binned.groupBy("_pid").agg(total_expr.alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid in sorted(offsets)
+                    for x in (F.lit(pid), F.lit(offsets[pid]))
+                ]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    return binned, off_expr

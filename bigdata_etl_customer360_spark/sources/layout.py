@@ -166,6 +166,14 @@ def compact_parquet(
     import os
     import shutil
 
+    tmp, old = path.rstrip("/") + "._tmp", path.rstrip("/") + "._old"
+    # RECOVERY: a crash between rename(path, ._old) and rename(._tmp, path)
+    # leaves the data only in ._old — restore it before doing anything
+    # (the _merge_into_snapshot discipline, actually implemented)
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)  # stale partial rewrite
+
     files = [
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(path)
@@ -179,7 +187,6 @@ def compact_parquet(
     out = df.repartition(n_out)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp, old = path.rstrip("/") + "._tmp", path.rstrip("/") + "._old"
     out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

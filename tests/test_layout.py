@@ -169,3 +169,21 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert stats["rows"] == 4000
     got = sorted(r["id"] for r in spark.read.parquet(p).collect())
     assert got == want
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bigdata_etl_customer360_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "crashy")
+    spark.range(100).select(F.col("id")).repartition(5).write.parquet(p)
+    want = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    # simulate the crash window: data rotated to ._old, path missing
+    os.rename(p, p + "._old")
+    stats = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert stats["rows"] == 100
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == want
+    assert not os.path.isdir(p + "._old")

@@ -2229,6 +2229,27 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction (operators/temporal.
+    scd2_snapshot_at): the signup SCD2 history filtered to the versions
+    valid at 2024-01-15 — one row per user active by then, a pure
+    pushed-down filter over the history build."""
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        scd2_history,
+        scd2_snapshot_at,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    hist = scd2_history(ev, key="user_id", ts="ts", seq_col="event_id")
+    return scd2_snapshot_at(hist, "2024-01-15 00:00:00").select(
+        "user_id", "event_id", "value", "effective_from", "is_current"
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate (operators/quality.k_anonymity): customers
     whose (nation, mktsegment) quasi-identifier tuple is shared by fewer
@@ -2759,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "distribution_drift": q_distribution_drift,
         "k_anonymity": q_k_anonymity,
+        "scd2_snapshot": q_scd2_snapshot,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3941,6 +3963,22 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "scd2_snapshot": """
+        WITH hist AS (
+          SELECT user_id, event_id, ts, value,
+            ts AS effective_from,
+            LEAD(ts) OVER w AS effective_to,
+            (LEAD(ts) OVER w IS NULL) AS is_current
+          FROM events
+          WHERE event_type = 'signup'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_id, value, effective_from, is_current
+        FROM hist
+        WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND (effective_to IS NULL
+               OR effective_to > TIMESTAMP '2024-01-15 00:00:00')
     """,
     "k_anonymity": """
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size

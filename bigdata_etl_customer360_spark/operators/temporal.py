@@ -558,3 +558,29 @@ def match_event_pattern(
     return per_key.select(
         key, out_path, F.col(out_path).rlike(pattern).alias(out_match)
     )
+
+
+def scd2_snapshot_at(
+    history: DataFrame,
+    at,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time reconstruction from an SCD2 history — "the table as
+    of T", the query the validity timeline exists to answer: rows whose
+    half-open interval ``[effective_from, effective_to)`` contains ``at``
+    (open-ended current rows qualify via NULL ``effective_to``). Exactly
+    one version per key survives for any T at or after the key's first
+    version; same-timestamp version stacks resolve to the last one (an
+    empty ``[t, t)`` interval can never contain T — the
+    :func:`scd2_history` tie rule carried through).
+
+    Plan: a pure filter — predicate pushdown carries it into the scan of
+    a stored history table; zero shuffle, zero joins. ``at`` is a
+    timestamp or ISO string.
+    """
+    at_lit = F.lit(at).cast(history.schema[effective_from].dataType)
+    return history.filter(
+        (F.col(effective_from) <= at_lit)
+        & (F.col(effective_to).isNull() | (F.col(effective_to) > at_lit))
+    )

@@ -781,3 +781,30 @@ def test_cooccur_stats_counts_and_cap(spark):
     capped = {(r["term_a"], r["term_b"]) for r in
               cooccur_stats(df, min_pair_docs=2, max_df=5).collect()}
     assert capped == {("alpha", "beta")}
+
+
+def test_scd2_snapshot_at_one_version_per_key_and_ties(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        scd2_history,
+        scd2_snapshot_at,
+    )
+
+    rows = [
+        Row(k=1, seq=1, ts=_ts(0), v="a"),
+        Row(k=1, seq=2, ts=_ts(2), v="b"),
+        Row(k=1, seq=3, ts=_ts(2), v="c"),   # same-ts stack: last wins
+        Row(k=1, seq=4, ts=_ts(5), v="d"),
+        Row(k=2, seq=5, ts=_ts(3), v="x"),
+    ]
+    hist = scd2_history(
+        spark.createDataFrame(rows), key="k", ts="ts", seq_col="seq"
+    )
+
+    def snap(at):
+        return {r["k"]: r["v"] for r in scd2_snapshot_at(hist, at).collect()}
+
+    assert snap(_ts(1)) == {1: "a"}                # before k=2 exists
+    assert snap(_ts(2)) == {1: "c"}                # tie stack -> last version
+    assert snap(_ts(4)) == {1: "c", 2: "x"}
+    assert snap(_ts(9)) == {1: "d", 2: "x"}        # open-ended current rows
+    assert snap(_ts(0, seconds=-1)) == {}          # before any history

@@ -2229,6 +2229,19 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-grain ExactSubstr dedup (operators/curation.dedup_spans
+    unit='char'): every 30-CHAR window repeated >= 2 times corpus-wide is
+    stripped from all but its globally-first occurrence — the Lee et al.
+    granularity proper, whitespace-exact (no token normalization)."""
+    from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_spans(
+        docs, span_tokens=30, min_count=2, unit="char"
+    ).select("doc_id", "cleaned", "n_removed")
+
+
 def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension reconstruction (operators/temporal.
     scd2_snapshot_at): the signup SCD2 history filtered to the versions
@@ -2781,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         "k_anonymity": q_k_anonymity,
         "scd2_snapshot": q_scd2_snapshot,
+        "dedup_spans_char": q_dedup_spans_char,
         "cooccur_stats": q_cooccur_stats,
         # --- already driver-verified in rounds 1-5 (outside the window) ---
         "ntile_ranks": q_ntile_ranks,
@@ -3963,6 +3977,34 @@ _ORACLES: dict[str, str] = {
           JOIN dfreq db ON db.t = p.term_b
           CROSS JOIN nd
         ) WHERE rk <= 100
+    """,
+    "dedup_spans_char": r"""
+        -- char-grain ExactSubstr keep-first: 30-char windows keyed by the
+        -- substring (Spark keys on xxhash64 of the same; documented
+        -- collision trade-off); canonical = ROW_NUMBER by (doc_id, start)
+        WITH occ AS (
+          SELECT d.doc_id, u.i AS start,
+                 substring(text, u.i + 1, 30) AS sh
+          FROM documents d, UNNEST(range(0, len(text) - 29)) AS u(i)
+        ), st AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY sh) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY sh
+                                    ORDER BY doc_id, start) AS rn
+          FROM occ
+        ), cov AS (
+          SELECT DISTINCT st.doc_id, start + v.j AS p
+          FROM st, UNNEST(range(0, 30)) AS v(j)
+          WHERE c >= 2 AND rn > 1
+        ), covl AS (
+          SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(array_to_string(
+                 [substring(text, i + 1, 1) FOR i IN range(0, len(text))
+                  IF NOT COALESCE(list_contains(c.ps, i), FALSE)], ''
+               ), '') AS cleaned,
+               CAST(COALESCE(len(c.ps), 0) AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN covl c USING (doc_id)
     """,
     "scd2_snapshot": """
         WITH hist AS (

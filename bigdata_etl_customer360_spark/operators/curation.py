@@ -439,6 +439,7 @@ def dedup_spans(
     min_count: int = 2,
     out_col: str = "cleaned",
     removed_col: str = "n_removed",
+    unit: str = "token",
 ) -> DataFrame:
     """Corpus-wide EXACT substring dedup — the "Deduplicating Training
     Data Makes Language Models Better" (Lee et al. 2022) ExactSubstr
@@ -479,13 +480,28 @@ def dedup_spans(
     token sequence itself — a hash collision merges two distinct spans
     (P ~ S^2/2^65 for S distinct spans); accepted so shuffles 1-2 carry
     8-byte keys instead of w-token strings.
+
+    ``unit="char"``: the Lee-et-al granularity proper — spans are
+    ``span_tokens`` CHARACTERS, shingles come straight off the string
+    (``substr``, no array slicing), coverage is char positions, and the
+    rebuilt text is CHARACTER-exact (original whitespace preserved —
+    unlike token mode's single-space normalization). Same plan shape;
+    position volume is chars instead of tokens (~5x for prose — size
+    ``span_tokens`` accordingly, e.g. 50 chars ~ the paper's setting).
     """
     if span_tokens < 2:
         raise ValueError("span_tokens must be >= 2")
     if min_count < 2:
         raise ValueError("min_count must be >= 2 (1 would strip everything)")
+    if unit not in ("token", "char"):
+        raise ValueError("unit must be 'token' or 'char'")
     w = int(span_tokens)
-    toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
+    if unit == "char":
+        toks = F.split(F.col(text_col), "")
+        join_sep = ""
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
+        join_sep = " "
 
     # (doc, pos, tok) — the re-assembly side
     tokens = df.select(
@@ -493,23 +509,43 @@ def dedup_spans(
         F.posexplode(toks).alias("_pos", "_tok"),
     )
 
-    # (doc, start, hash) — one struct per shingle, built inside the array
-    # world so the token array is never replicated per start
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_tk")) - F.lit(w)),
-        lambda i: F.struct(
-            i.alias("s"),
-            F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("_tk"), i + F.lit(1), F.lit(w)))
-            ).alias("h"),
-        ),
-    )
-    occ = (
-        df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
-        .filter(F.size(F.col("_tk")) >= F.lit(w))
-        .select("_id", F.explode(sh).alias("_sh"))
-        .select("_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h"))
-    )
+    if unit == "char":
+        # shingles straight off the STRING — substr per start, no array
+        sh = F.transform(
+            F.sequence(F.lit(0), F.length(F.col("_t")) - F.lit(w)),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.xxhash64(F.col("_t").substr(i + F.lit(1), F.lit(w))).alias("h"),
+            ),
+        )
+        occ = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+            .filter(F.length(F.col("_t")) >= F.lit(w))
+            .select("_id", F.explode(sh).alias("_sh"))
+            .select(
+                "_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h")
+            )
+        )
+    else:
+        # one struct per shingle, built inside the array world so the
+        # token array is never replicated per start
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_tk")) - F.lit(w)),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_tk"), i + F.lit(1), F.lit(w)))
+                ).alias("h"),
+            ),
+        )
+        occ = (
+            df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+            .filter(F.size(F.col("_tk")) >= F.lit(w))
+            .select("_id", F.explode(sh).alias("_sh"))
+            .select(
+                "_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h")
+            )
+        )
     # consumed by both the heavy-agg branch and the join-back: cache
     # against constraint-inference re-computation below the exchange
     # (see verify SKILL gotchas); scoped so a cache_scope caller releases it
@@ -544,7 +580,7 @@ def dedup_spans(
     )
     rebuilt = kept.groupBy("_id").agg(
         F.concat_ws(
-            " ",
+            join_sep,
             F.transform(
                 F.array_sort(
                     F.collect_list(

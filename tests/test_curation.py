@@ -339,3 +339,45 @@ class TestChunkNearDup:
             df, chunk_tokens=32, threshold=0.6, verify=False
         ).columns
         assert cols == ["id_a", "id_b", "n_chunk_pairs"]
+
+
+class TestDedupSpansChar:
+    def test_char_grain_keep_first_whitespace_exact(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        SPAN = "the exact same twenty-char run!"  # 31 chars
+        df = _docs(
+            spark,
+            [
+                (1, "aaa " + SPAN + " bbb"),
+                (2, "cc " + SPAN + " dd\nkeeps  whitespace"),
+                (3, "totally different content here"),
+            ],
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dedup_spans(
+                df, span_tokens=20, min_count=2, unit="char"
+            ).collect()
+        }
+        # first occurrence intact, char-exact
+        assert got[1]["n_removed"] == 0 and SPAN in got[1]["cleaned"]
+        # second occurrence stripped (plus the shared flanking spaces the
+        # overlapping windows cover); untouched text keeps its whitespace
+        assert SPAN not in got[2]["cleaned"]
+        assert "\nkeeps  whitespace" in got[2]["cleaned"]
+        assert got[3]["n_removed"] == 0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unit"):
+            dedup_spans(df, unit="byte")
+
+    def test_token_mode_unchanged_by_unit_param(self, spark):
+        from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+        SPAN = " ".join(f"p{i}" for i in range(10))
+        df = _docs(spark, [(1, SPAN + " x"), (2, "y " + SPAN)])
+        a = sorted(map(tuple, dedup_spans(df, span_tokens=8, min_count=2).collect()))
+        b = sorted(map(tuple, dedup_spans(
+            df, span_tokens=8, min_count=2, unit="token").collect()))
+        assert a == b

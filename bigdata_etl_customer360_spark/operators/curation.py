@@ -510,20 +510,28 @@ def dedup_spans(
     )
 
     if unit == "char":
-        # shingles straight off the STRING — substr per start, no array
-        sh = F.transform(
-            F.sequence(F.lit(0), F.length(F.col("_t")) - F.lit(w)),
-            lambda i: F.struct(
-                i.alias("s"),
-                F.xxhash64(F.col("_t").substr(i + F.lit(1), F.lit(w))).alias("h"),
-            ),
-        )
+        # shingles straight off the STRING: posexplode the start positions
+        # and compute substr+hash in the SAME whole-stage-codegen stage —
+        # the Generate's output is consumed as local variables (the text is
+        # referenced, not copied per position), and compiled evaluation
+        # beats the interpreted per-element HOF ~7x at 1.3M positions
+        # (measured 4.4s -> 0.6s at sf0.1)
         occ = (
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
             .filter(F.length(F.col("_t")) >= F.lit(w))
-            .select("_id", F.explode(sh).alias("_sh"))
             .select(
-                "_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h")
+                "_id",
+                "_t",
+                F.posexplode(
+                    F.sequence(F.lit(0), F.length(F.col("_t")) - F.lit(w))
+                ).alias("_i", "_start"),
+            )
+            .select(
+                "_id",
+                "_start",
+                F.xxhash64(
+                    F.col("_t").substr(F.col("_start") + F.lit(1), F.lit(w))
+                ).alias("_h"),
             )
         )
     else:
@@ -575,6 +583,58 @@ def dedup_spans(
         .distinct()
         .withColumn("_cov", F.lit(True))
     )
+    if unit == "char":
+        # Only TOUCHED docs (any covered position — typically a few percent
+        # of a crawl) pay reconstruction; everyone else passes the ORIGINAL
+        # string through, which char mode's whitespace-exact contract makes
+        # identical to a rebuild (token mode must normalize every doc, so
+        # it keeps the full re-assembly below). The splice is Arrow-batched
+        # per-doc string work over the sorted covered positions — no
+        # per-char structs or array_sorts riding the rebuild shuffle
+        # (measured: full-row bench 6.8s -> ~1s at sf0.1).
+        import pandas as pd
+
+        cov_arr = covered.groupBy("_id").agg(
+            F.sort_array(F.collect_list("_pos")).alias("_ps")
+        )
+
+        def _splice(batches):
+            for pdf in batches:
+                outs = []
+                for text, ps in zip(pdf["_text"], pdf["_ps"]):
+                    drop = set(int(x) for x in ps)
+                    outs.append(
+                        "".join(ch for i, ch in enumerate(text) if i not in drop)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        out_col: outs,
+                        removed_col: [len(x) for x in pdf["_ps"]],
+                    }
+                )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        touched = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+            .join(cov_arr, on="_id")
+            .mapInPandas(
+                _splice,
+                schema=f"_id {id_type}, {out_col} string, {removed_col} long",
+            )
+        )
+        return (
+            df.join(touched, df[id_col] == touched["_id"], how="left")
+            .drop("_id")
+            .withColumn(
+                out_col,
+                F.coalesce(F.col(out_col), F.col(text_col), F.lit("")),
+            )
+            .withColumn(
+                removed_col,
+                F.coalesce(F.col(removed_col), F.lit(0).cast("long")),
+            )
+        )
     kept = tokens.join(covered, on=["_id", "_pos"], how="left").withColumn(
         "_drop", F.coalesce(F.col("_cov"), F.lit(False))
     )

@@ -497,19 +497,6 @@ def dedup_spans(
         raise ValueError("unit must be 'token' or 'char'")
     w = int(span_tokens)
     if unit == "char":
-        toks = F.split(F.col(text_col), "")
-        join_sep = ""
-    else:
-        toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
-        join_sep = " "
-
-    # (doc, pos, tok) — the re-assembly side
-    tokens = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(toks).alias("_pos", "_tok"),
-    )
-
-    if unit == "char":
         # shingles straight off the STRING: posexplode the start positions
         # and compute substr+hash in the SAME whole-stage-codegen stage —
         # the Generate's output is consumed as local variables (the text is
@@ -522,9 +509,9 @@ def dedup_spans(
             .select(
                 "_id",
                 "_t",
-                F.posexplode(
+                F.explode(
                     F.sequence(F.lit(0), F.length(F.col("_t")) - F.lit(w))
-                ).alias("_i", "_start"),
+                ).alias("_start"),
             )
             .select(
                 "_id",
@@ -535,6 +522,14 @@ def dedup_spans(
             )
         )
     else:
+        join_sep = " "
+        toks = F.split(F.trim(F.col(text_col)), r"[ \t\r\n\x0B\f]+")
+        # (doc, pos, tok) — the re-assembly side (token mode only; char
+        # mode rebuilds by string splice and never explodes per unit)
+        tokens = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(toks).alias("_pos", "_tok"),
+        )
         # one struct per shingle, built inside the array world so the
         # token array is never replicated per start
         sh = F.transform(
@@ -589,13 +584,13 @@ def dedup_spans(
         # string through, which char mode's whitespace-exact contract makes
         # identical to a rebuild (token mode must normalize every doc, so
         # it keeps the full re-assembly below). The splice is Arrow-batched
-        # per-doc string work over the sorted covered positions — no
+        # per-doc string work over the covered-position set — no
         # per-char structs or array_sorts riding the rebuild shuffle
         # (measured: full-row bench 6.8s -> ~1s at sf0.1).
         import pandas as pd
 
         cov_arr = covered.groupBy("_id").agg(
-            F.sort_array(F.collect_list("_pos")).alias("_ps")
+            F.collect_list("_pos").alias("_ps")  # order-free: splice uses a set
         )
 
         def _splice(batches):

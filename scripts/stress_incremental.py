@@ -43,26 +43,24 @@ def text_of(id_col):
 def main():
     spark = get_session(app_name="stress-incremental", master="local[32]")
 
-    def fresh(lo, n, id_base):
-        return spark.range(lo, lo + n).select(
-            (F.col("id") - lo + id_base).alias("doc_id"),
-            text_of(F.col("id")).alias("text"),
-        )
-
-    def recrawl(lo, n, id_base):
-        # same TEXT as ids lo..lo+n (content ids), new doc ids
+    def mk(lo, n, id_base):
+        """Docs whose TEXT is a pure function of the content-id range
+        lo..lo+n (so re-using a range with a new id_base is an exact
+        re-crawl of that content) under fresh doc ids."""
         return spark.range(lo, lo + n).select(
             (F.col("id") - lo + id_base).alias("doc_id"),
             text_of(F.col("id")).alias("text"),
         )
 
     batches = [
-        fresh(0, N, 0).repartition(32),
-        recrawl(0, N // 2, 1_000_000)
-        .unionByName(fresh(N, N // 2, 1_000_000 + N // 2))
+        mk(0, N, 0).repartition(32),
+        # re-crawl of batch-0 content 0..N/2 + N/2 fresh
+        mk(0, N // 2, 1_000_000)
+        .unionByName(mk(N, N // 2, 1_000_000 + N // 2))
         .repartition(32),
-        recrawl(N, N // 2, 2_000_000)
-        .unionByName(fresh(N + N // 2, N // 2, 2_000_000 + N // 2))
+        # re-crawl of batch-1-fresh content + N/2 fresh
+        mk(N, N // 2, 2_000_000)
+        .unionByName(mk(N + N // 2, N // 2, 2_000_000 + N // 2))
         .repartition(32),
     ]
 

@@ -289,3 +289,55 @@ def test_stratified_split_boundary_invariants(spark, rows):
         assert got.get((s, "train"), 0) == b1
         assert got.get((s, "val"), 0) == b2 - b1
         assert got.get((s, "test"), 0) == n - b2
+
+
+# --------------------------------------------------------------- dedup_spans
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_dedup_spans(texts, w, min_count):
+    """Pure-Python mirror of dedup_spans token mode: shingle counts over
+    the whole corpus, keep the (doc, start)-lexicographic first occurrence
+    of every repeated shingle, strip positions covered by the rest."""
+    toks = [t.split() if t.strip() else [""] for t in texts]
+    occ = []  # (doc, start, shingle-tuple)
+    for d, tk in enumerate(toks):
+        for i in range(len(tk) - w + 1):
+            occ.append((d, i, tuple(tk[i : i + w])))
+    counts = Counter(sh for _, _, sh in occ)
+    first = {}
+    for d, i, sh in sorted(occ):
+        if counts[sh] >= min_count and sh not in first:
+            first[sh] = (d, i)
+    covered = defaultdict(set)
+    for d, i, sh in occ:
+        if counts[sh] >= min_count and first[sh] != (d, i):
+            covered[d].update(range(i, i + w))
+    out = []
+    for d, tk in enumerate(toks):
+        kept = [t for i, t in enumerate(tk) if i not in covered[d]]
+        out.append((" ".join(kept), len(covered[d])))
+    return out
+
+
+@given(corpus_strategy)
+@SETTINGS
+def test_dedup_spans_matches_python_reference(spark, corpora):
+    from bigdata_etl_customer360_spark.operators.curation import dedup_spans
+
+    texts = [" ".join(tks) for tks in corpora]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in dedup_spans(df, span_tokens=3, min_count=2).collect()
+    }
+    want = _ref_dedup_spans(texts, 3, 2)
+    for d, exp in enumerate(want):
+        assert got[d] == exp, (d, texts[d], got[d], exp)

@@ -2391,6 +2391,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=30)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encode (operators/textstats.bpe_encode): the merge
+    table learned by bpe_train on a corpus slice is applied to the WHOLE
+    corpus — broadcast merge ranks captured in one Arrow-batched pandas
+    UDF, map-only, zero shuffle. Iterative-trained tokenizer, so no SQL
+    twin (rows-only); exactness is pinned by the pure-Python-encoder
+    parity unit test plus the per-word concatenation invariant."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.filter(F.col("doc_id") % 4 == 0), num_merges=30)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.element_at("bpe_tokens", 1).alias("first_tok"),
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rank-based outlier capping (operators/quality.winsorize):
     per-priority 1%/99% winsorization of order totals — discrete
@@ -2566,96 +2588,6 @@ def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe group-level split (operators/sampling.group_split):
-    split assignment is a pure function of the SOURCE key, so every doc
-    of a source lands in one split — the near-dup/domain leakage guard
-    row-level splits cannot give. Map-only, zero shuffle, append-stable;
-    the oracle recomputes the md5 coin and boundaries exactly."""
-    from bigdata_etl_customer360_spark.operators.sampling import group_split
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    return group_split(docs, "source")
-
-
-def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level near-dup recall certificate (operators/dedup.
-    chunk_near_dup_pairs building blocks): every 5th doc gets a planted
-    partial-overlap twin (32 unique filler tokens + the doc's first 32
-    tokens — whole-doc jaccard far below threshold, ONE shared
-    paragraph). Exact tier: chunk_documents -> ngram_jaccard_pairs >= 0.6
-    lifted to doc pairs (SQL-expressible, the oracle recomputes it);
-    found=1 asserts the chunk-LSH banding captured each pair (same 64/32
-    capture bound as minhash_recall: P(miss) <= (1-0.6^2)^32 ~ 6.6e-7
-    per pair). One chunk frame is cached and feeds BOTH tiers — the
-    derived-self-join-input rule (verify SKILL) applied across tiers."""
-    from bigdata_etl_customer360_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-    )
-    from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
-    from bigdata_etl_customer360_spark.operators.util import scoped_cache
-
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", "text")
-    )
-    tk = F.split(F.trim(F.col("text")), r"[ \t\r\n\x0B\f]+")
-    filler = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda i: F.concat(
-                F.lit("f"), F.col("doc_id").cast("string"), F.lit("x"),
-                i.cast("string"),
-            ),
-        ),
-    )
-    planted = docs.select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat_ws(
-            " ", filler, F.array_join(F.slice(tk, 1, 32), " ")
-        ).alias("text"),
-    )
-    corpus = docs.unionByName(planted)
-    chunks = scoped_cache(
-        chunk_documents(corpus, chunk_tokens=32, stride=32).select(
-            F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
-            "chunk_text",
-        )
-    )
-    exact = ngram_jaccard_pairs(
-        chunks, id_col="cid", text_col="chunk_text", n=3, threshold=0.6
-    )
-    da = F.split(F.col("id_a"), "#").getItem(0).cast("long")
-    db = F.split(F.col("id_b"), "#").getItem(0).cast("long")
-    exact_doc = (
-        exact.filter(da != db)
-        .groupBy(F.least(da, db).alias("id_a"), F.greatest(da, db).alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_chunk_pairs"))
-    )
-    cand_doc = (
-        minhash_lsh_pairs(
-            chunks, id_col="cid", text_col="chunk_text", n=3,
-            num_hashes=64, bands=32, threshold=0.6, verify=False,
-        )
-        .select(
-            F.least(da, db).alias("id_a"),
-            F.greatest(da, db).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .withColumn("_hit", F.lit(1).cast("long"))
-    )
-    return exact_doc.join(cand_doc, on=["id_a", "id_b"], how="left").select(
-        "id_a",
-        "id_b",
-        "n_chunk_pairs",
-        F.coalesce(F.col("_hit"), F.lit(0).cast("long")).alias("found"),
-    )
-
-
 def q_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-aware join autopilot (operators/relational.adaptive_join):
     a planted 50%-mass key (every even order's partkey folded to 1) with
@@ -2747,11 +2679,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries.  Every query is covered by the identical local
     # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
     # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
-    # Round 6 rotates again: the 22 round-5 queries that sat outside the r5
-    # window (event_transitions .. link_records) lead, followed by new round-6
-    # queries (both inside the window), then everything already driver-verified
-    # in CORRECTNESS_r01..r05.
+    # Round 7 rotates to the 50 queries last driver-verified in round 4 (the
+    # longest-unverified cohort per the r6 VERDICT histogram: 50 @ r4, 43 @ r5,
+    # 50 @ r6) so CORRECTNESS_r07 refreshes every stale row.  New round-7
+    # queries sit immediately AFTER the window to lead the round-8 rotation.
     return {
+        # --- driver window: the r4-stale cohort (VERDICT r6, item 1) ---
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "asof_join": q_asof_join,
+        "bucketize": q_bucketize,
+        "curate_corpus": q_curate_corpus,
+        "decontaminate": q_decontaminate,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_exact": q_dedup_exact,
+        "dimension_map": q_dimension_map,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "enrich_classify": q_enrich_classify,
+        "filter_corpus": q_filter_corpus,
+        "fingerprint": q_fingerprint,
+        "hash_split": q_hash_split,
+        "incremental_overwrite": q_incremental_overwrite,
+        "interval_join": q_interval_join,
+        "join_agg": q_join_agg,
+        "join_left": q_join_left,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "json_extract": q_json_extract,
+        "lang_id": q_lang_id,
+        "minhash_lsh": q_minhash_lsh,
+        "moving_avg": q_moving_avg,
+        "moving_sum_time": q_moving_sum_time,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pack_sequences": q_pack_sequences,
+        "pivot_agg": q_pivot_agg,
+        "pricing_summary": q_pricing_summary,
+        "profile_agg": q_profile_agg,
+        "quality_score": q_quality_score,
+        "redact_pii": q_redact_pii,
+        "rollup_agg": q_rollup_agg,
+        "salted_join": q_salted_join,
+        "session_window": q_session_window,
+        "sessionize": q_sessionize,
+        "shipping_priority_sql": q_shipping_priority_sql,
+        "simhash_near_dup": q_simhash_near_dup,
+        "stratified_sample": q_stratified_sample,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "top_k_per_group": q_top_k_per_group,
+        "trend_compare": q_trend_compare,
+        "union_by_name": q_union_by_name,
+        "unpivot": q_unpivot,
+        "window_tumbling": q_window_tumbling,
+        # --- round-7 additions (lead the round-8 rotation) ---
+        "bpe_encode": q_bpe_encode,
+        # --- already driver-verified in rounds 5-6 (outside the window) ---
         "event_transitions": q_event_transitions,
         "daily_resample": q_daily_resample,
         "mixture_sample": q_mixture_sample,
@@ -2774,7 +2760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": q_dedup_by_url,
         "snapshot_diff": q_snapshot_diff,
         "link_records": q_link_records,
-        # --- round-6 additions (inside the driver's 50-entry window) ---
         "dedup_spans": q_dedup_spans,
         "maintain_rollup": q_maintain_rollup,
         "adaptive_join": q_adaptive_join,
@@ -2796,7 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "dedup_spans_char": q_dedup_spans_char,
         "cooccur_stats": q_cooccur_stats,
-        # --- already driver-verified in rounds 1-5 (outside the window) ---
+        # --- driver-verified in rounds 1-5 ---
         "ntile_ranks": q_ntile_ranks,
         "vector_norms": q_vector_norms,
         "set_intersect": q_set_intersect,
@@ -2847,56 +2832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
-        "profile_agg": q_profile_agg,
-        "dimension_map": q_dimension_map,
-        "pivot_agg": q_pivot_agg,
-        "unpivot": q_unpivot,
-        "top_k_per_group": q_top_k_per_group,
-        "bucketize": q_bucketize,
-        "trend_compare": q_trend_compare,
-        "join_agg": q_join_agg,
-        "join_left": q_join_left,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "union_by_name": q_union_by_name,
-        "enrich_classify": q_enrich_classify,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "hash_split": q_hash_split,
-        "filter_corpus": q_filter_corpus,
-        "embed_near_dup": q_embed_near_dup,
-        "embed_near_dup_lsh": q_embed_near_dup_lsh,
-        "incremental_overwrite": q_incremental_overwrite,
-        "salted_join": q_salted_join,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_cluster": q_dedup_cluster,
-        "curate_corpus": q_curate_corpus,
-        "redact_pii": q_redact_pii,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "ann_cosine_ivf": q_ann_cosine_ivf,
-        "interval_join": q_interval_join,
-        "asof_join": q_asof_join,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "window_tumbling": q_window_tumbling,
-        "sessionize": q_sessionize,
-        "session_window": q_session_window,
-        "rollup_agg": q_rollup_agg,
-        "json_extract": q_json_extract,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority_sql": q_shipping_priority_sql,
-        "moving_avg": q_moving_avg,
-        "moving_sum_time": q_moving_sum_time,
     }
 
 

@@ -477,6 +477,20 @@ def standardize(
     if not cols:
         raise ValueError("standardize needs at least one column")
     keys = list(by) if by else []
+    # reserved stat-column guard (the range_prefix_offsets rule): a frame
+    # already carrying one of the temp names would make the final select
+    # ambiguous and fail at analysis with an opaque error
+    reserved = {
+        name
+        for i in range(len(cols))
+        for name in (f"_sn_{i}", f"_ss_{i}", f"_sq_{i}")
+    }
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with standardize's "
+            "reserved stat columns (_sn_i/_ss_i/_sq_i); rename them first"
+        )
     dec_in = f"decimal(18,{scale})"
     dec_prod = f"decimal(38,{2 * scale})"
     # per-COLUMN counts: F.sum skips NULLs, so n must too — one shared
@@ -545,6 +559,13 @@ def winsorize(
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo <= p_hi <= 1")
     keys = list(by) if by else []
+    # reserved temp-column guard (the range_prefix_offsets rule)
+    clash = {"_x", "_rn", "_klo", "_khi", "_lo", "_hi"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with winsorize's "
+            "reserved temp columns; rename them first"
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(col).asc())
     wn = Window.partitionBy(*keys)
     rn = F.row_number().over(w)

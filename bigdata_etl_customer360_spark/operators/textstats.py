@@ -688,11 +688,16 @@ def bpe_train(
         return spark.createDataFrame([], out_schema)
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+")
+    # materialize the collapsed (word, freq) tier ONCE: count() decides the
+    # driver/distributed path and then the SAME frame is consumed again
+    # (collect or symbol split) — without the checkpoint the full corpus
+    # tokenize+explode+aggregate would execute twice per call
     words = (
         df.select(F.explode(toks).alias("_w"))
         .filter(F.col("_w") != "")
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
     )
     n_vocab = words.count()
     if n_vocab <= int(driver_vocab_threshold):
@@ -786,3 +791,88 @@ def bpe_train(
             if (i + 1) % checkpoint_every == 0:
                 vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Distributed BPE ENCODE — apply a :func:`bpe_train` merge table to a
+    corpus, producing the subword token sequence per document (the step
+    that turns the learned merges into trainable token streams; replaces
+    :func:`with_token_count_bpe`'s regex approximation when a real merge
+    table exists).
+
+    Semantics (parity with training by construction): words are the same
+    lowercased whitespace tokens ``bpe_train`` counted (the split happens
+    JVM-side with the identical pattern, so word boundaries cannot
+    drift), each word starts as its character sequence, and merges apply
+    SEQUENTIALLY IN RANK ORDER, each greedy left-to-right and
+    non-chaining — exactly the fold the trainer performed, so a corpus
+    encoded with its own merge table reproduces the trainer's final
+    segmentation. Concatenating a word's tokens always rebuilds the word
+    (pinned by the unit test).
+
+    Plan shape: the merge table is a bounded driver collect (``<=
+    num_merges`` rows — the same documented bounded-collect class as the
+    IVF centroids) captured into ONE Arrow-batched pandas UDF; encoding
+    is map-only, zero shuffle. Inside each Arrow batch, distinct words
+    are encoded once and memoized (Zipf makes the cache hit rate high),
+    and a merge whose ``merged`` string is not a substring of the word is
+    skipped without scanning (adjacency of ``(left, right)`` implies
+    ``left+right`` occurs contiguously).
+
+    Output: input columns + ``out_col`` (``array<string>``).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranked = sorted(
+        (
+            (int(r["rank"]), r["left"], r["right"], r["merged"])
+            for r in merges.select("rank", "left", "right", "merged").collect()
+        ),
+    )
+    merge_list = [(left, right, m) for _, left, right, m in ranked]
+
+    # no type hints (the module's `from __future__ import annotations`
+    # stringifies them, which hint inference rejects) — same bare-function
+    # pandas_udf idiom as operators/similarity.py
+    def _enc(words):
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = [w] if len(w) == 1 else list(w)
+                for left, right, merged in merge_list:
+                    if len(syms) < 2 or merged not in w:
+                        continue
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        return words.apply(
+            lambda ws: [t for w in ws for t in encode_word(w)]
+        )
+
+    enc_udf = F.pandas_udf(_enc, ArrayType(StringType()))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+"),
+        lambda s: s != "",
+    )
+    return df.withColumn(out_col, enc_udf(toks))

@@ -274,6 +274,97 @@ def _merge_into_snapshot(spark, snapshot_path, merge_fn, first_batch_df):
     shutil.rmtree(old_dir, ignore_errors=True)
 
 
+def stream_dedup_incremental(
+    stream_df: DataFrame,
+    seen_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "dedup_incremental_stream",
+):
+    """Streaming incremental exact dedup — the daily-crawl closure of
+    ``operators.dedup.dedup_incremental``: each micro-batch of documents
+    anti-joins against a MAINTAINED fingerprint snapshot (the "seen set"),
+    survivors append to a lake directory, and the survivors' fingerprints
+    fold back into the snapshot under the same crash-safe swap as
+    :func:`stream_upsert_to_table`. The invariant (proved by the
+    equivalence test): the drained survivor lake == batch ``dedup_exact``
+    over the concatenated history, and the snapshot == batch
+    ``doc_fingerprints`` over the survivors — no micro-batch ever
+    re-scans raw history, cost ~ |batch| + |seen| per batch.
+
+    Per batch (order is load-bearing for at-least-once redelivery):
+
+    1. read the seen snapshot (``._old`` recovery if a crash hit the swap
+       window), compute ``dedup_incremental(batch, seen)``;
+    2. write survivors to ``survivors_path/batch=<id>`` with OVERWRITE —
+       a redelivered batch recomputes the identical survivor set (the
+       snapshot it read was not yet advanced) and overwrites its own
+       directory, so the lake never double-counts;
+    3. fold ``doc_fingerprints`` of the just-written survivors into the
+       snapshot (union + distinct — naturally idempotent, re-folding the
+       same fingerprints is a no-op) via ``_merge_into_snapshot``.
+
+    A crash at ANY point redelivers the batch into the same converged
+    state: before (2) nothing happened; between (2) and (3) the snapshot
+    is still pre-batch so step (2) rewrites identical rows; mid-swap in
+    (3) the ``._old`` rotation recovers. Same single-writer assumption as
+    the other snapshot maintainers. Readers: survivors are
+    ``spark.read.parquet(survivors_path)`` (partition column ``batch``),
+    the seen set is ``spark.read.parquet(seen_path)`` (column ``fp``).
+
+    Generalizes the reference's batch-only ingest
+    (ETL_customer_behavior.py:160-204) to a continuously-maintained
+    dedup frontier.
+    """
+    import os
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_incremental,
+        doc_fingerprints,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        old_dir = seen_path + "._old"
+        read_from = None
+        if os.path.isdir(seen_path):
+            read_from = seen_path
+        elif os.path.isdir(old_dir):
+            read_from = old_dir  # crash hit the swap window: recover
+        seen = spark.read.parquet(read_from) if read_from is not None else None
+        survivors = dedup_incremental(
+            batch_df, seen, text_col=text_col, id_col=id_col
+        )
+        batch_dir = os.path.join(survivors_path, f"batch={int(batch_id)}")
+        survivors.write.mode("overwrite").parquet(batch_dir)
+        # fingerprints derive from the JUST-WRITTEN files, not the lazy
+        # survivor plan: the merge below swaps the seen snapshot the plan
+        # still references, and a re-read also skips recomputing the
+        # anti-join+dedup
+        fps = doc_fingerprints(spark.read.parquet(batch_dir), text_col=text_col)
+        _merge_into_snapshot(
+            spark,
+            seen_path,
+            lambda snap: snap.unionByName(fps).distinct(),
+            fps,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_maintain_rollup(
     stream_df: DataFrame,
     snapshot_path: str,

@@ -1383,6 +1383,9 @@ def test_standardize_exact_moments_and_guards(spark):
     assert out == ["k", "v", "v_z"]
     with pytest.raises(ValueError, match="at least one"):
         standardize(df, [])
+    # reserved-name collision raises up front, not at analysis time
+    with pytest.raises(ValueError, match="_sn_0"):
+        standardize(df.withColumn("_sn_0", F.lit(1)), ["v"], by=["k"])
 
 
 def test_winsorize_rank_bounds_and_clamp(spark):
@@ -1401,6 +1404,9 @@ def test_winsorize_rank_bounds_and_clamp(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="p_lo"):
         winsorize(df, "v", p_lo=0.9, p_hi=0.1)
+    # reserved-name collision raises up front, not at analysis time
+    with _pt.raises(ValueError, match="_lo"):
+        winsorize(df.withColumn("_lo", F.lit(0.0)), "v", by=["k"])
 
 
 def test_bpe_train_matches_pure_python_reference(spark):
@@ -1638,3 +1644,59 @@ def test_k_anonymity_modes_and_null_groups(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="mode"):
         k_anonymity(df, ["zip"], mode="redact")
+
+
+def test_bpe_encode_matches_pure_python_and_rebuilds_words(spark):
+    """bpe_encode applies a bpe_train merge table sequentially in rank
+    order (greedy left-to-right, non-chaining — the trainer's own fold):
+    token streams must equal an independent pure-Python encoder, and
+    concatenating a word's tokens must rebuild the word exactly."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "widest wide wider wide",
+        "low new wide lowest",
+        "aaa aaaa aa",  # non-chaining: (a,a) on 'aaa' -> [aa, a]
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=12, min_pair_count=2)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+
+    ranked = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("rank").collect()
+    ]
+
+    def ref_encode_word(w):
+        syms = list(w)
+        for left, right, merged in ranked:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        expected = [tok for w in words for tok in ref_encode_word(w)]
+        assert got[i] == expected, f"doc {i}"
+        # concatenation invariant: tokens rebuild each word exactly
+        assert "".join(expected) == "".join(words)
+    # the planted non-chaining case actually exercises a merge
+    assert any(len(tok) > 1 for tok in got[4])

@@ -233,3 +233,22 @@ def test_assign_row_ids_window_is_partition_local(spark):
         .toString()
     )
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_entry_module_has_no_duplicate_toplevel_defs():
+    """Regression for the round-6 ADVICE defect: a stale copy of a query
+    builder defined LATER in __spark_entry__.py silently shadows the
+    fixed one (queries() registers whatever name is bound last). Any
+    duplicate top-level def is therefore a latent shadowing bug."""
+    import ast
+    import collections
+    import inspect
+
+    src = inspect.getsource(entrymod)
+    names = [
+        node.name
+        for node in ast.parse(src).body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+    assert not dupes, f"duplicate top-level defs shadow earlier fixes: {dupes}"

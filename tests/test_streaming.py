@@ -876,3 +876,100 @@ def test_stream_maintained_fingerprint_set_drives_incremental_dedup(spark, tmp_p
     assert sorted(r["fp"] for r in seen.collect()) == sorted(
         r["fp"] for r in batch_seen.collect()
     )
+
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _write_docs(path: str, rows: list[tuple[int, str]]) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_dedup_incremental_equals_batch_fold(spark, tmp_path):
+    """Three micro-batches with planted cross-batch re-crawls through
+    stream_dedup_incremental: the survivor lake must equal batch
+    dedup_exact over the concatenated history, and the maintained seen
+    snapshot must equal batch doc_fingerprints over that history — the
+    streaming closure of the dedup_incremental invariant."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        doc_fingerprints,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    seen_path = str(tmp_path / "seen_fp")
+    survivors_path = str(tmp_path / "survivors")
+    batches = [
+        # within-batch dup (ids 1/2 same text) + uniques
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (4, "delta")],
+        # re-crawls of batch-0 texts + new docs
+        [(10, "gamma"), (11, "epsilon"), (12, "Alpha   beta")],  # normalized dup
+        # re-crawls of batches 0 AND 1 + one new
+        [(20, "delta"), (21, "epsilon"), (22, "zeta"), (23, "zeta")],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        _write_docs(str(p), rows)
+        # file source orders by mtime when maxFilesPerTrigger caps a batch
+        t = time.time() + 5 * i
+        os.utime(p, (t, t))
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA, max_files_per_trigger=1),
+        seen_path,
+        survivors_path,
+        str(tmp_path / "ckpt_inc"),
+    )
+
+    history = spark.createDataFrame(
+        [r for rows in batches for r in rows], DOC_SCHEMA
+    )
+    expected = sorted(
+        (r["doc_id"], r["text"]) for r in dedup_exact(history).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(survivors_path)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got == expected
+    snap_fps = sorted(r["fp"] for r in spark.read.parquet(seen_path).collect())
+    batch_fps = sorted(r["fp"] for r in doc_fingerprints(history).collect())
+    assert snap_fps == batch_fps
+
+    # crash-resume: simulate a crash INSIDE the swap window (snapshot dir
+    # renamed to ._old, new one not yet in place), then ship a batch of
+    # pure re-crawls — recovery must read ._old and re-ingest NOTHING
+    os.rename(seen_path, seen_path + "._old")
+    p = src / "b3.parquet"
+    _write_docs(str(p), [(30, "alpha beta"), (31, "zeta"), (32, "Gamma")])
+    t = time.time() + 20
+    os.utime(p, (t, t))
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA, max_files_per_trigger=1),
+        seen_path,
+        survivors_path,
+        str(tmp_path / "ckpt_inc"),
+    )
+    got2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(survivors_path)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got2 == expected  # nothing re-ingested
+    assert sorted(
+        r["fp"] for r in spark.read.parquet(seen_path).collect()
+    ) == batch_fps  # snapshot recovered intact from ._old

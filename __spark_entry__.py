@@ -2391,6 +2391,94 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=30)
 
 
+_TAR_SHARD_DIRS: dict[str, str] = {}
+
+
+def _tar_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Planted WebDataset-style archive per sf_dir (removed at exit):
+    docs 0..39 packed into two tar shards (member ``<doc_id>.txt``,
+    even/odd split) — a bounded 40-row driver collect building the
+    fixture the tar-ingest query reads back distributed."""
+    if sf_dir not in _TAR_SHARD_DIRS:
+        import atexit
+        import io
+        import os
+        import shutil
+        import tarfile
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="c360_tar_shards_")
+        rows = sorted(
+            (r["doc_id"], r["text"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for s in range(2):
+            with tarfile.open(os.path.join(d, f"shard-{s:03d}.tar"), "w") as tf:
+                for doc_id, text in rows:
+                    if doc_id % 2 != s:
+                        continue
+                    data = (text or "").encode("utf-8")
+                    info = tarfile.TarInfo(f"{doc_id:06d}.txt")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _TAR_SHARD_DIRS[sf_dir] = d
+    return _TAR_SHARD_DIRS[sf_dir]
+
+
+def q_multimodal_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tar-shard ingestion (sources/readers.read_binary +
+    operators/multimodal.expand_tar_shards/media_from_tar_members/
+    extract_features): a planted two-shard archive of documents is read
+    back via a glob-pruned binaryFile scan, expanded to members inside
+    mapInPandas on the executors, lifted to the MEDIA schema, and
+    feature-extracted — no binarize_text synthesis anywhere. The oracle
+    predicts the ENTIRE round trip from the source table: member bytes
+    == utf-8 text bytes, mime from the .txt extension, and sha_match
+    certifies extract_features' sha256 equals sha2 of the source text."""
+    from bigdata_etl_customer360_spark.operators.multimodal import (
+        expand_tar_shards,
+        extract_features,
+        media_from_tar_members,
+    )
+    from bigdata_etl_customer360_spark.sources.readers import read_binary
+
+    shards = read_binary(
+        spark, _tar_shard_dir(spark, sf_dir), path_glob_filter="*.tar"
+    )
+    members = expand_tar_shards(shards)
+    feats = extract_features(media_from_tar_members(members))
+    ids = members.select(
+        F.xxhash64(F.col("shard"), F.col("member")).alias("media_id"),
+        F.regexp_extract(F.col("member"), r"([0-9]+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.sha2(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"), 256)
+            .alias("_want_sha"),
+        )
+    )
+    return (
+        feats.join(ids, "media_id")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "mime",
+            "n_bytes",
+            (F.col("sha256") == F.col("_want_sha")).cast("long").alias("sha_match"),
+        )
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE encode (operators/textstats.bpe_encode): the merge
     table learned by bpe_train on a corpus slice is applied to the WHOLE
@@ -2737,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         # --- round-7 additions (lead the round-8 rotation) ---
         "bpe_encode": q_bpe_encode,
+        "multimodal_tar": q_multimodal_tar,
         # --- already driver-verified in rounds 5-6 (outside the window) ---
         "event_transitions": q_event_transitions,
         "daily_resample": q_daily_resample,
@@ -3885,6 +3974,48 @@ _ORACLES: dict[str, str] = {
               FROM documents)
         WHERE t IN ('join', 'spark', 'window')
         GROUP BY doc_id HAVING COUNT(DISTINCT t) = 3
+    """,
+    "pagerank": r"""
+        -- recursive-CTE twin of the fixed-8-round damped power iteration:
+        -- the co-purchase graph is symmetric by construction (both
+        -- directions of every pair), so every node has out-edges and the
+        -- dangling term is identically zero; ROUND(.., 8) absorbs the
+        -- ~1e-15 float-sum order divergence on both engines (the graded
+        -- query rounds identically) and ties break on partkey
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        pr AS (
+          SELECT 0 AS it, id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+          UNION ALL
+          SELECT p.it + 1, e.dst,
+                 0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg)
+          FROM pr p
+          JOIN deg d ON d.id = p.id
+          JOIN edges e ON e.src = p.id
+          WHERE p.it < 8
+          GROUP BY p.it, e.dst
+        )
+        SELECT id AS partkey, ROUND(rank, 8) AS rank
+        FROM pr WHERE it = 8
+        ORDER BY rank DESC, partkey ASC LIMIT 20
+    """,
+    "multimodal_tar": r"""
+        -- the tar round trip is byte-preserving, so the source table
+        -- predicts it exactly: utf-8 byte counts, .txt mime, sha parity
+        SELECT doc_id,
+               'text/plain' AS mime,
+               CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                 AS n_bytes,
+               CAST(1 AS BIGINT) AS sha_match
+        FROM documents WHERE doc_id < 40
     """,
     "cooccur_stats": r"""
         WITH posts AS (

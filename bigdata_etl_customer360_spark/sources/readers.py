@@ -111,3 +111,31 @@ def read_orc(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_binary(
+    spark: SparkSession,
+    paths: list[str] | str,
+    path_glob_filter: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Binary-file scan (``binaryFile`` format) — how a real multimodal
+    pipeline ingests raw media: one row per file with
+    ``(path, modificationTime, length, content)``, read distributed (each
+    task opens its own files; the driver only lists). ``path_glob_filter``
+    prunes at LISTING time (e.g. ``"*.tar"`` / ``"*.jpg"``), so excluded
+    files are never opened; ``recursive`` descends nested directories.
+
+    Scale notes: files >2 GB cannot ride a single BinaryType cell — shard
+    upstream (the tar-shard convention in
+    ``operators.multimodal.expand_tar_shards`` keeps members small while
+    amortizing filesystem metadata over ~100-1000 members per shard).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read.format("binaryFile")
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(paths)

@@ -1700,3 +1700,66 @@ def test_bpe_encode_matches_pure_python_and_rebuilds_words(spark):
         assert "".join(expected) == "".join(words)
     # the planted non-chaining case actually exercises a merge
     assert any(len(tok) > 1 for tok in got[4])
+
+
+def test_tar_shard_ingest_end_to_end(spark, tmp_path):
+    """binaryFile scan -> tar-shard expansion -> MEDIA lift -> feature
+    extraction: members come back byte-exact with deterministic ids and
+    extension-derived mimes, non-regular members and non-tar files are
+    skipped, and extract_features consumes the lift without synthesis."""
+    import hashlib
+    import io
+    import tarfile
+
+    from bigdata_etl_customer360_spark.operators.multimodal import (
+        expand_tar_shards,
+        extract_features,
+        media_from_tar_members,
+    )
+    from bigdata_etl_customer360_spark.sources.readers import read_binary
+
+    members0 = [("000/a.txt", b"hello tar"), ("000/b.png", bytes(range(64)))]
+    members1 = [("001/c.json", b'{"k": 1}'), ("001/d.bin", b"\x00\xff" * 10)]
+
+    def write_shard(path, members, with_dir=False):
+        with tarfile.open(path, "w") as tf:
+            if with_dir:
+                d = tarfile.TarInfo("000")
+                d.type = tarfile.DIRTYPE
+                tf.addfile(d)
+            for name, data in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+
+    write_shard(str(tmp_path / "shard-000.tar"), members0, with_dir=True)
+    write_shard(str(tmp_path / "shard-001.tar"), members1)
+    (tmp_path / "ignore.txt").write_text("not a shard")
+
+    shards = read_binary(spark, str(tmp_path), path_glob_filter="*.tar")
+    assert shards.count() == 2  # glob pruned the stray file at listing
+
+    got = {
+        r["member"]: (bytes(r["payload"]), r["n_bytes"])
+        for r in expand_tar_shards(shards).collect()
+    }
+    expected = dict(members0 + members1)
+    assert {k: v[0] for k, v in got.items()} == expected  # byte-exact
+    assert all(got[k][1] == len(v) for k, v in expected.items())
+
+    media = media_from_tar_members(expand_tar_shards(shards))
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 4  # distinct ids, directory member skipped
+    mimes = sorted(r["mime"] for r in rows.values())
+    assert mimes == [
+        "application/json",
+        "application/octet-stream",
+        "image/png",
+        "text/plain",
+    ]
+
+    feats = {r["sha256"] for r in extract_features(media).collect()}
+    assert feats == {
+        hashlib.sha256(v).hexdigest() for v in expected.values()
+    }

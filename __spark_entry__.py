@@ -1614,9 +1614,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-analysis quality prior: PageRank over the co-purchase graph
     (parts appearing in the same order, both directions), top 20 parts.
-    Iterative float fixpoint — not SQL-expressible, rows-only check;
-    unit-pinned against a numpy power iteration in tests/test_graph.py.
-    See operators/graph.pagerank for the per-round plan shape."""
+    Iterative float fixpoint — since r7 it carries a recursive-CTE oracle
+    in _ORACLES (DuckDB replays the same 8 damped power iterations), so
+    the driver hash-checks it. The hash is stable because both engines
+    compute the same IEEE-double dot products in the same per-iteration
+    association (dangling mass folded identically) and the output rounds
+    to 1e-8 with the partkey tie-break pinning order — a boundary flip
+    would need engines to differ by >~1e-9 on an 8-step fixpoint, and
+    the primary exactness argument remains the numpy power-iteration pin
+    in tests/test_graph.py. See operators/graph.pagerank for the
+    per-round plan shape."""
     from bigdata_etl_customer360_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -2588,6 +2595,102 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select("doc_id", "lang", "source")
 
 
+_DEDUP_STREAM_DIRS: dict[str, str] = {}
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-dedup certificate (streaming/windows.
+    stream_dedup_incremental): the SAME planted re-crawl history as
+    `dedup_incremental` — corpus + exact re-crawl (+10000) + twice-
+    ingested v2 (+11000/+12000) — lands as three ordered id-range parquet
+    files in a scratch source dir, and a real availableNow file-source
+    stream (maxFilesPerTrigger=1, mtime-ordered) drains them through the
+    crash-safe maintained-seen-snapshot path: per micro-batch anti-join
+    against the fingerprint snapshot, survivors appended to a lake,
+    fingerprints folded back. The returned survivor lake must hash-match
+    the ONE-PASS dedup_exact oracle over the concatenated history —
+    proving the streaming maintainer's invariant end-to-end (ordered
+    batching makes first-seen == min-id). Scratch dirs are session-scoped
+    (bench best-of-2 re-runs drain zero new files and re-read the
+    converged lake). Generalizes the reference's batch-only daily ingest
+    (ETL_customer_behavior.py:160-204) to a continuous dedup frontier."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental,
+        stream_from_parquet,
+    )
+
+    if sf_dir not in _DEDUP_STREAM_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_dedup_stream_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+
+        base = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        docs = base
+        for off, suffix in ((10000, ""), (11000, " v2"), (12000, " v2")):
+            docs = docs.unionByName(
+                base.select(
+                    (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+                    "lang",
+                    "source",
+                )
+            )
+        hi = docs.agg(F.max("doc_id")).first()[0] or 0
+        cut = (int(hi) + 3) // 3
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            # coalesce(1): ONE file per id-range batch, so mtime order ==
+            # batch order == ascending ids (first-seen == min-id; multiple
+            # part files would split a batch across triggers with
+            # hash-partition-dependent file order)
+            docs.filter(
+                (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
+            ).coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b, 1_700_000_000 + 10 * b))
+        _DEDUP_STREAM_DIRS[sf_dir] = root
+
+    root = _DEDUP_STREAM_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    survivors_path = os.path.join(root, "survivors")
+    stream_dedup_incremental(
+        stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        ),
+        os.path.join(root, "seen_fp"),
+        survivors_path,
+        os.path.join(root, "ckpt"),
+        query_name="dedup_stream_graded",
+    )
+    return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe group-level split (operators/sampling.group_split):
     split assignment is a pure function of the SOURCE key, so every doc
@@ -2767,12 +2870,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries.  Every query is covered by the identical local
     # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
     # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
-    # Round 7 rotates to the 50 queries last driver-verified in round 4 (the
-    # longest-unverified cohort per the r6 VERDICT histogram: 50 @ r4, 43 @ r5,
-    # 50 @ r6) so CORRECTNESS_r07 refreshes every stale row.  New round-7
-    # queries sit immediately AFTER the window to lead the round-8 rotation.
+    # Round-8 window (r7 VERDICT item 1): the never-verified round-7/8
+    # additions (dedup_stream, bpe_encode, multimodal_tar) + pagerank (oracle
+    # new in r7, last driver row was rows-only in r5) + the 42 remaining
+    # queries whose last CORRECTNESS row is r5, topped up to 50 with the
+    # first 4 of the r6 cohort (next-stalest).  Verified-in-r6/r7 queries
+    # follow, ordered r6 cohort then r7 cohort, so future rotations keep
+    # promoting the stalest block.
     return {
-        # --- driver window: the r4-stale cohort (VERDICT r6, item 1) ---
+        # --- driver window: never-verified + r5-stale cohort ---
+        "dedup_stream": q_dedup_stream,
+        "bpe_encode": q_bpe_encode,
+        "multimodal_tar": q_multimodal_tar,
+        "pagerank": q_pagerank,
+        "min_cost_supplier": q_min_cost_supplier,
+        "supplier_cnt": q_supplier_cnt,
+        "supplier_wait": q_supplier_wait,
+        "grouping_sets": q_grouping_sets,
+        "cust_without_orders": q_cust_without_orders,
+        "priority_orders": q_priority_orders,
+        "returnflag_priority": q_returnflag_priority,
+        "promo_revenue": q_promo_revenue,
+        "forecast_revenue": q_forecast_revenue,
+        "cust_order_dist": q_cust_order_dist,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "returned_revenue": q_returned_revenue,
+        "important_stock": q_important_stock,
+        "excess_suppliers": q_excess_suppliers,
+        "merge_upsert": q_merge_upsert,
+        "count_distinct": q_count_distinct,
+        "percentiles": q_percentiles,
+        "approx_count_distinct": q_approx_count_distinct,
+        "scd2_history": q_scd2_history,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "keyword_extract": q_keyword_extract,
+        "data_profile": q_data_profile,
+        "data_quality": q_data_quality,
+        "skew_profile": q_skew_profile,
+        "build_vocab": q_build_vocab,
+        "strip_boilerplate": q_strip_boilerplate,
+        "repeated_ngrams": q_repeated_ngrams,
+        "weighted_sample": q_weighted_sample,
+        "tokenize_corpus": q_tokenize_corpus,
+        "lang_id_chargram": q_lang_id_chargram,
+        "dedup_lines": q_dedup_lines,
+        "minhash_recall": q_minhash_recall,
+        "ivf_full_probe": q_ivf_full_probe,
+        "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
+        "rolling_revenue": q_rolling_revenue,
+        "shipment_concurrency": q_shipment_concurrency,
+        "click_attribution": q_click_attribution,
+        # --- window top-up: next-stalest (r6 cohort, first 4) ---
+        "adaptive_join": q_adaptive_join,
+        "asof_join_forward": q_asof_join_forward,
+        "assign_row_ids": q_assign_row_ids,
+        "bfs_distances": q_bfs_distances,
+        # --- driver-verified in round 6 (outside the window) ---
+        "boolean_search": q_boolean_search,
+        "bpe_train": q_bpe_train,
+        "canonicalize_urls": q_canonicalize_urls,
+        "chunk_documents": q_chunk_documents,
+        "chunk_near_dup": q_chunk_near_dup,
+        "clustering_coeff": q_clustering_coeff,
+        "cooccur_stats": q_cooccur_stats,
+        "corr_matrix": q_corr_matrix,
+        "cube_agg": q_cube_agg,
+        "daily_resample": q_daily_resample,
+        "dedup_by_url": q_dedup_by_url,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_char": q_dedup_spans_char,
+        "distribution_drift": q_distribution_drift,
+        "embedding_centroids": q_embedding_centroids,
+        "event_transitions": q_event_transitions,
+        "group_split": q_group_split,
+        "histogram": q_histogram,
+        "hll_mergeable": q_hll_mergeable,
+        "k_anonymity": q_k_anonymity,
+        "kmeans_fit": q_kmeans_fit,
+        "label_propagation": q_label_propagation,
+        "link_records": q_link_records,
+        "maintain_rollup": q_maintain_rollup,
+        "mixture_sample": q_mixture_sample,
+        "monthly_rollup_reuse": q_monthly_rollup_reuse,
+        "normalize_embeddings": q_normalize_embeddings,
+        "ntile_ranks": q_ntile_ranks,
+        "path_pattern": q_path_pattern,
+        "prepare_training_corpus": q_prepare_training_corpus,
+        "regional_revenue": q_regional_revenue,
+        "rolling_anomaly": q_rolling_anomaly,
+        "scd2_snapshot": q_scd2_snapshot,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "shard_corpus": q_shard_corpus,
+        "snapshot_diff": q_snapshot_diff,
+        "standardize": q_standardize,
+        "stratified_split": q_stratified_split,
+        "strip_html": q_strip_html,
+        "triangle_count": q_triangle_count,
+        "vector_norms": q_vector_norms,
+        "winsorize": q_winsorize,
+        "large_orders": q_large_orders,
+        "nation_volume": q_nation_volume,
+        # --- driver-verified in round 7 ---
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -2823,104 +3028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": q_union_by_name,
         "unpivot": q_unpivot,
         "window_tumbling": q_window_tumbling,
-        # --- round-7 additions (lead the round-8 rotation) ---
-        "bpe_encode": q_bpe_encode,
-        "multimodal_tar": q_multimodal_tar,
-        # --- already driver-verified in rounds 5-6 (outside the window) ---
-        "event_transitions": q_event_transitions,
-        "daily_resample": q_daily_resample,
-        "mixture_sample": q_mixture_sample,
-        "stratified_split": q_stratified_split,
-        "corr_matrix": q_corr_matrix,
-        "triangle_count": q_triangle_count,
-        "rolling_anomaly": q_rolling_anomaly,
-        "hll_mergeable": q_hll_mergeable,
-        "shard_corpus": q_shard_corpus,
-        "prepare_training_corpus": q_prepare_training_corpus,
-        "clustering_coeff": q_clustering_coeff,
-        "monthly_rollup_reuse": q_monthly_rollup_reuse,
-        "chunk_documents": q_chunk_documents,
-        "asof_join_forward": q_asof_join_forward,
-        "path_pattern": q_path_pattern,
-        "histogram": q_histogram,
-        "cube_agg": q_cube_agg,
-        "strip_html": q_strip_html,
-        "canonicalize_urls": q_canonicalize_urls,
-        "dedup_by_url": q_dedup_by_url,
-        "snapshot_diff": q_snapshot_diff,
-        "link_records": q_link_records,
-        "dedup_spans": q_dedup_spans,
-        "maintain_rollup": q_maintain_rollup,
-        "adaptive_join": q_adaptive_join,
-        "chunk_near_dup": q_chunk_near_dup,
-        "group_split": q_group_split,
-        "dedup_incremental": q_dedup_incremental,
-        "boolean_search": q_boolean_search,
-        "standardize": q_standardize,
-        "winsorize": q_winsorize,
-        "bpe_train": q_bpe_train,
-        "label_propagation": q_label_propagation,
-        "normalize_embeddings": q_normalize_embeddings,
-        "embedding_centroids": q_embedding_centroids,
-        "kmeans_fit": q_kmeans_fit,
-        "assign_row_ids": q_assign_row_ids,
-        "bfs_distances": q_bfs_distances,
-        "distribution_drift": q_distribution_drift,
-        "k_anonymity": q_k_anonymity,
-        "scd2_snapshot": q_scd2_snapshot,
-        "dedup_spans_char": q_dedup_spans_char,
-        "cooccur_stats": q_cooccur_stats,
-        # --- driver-verified in rounds 1-5 ---
-        "ntile_ranks": q_ntile_ranks,
-        "vector_norms": q_vector_norms,
-        "set_intersect": q_set_intersect,
-        "set_except": q_set_except,
-        "regional_revenue": q_regional_revenue,
-        "nation_volume": q_nation_volume,
-        "large_orders": q_large_orders,
-        "min_cost_supplier": q_min_cost_supplier,
-        "supplier_cnt": q_supplier_cnt,
-        "supplier_wait": q_supplier_wait,
-        "grouping_sets": q_grouping_sets,
-        "cust_without_orders": q_cust_without_orders,
-        "priority_orders": q_priority_orders,
-        "returnflag_priority": q_returnflag_priority,
-        "promo_revenue": q_promo_revenue,
-        "forecast_revenue": q_forecast_revenue,
-        "cust_order_dist": q_cust_order_dist,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "returned_revenue": q_returned_revenue,
-        "important_stock": q_important_stock,
-        "excess_suppliers": q_excess_suppliers,
-        "merge_upsert": q_merge_upsert,
-        "count_distinct": q_count_distinct,
-        "percentiles": q_percentiles,
-        "approx_count_distinct": q_approx_count_distinct,
-        "scd2_history": q_scd2_history,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "keyword_extract": q_keyword_extract,
-        "data_profile": q_data_profile,
-        "data_quality": q_data_quality,
-        "skew_profile": q_skew_profile,
-        "build_vocab": q_build_vocab,
-        "strip_boilerplate": q_strip_boilerplate,
-        "repeated_ngrams": q_repeated_ngrams,
-        "weighted_sample": q_weighted_sample,
-        "pagerank": q_pagerank,
-        "tokenize_corpus": q_tokenize_corpus,
-        "lang_id_chargram": q_lang_id_chargram,
-        "dedup_lines": q_dedup_lines,
-        "minhash_recall": q_minhash_recall,
-        "ivf_full_probe": q_ivf_full_probe,
-        "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
-        "rolling_revenue": q_rolling_revenue,
-        "shipment_concurrency": q_shipment_concurrency,
-        "click_attribution": q_click_attribution,
     }
 
 
@@ -4196,6 +4303,28 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental": r"""
         -- one-pass global dedup over the same constructed history must
         -- equal the folded incremental result
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 11000, text || ' v2', lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 12000, text || ' v2', lang, source FROM documents
+        )
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   ORDER BY doc_id ASC) AS rn
+          FROM corpus
+        ) WHERE rn = 1
+    """,
+    "dedup_stream": r"""
+        -- streaming maintainer invariant: the drained survivor lake must
+        -- equal one-pass global dedup over the same constructed history
+        -- (identical SQL to dedup_incremental — both certify against the
+        -- same batch ground truth)
         WITH corpus AS (
           SELECT doc_id, text, lang, source FROM documents
           UNION ALL

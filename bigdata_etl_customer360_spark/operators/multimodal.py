@@ -304,44 +304,57 @@ def expand_tar_shards(
     stays sequential within each shard. Expansion runs inside
     ``mapInPandas`` — one Python ``tarfile`` pass per shard payload ON
     THE EXECUTOR holding it (no driver round-trip, no shuffle; the
-    work parallelizes across shards). Non-regular members (directories,
-    links) are skipped; member order inside a shard is preserved as the
-    archive laid it out.
+    work parallelizes across shards). ONE output frame is yielded PER
+    SHARD (not per Arrow batch), so peak task memory is bounded by a
+    single shard's expansion (~2× one shard: blob + extracted members)
+    no matter how many shards the scan packed into a batch — at the
+    advertised 100 MB-1 GB shard size, accumulating a whole batch
+    before yielding would hold every shard's expansion simultaneously
+    (r7 ADVICE). Non-regular members (directories, links) are skipped;
+    member order inside a shard is preserved as the archive laid it
+    out.
 
     Feed the result to :func:`media_from_tar_members` for the
     ``MEDIA_SCHEMA`` shape that :func:`extract_features` /
     :func:`extract_frames` consume.
     """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _expand_tar_batches(batches, content_col, path_col)
+
+    return shards.mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
+
+
+def _expand_tar_batches(
+    batches: Iterator[pd.DataFrame], content_col: str, path_col: str
+) -> Iterator[pd.DataFrame]:
+    """Executor-side generator behind :func:`expand_tar_shards`
+    (module-level so the per-shard-yield memory bound is unit-testable)."""
     import io
     import tarfile
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            shards_out: list[str] = []
+    for pdf in batches:
+        for path, blob in zip(pdf[path_col], pdf[content_col]):
             members: list[str] = []
             payloads: list[bytes] = []
             sizes: list[int] = []
-            for path, blob in zip(pdf[path_col], pdf[content_col]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                    for info in tf:
-                        if not info.isreg():
-                            continue
-                        fh = tf.extractfile(info)
-                        data = fh.read() if fh is not None else b""
-                        shards_out.append(path)
-                        members.append(info.name)
-                        payloads.append(data)
-                        sizes.append(len(data))
+            with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                for info in tf:
+                    if not info.isreg():
+                        continue
+                    fh = tf.extractfile(info)
+                    data = fh.read() if fh is not None else b""
+                    members.append(info.name)
+                    payloads.append(data)
+                    sizes.append(len(data))
+            # per-shard yield bounds peak memory at ONE expanded shard
             yield pd.DataFrame(
                 {
-                    "shard": pd.Series(shards_out, dtype=object),
+                    "shard": pd.Series([path] * len(members), dtype=object),
                     "member": pd.Series(members, dtype=object),
                     "payload": pd.Series(payloads, dtype=object),
                     "n_bytes": pd.Series(sizes, dtype="int64"),
                 }
             )
-
-    return shards.mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
 
 
 def media_from_tar_members(members: DataFrame) -> DataFrame:

@@ -296,20 +296,30 @@ def stream_dedup_incremental(
 
     Per batch (order is load-bearing for at-least-once redelivery):
 
-    1. read the seen snapshot (``._old`` recovery if a crash hit the swap
-       window), compute ``dedup_incremental(batch, seen)``;
-    2. write survivors to ``survivors_path/batch=<id>`` with OVERWRITE —
-       a redelivered batch recomputes the identical survivor set (the
-       snapshot it read was not yet advanced) and overwrites its own
-       directory, so the lake never double-counts;
-    3. fold ``doc_fingerprints`` of the just-written survivors into the
-       snapshot (union + distinct — naturally idempotent, re-folding the
-       same fingerprints is a no-op) via ``_merge_into_snapshot``.
+    1. if ``survivors_path/batch=<id>`` already carries a ``_SUCCESS``
+       marker, the survivor write is SKIPPED (first-write-wins) — a batch
+       redelivered AFTER the seen snapshot advanced would recompute an
+       EMPTY survivor set (its fingerprints are now in seen) and an
+       unconditional overwrite would wipe the committed directory,
+       permanently losing docs that remain in the seen set;
+    2. otherwise read the seen snapshot (``._old`` recovery if a crash
+       hit the swap window), compute ``dedup_incremental(batch, seen)``,
+       and write survivors to ``survivors_path/batch=<id>`` with
+       overwrite — a redelivery whose snapshot has NOT advanced
+       recomputes the identical survivor set, so the lake never
+       double-counts;
+    3. fold ``doc_fingerprints`` of the batch directory (just-written or
+       kept) into the snapshot (union + distinct — naturally idempotent,
+       re-folding the same fingerprints is a no-op) via
+       ``_merge_into_snapshot``.
 
     A crash at ANY point redelivers the batch into the same converged
-    state: before (2) nothing happened; between (2) and (3) the snapshot
-    is still pre-batch so step (2) rewrites identical rows; mid-swap in
-    (3) the ``._old`` rotation recovers. Same single-writer assumption as
+    state: before (2) completed nothing durable happened (no
+    ``_SUCCESS``, snapshot untouched, the partial directory is
+    rewritten); between (2) and (3) the snapshot is still pre-batch and
+    the ``_SUCCESS`` guard keeps the committed rows; after (3) — even
+    mid-swap, via the ``._old`` rotation — the guard skips the write and
+    re-folding is a distinct() no-op. Same single-writer assumption as
     the other snapshot maintainers. Readers: survivors are
     ``spark.read.parquet(survivors_path)`` (partition column ``batch``),
     the seen set is ``spark.read.parquet(seen_path)`` (column ``fp``).
@@ -330,18 +340,24 @@ def stream_dedup_incremental(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        old_dir = seen_path + "._old"
-        read_from = None
-        if os.path.isdir(seen_path):
-            read_from = seen_path
-        elif os.path.isdir(old_dir):
-            read_from = old_dir  # crash hit the swap window: recover
-        seen = spark.read.parquet(read_from) if read_from is not None else None
-        survivors = dedup_incremental(
-            batch_df, seen, text_col=text_col, id_col=id_col
-        )
         batch_dir = os.path.join(survivors_path, f"batch={int(batch_id)}")
-        survivors.write.mode("overwrite").parquet(batch_dir)
+        if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
+            old_dir = seen_path + "._old"
+            read_from = None
+            if os.path.isdir(seen_path):
+                read_from = seen_path
+            elif os.path.isdir(old_dir):
+                read_from = old_dir  # crash hit the swap window: recover
+            seen = (
+                spark.read.parquet(read_from) if read_from is not None else None
+            )
+            survivors = dedup_incremental(
+                batch_df, seen, text_col=text_col, id_col=id_col
+            )
+            survivors.write.mode("overwrite").parquet(batch_dir)
+        # else: first-write-wins — the directory committed before a crash
+        # that may postdate the snapshot advance; recomputing against the
+        # advanced snapshot would yield an EMPTY set and wipe it.
         # fingerprints derive from the JUST-WRITTEN files, not the lazy
         # survivor plan: the merge below swaps the seen snapshot the plan
         # still references, and a re-read also skips recomputing the

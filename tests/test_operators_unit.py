@@ -1663,6 +1663,7 @@ def test_bpe_encode_matches_pure_python_and_rebuilds_words(spark):
         "low new wide lowest",
         "aaa aaaa aa",  # non-chaining: (a,a) on 'aaa' -> [aa, a]
         "",
+        None,  # NULL text must encode to [] (r7 ADVICE), not crash the UDF
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -1693,13 +1694,77 @@ def test_bpe_encode_matches_pure_python_and_rebuilds_words(spark):
         return syms
 
     for i, t in enumerate(texts):
-        words = t.lower().split()
+        words = (t or "").lower().split()
         expected = [tok for w in words for tok in ref_encode_word(w)]
         assert got[i] == expected, f"doc {i}"
         # concatenation invariant: tokens rebuild each word exactly
         assert "".join(expected) == "".join(words)
     # the planted non-chaining case actually exercises a merge
     assert any(len(tok) > 1 for tok in got[4])
+    assert got[len(texts) - 1] == []  # NULL text -> empty token stream
+
+
+def test_bpe_encode_pair_priority_parity_at_5k_merges(spark):
+    """Scale-path parity (r7 VERDICT #6): a 5,000-entry synthetic merge
+    table (500 word families x 10-deep prefix chains over distinct CJK
+    characters — trainer-consistent by construction: every pair's
+    components derive strictly earlier) must encode identically to the
+    pure-Python SEQUENTIAL fold. Pair-priority cost is independent of
+    table size, so this also guards against an O(merges x len) regression
+    timing out the suite."""
+    from bigdata_etl_customer360_spark.operators.textstats import bpe_encode
+
+    fams, depth = 500, 11  # 10 merges per family chain
+    words = [
+        "".join(chr(0x4E00 + f * depth + i) for i in range(depth))
+        for f in range(fams)
+    ]
+    merge_rows = []
+    rank = 0
+    for w in words:
+        for k in range(depth - 1):
+            merge_rows.append((rank, w[: k + 1], w[k + 1], w[: k + 2]))
+            rank += 1
+    assert rank == 5000
+    merges = spark.createDataFrame(
+        merge_rows, "rank long, left string, right string, merged string"
+    )
+    # each doc carries a few family words, some truncated mid-chain so
+    # the encode stops at a partial prefix (exercises non-terminal ranks)
+    docs = [
+        (i, " ".join([words[i], words[(i * 7 + 3) % fams][: 5], words[-1 - i]]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()
+    }
+
+    ranked = sorted(merge_rows)
+
+    def ref_encode_word(w):
+        syms = list(w)
+        for _, left, right, merged in ranked:
+            if len(syms) < 2:
+                break
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in docs:
+        expected = [tok for w in t.split() for tok in ref_encode_word(w)]
+        assert got[i] == expected, f"doc {i}"
+        assert "".join(expected) == t.replace(" ", "")
+    # full chains collapse to ONE token; the truncated word to its prefix
+    assert got[0][0] == words[0]
+    assert got[0][1] == words[3][:5]
 
 
 def test_tar_shard_ingest_end_to_end(spark, tmp_path):
@@ -1763,3 +1828,49 @@ def test_tar_shard_ingest_end_to_end(spark, tmp_path):
     assert feats == {
         hashlib.sha256(v).hexdigest() for v in expected.values()
     }
+
+
+def test_expand_tar_shards_yields_one_frame_per_shard():
+    """Memory bound (r7 ADVICE / VERDICT #7): two shards arriving in ONE
+    Arrow batch must come back as (at least) two separate yielded frames
+    — peak task memory is then one shard's expansion, not the batch's."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from bigdata_etl_customer360_spark.operators.multimodal import (
+        _expand_tar_batches,
+    )
+
+    def make_tar(files: dict[str, bytes]) -> bytes:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in files.items():
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    batch = pd.DataFrame(
+        {
+            "path": ["s3://lake/shard-0.tar", "s3://lake/shard-1.tar"],
+            "content": [
+                make_tar({"a.txt": b"alpha", "b.txt": b"beta"}),
+                make_tar({"c.txt": b"gamma"}),
+            ],
+        }
+    )
+    frames = list(_expand_tar_batches(iter([batch]), "content", "path"))
+    assert len(frames) >= 2  # one frame per shard, never batch-accumulated
+    assert [set(f["shard"]) for f in frames] == [
+        {"s3://lake/shard-0.tar"},
+        {"s3://lake/shard-1.tar"},
+    ]
+    all_members = [m for f in frames for m in f["member"]]
+    assert all_members == ["a.txt", "b.txt", "c.txt"]
+    assert [bytes(p) for f in frames for p in f["payload"]] == [
+        b"alpha",
+        b"beta",
+        b"gamma",
+    ]

@@ -973,3 +973,69 @@ def test_stream_dedup_incremental_equals_batch_fold(spark, tmp_path):
     assert sorted(
         r["fp"] for r in spark.read.parquet(seen_path).collect()
     ) == batch_fps  # snapshot recovered intact from ._old
+
+
+def test_stream_dedup_incremental_redelivery_after_snapshot_advance(
+    spark, tmp_path
+):
+    """Regression (r7 ADVICE): crash AFTER the seen snapshot advanced but
+    BEFORE the streaming checkpoint committed the batch.  The redelivered
+    batch reads the already-advanced snapshot, dedup_incremental returns
+    an EMPTY survivor set, and an unconditional overwrite would wipe the
+    committed survivors/batch=<id> — docs stuck in the seen set but gone
+    from the lake.  First-write-wins (the _SUCCESS guard) must keep them.
+
+    Simulated deterministically: drain one batch end-to-end, then delete
+    the checkpoint's commit marker (commits/0) so the restarted query
+    redelivers batch 0 against the advanced snapshot.
+    """
+    from bigdata_etl_customer360_spark.operators.dedup import dedup_exact
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "docs_src_redeliver"
+    src.mkdir()
+    seen_path = str(tmp_path / "seen_fp_r")
+    survivors_path = str(tmp_path / "survivors_r")
+    ckpt = tmp_path / "ckpt_redeliver"
+    rows = [(1, "alpha"), (2, "alpha"), (3, "beta")]
+    _write_docs(str(src / "b0.parquet"), rows)
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA),
+        seen_path,
+        survivors_path,
+        str(ckpt),
+    )
+    expected = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup_exact(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(survivors_path)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got == expected
+
+    # crash simulation: snapshot already advanced, batch commit lost
+    commit0 = ckpt / "commits" / "0"
+    assert commit0.exists()
+    commit0.unlink()
+    crc = ckpt / "commits" / ".0.crc"  # Hadoop ChecksumFs sidecar — a
+    if crc.exists():  # stale crc makes the re-commit rename conflict
+        crc.unlink()
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA),
+        seen_path,
+        survivors_path,
+        str(ckpt),
+    )
+    got2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(survivors_path)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got2 == expected  # survivors kept, not wiped by the redelivery

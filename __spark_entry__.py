@@ -2865,6 +2865,45 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/textstats.bm25_search): the
+    scoring tier above boolean_search — same whole-token pruning in the
+    scan stage, Robertson/Lucene IDF, in-term-order float fold so the
+    score hash-matches the oracle (1e-8 rounding absorbs final-ulp ln
+    divergence, the pagerank convention)."""
+    from bigdata_etl_customer360_spark.operators.textstats import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "join", "window"], k1=1.2, b=0.75)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space semantic dedup (operators/similarity.
+    semantic_dedup; SemDeDup, arXiv:2303.09540): drop vectors with an
+    earlier same-bucket near-dup at cosine >= 0.35 (the embed_near_dup
+    threshold — the synthetic embeddings are near-uniform, so higher
+    thresholds yield no pairs), buckets = sign pattern of the first 4
+    dims. Quantized-integer cosine keeps the compare engine-exact; the
+    oracle replays bucketing, pair search, and the keep-earliest rule."""
+    from bigdata_etl_customer360_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(
+        emb, threshold=0.35, bucket_bits=4, out_bucket_col="bucket"
+    ).select("vec_id", "bucket")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy (operators/textstats.char_entropy):
+    the cheap gibberish screen — exact integer char frequencies, one
+    in-char-order float fold per doc, H = log2(n) - (Σ c·log2 c)/n
+    rounded 1e-8."""
+    from bigdata_etl_customer360_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -2880,6 +2919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window: never-verified + r5-stale cohort ---
         "dedup_stream": q_dedup_stream,
+        "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
+        "char_entropy": q_char_entropy,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -2925,12 +2967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
-        # --- window top-up: next-stalest (r6 cohort, first 4) ---
+        # --- window top-up: next-stalest (r6 cohort, first one) ---
         "adaptive_join": q_adaptive_join,
+        # --- driver-verified in round 6 (outside the window) ---
         "asof_join_forward": q_asof_join_forward,
         "assign_row_ids": q_assign_row_ids,
         "bfs_distances": q_bfs_distances,
-        # --- driver-verified in round 6 (outside the window) ---
         "boolean_search": q_boolean_search,
         "bpe_train": q_bpe_train,
         "canonicalize_urls": q_canonicalize_urls,
@@ -4319,6 +4361,97 @@ _ORACLES: dict[str, str] = {
                    ORDER BY doc_id ASC) AS rn
           FROM corpus
         ) WHERE rn = 1
+    """,
+    "bm25_search": r"""
+        -- BM25 mirror: identical tokenization, Robertson IDF, and the
+        -- SAME association of every float expression as the Spark side
+        -- ((b*dl)/avgdl with avgdl = sum/n computed first; (idf*(tf*2.2))
+        -- / (tf + ...)); per-doc sum folds IN TERM ORDER (list ORDER BY t
+        -- + list_aggregate 'sum' == Spark's sorted-array F.aggregate);
+        -- ROUND(..,8) absorbs final-ulp ln divergence
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(COALESCE(text, ''))),
+                                    '[ \t\r\n\x0B\f]+') AS tk
+          FROM documents
+        ), dls AS (
+          SELECT doc_id,
+                 len(list_filter(tk, t -> t <> '')) AS dl, tk
+          FROM base
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM dls
+        ), tf AS (
+          SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, UNNEST(tk) AS t FROM dls)
+          WHERE t IN ('join', 'spark', 'window')
+          GROUP BY doc_id, dl, t
+        ), dfreq AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
+        ), contrib AS (
+          SELECT tf.doc_id, tf.t,
+                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                           + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE))
+                             / (CAST(s.sum_dl AS DOUBLE)
+                                / CAST(s.n_docs AS DOUBLE)))) AS c
+          FROM tf JOIN dfreq d USING (t) CROSS JOIN stats s
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(list_aggregate(list(c ORDER BY t), 'sum'), 8) AS bm25
+        FROM contrib GROUP BY doc_id
+    """,
+    "semantic_dedup": """
+        -- SemDeDup keep-earliest mirror: sign-pattern bucket of the first
+        -- 4 dims (MSB-first, matching the Spark bucket fold), quantized
+        -- integer cosine (exact int sums, one double division), drop any
+        -- vector with a smaller-id in-bucket neighbor at cosine >= 0.35
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e,
+                 CAST(
+                   (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bucket
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, bucket, e, list_sum([v * v FOR v IN e]) AS nsq
+          FROM qz
+        ), dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+          WHERE CAST(list_sum([a.e[i] * b.e[i]
+                               FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
+                / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+                >= 0.35
+        )
+        SELECT vec_id, bucket FROM n
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    "char_entropy": r"""
+        -- exact char frequencies; in-char-order fold (list ORDER BY c ==
+        -- Spark's sort_array struct fold); H = log2(n) - (sum c*log2 c)/n
+        WITH f AS (
+          SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id,
+                       UNNEST(string_split_regex(COALESCE(text, ''), '')) AS c
+                FROM documents)
+          WHERE c <> ''
+          GROUP BY doc_id, c
+        )
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+               ROUND(log2(CAST(SUM(cnt) AS DOUBLE))
+                     - list_aggregate(
+                         list(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))
+                              ORDER BY c), 'sum')
+                       / CAST(SUM(cnt) AS DOUBLE), 8) AS entropy
+        FROM f GROUP BY doc_id
     """,
     "dedup_stream": r"""
         -- streaming maintainer invariant: the drained survivor lake must

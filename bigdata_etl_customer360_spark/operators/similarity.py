@@ -547,3 +547,99 @@ def kmeans_fit(
     return spark.createDataFrame(
         out, "cluster int, dim int, centroid double, n_vecs long"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bucket_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level semantic dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): drop every vector that has an EARLIER (smaller-id)
+    near-duplicate — cosine >= ``threshold`` — inside its semantic
+    bucket; return the survivors. The embedding-space completion of the
+    text dedup ladder (exact -> minhash -> simhash -> embedding): it
+    removes paraphrases and re-encodings that share no tokens.
+
+    Bucketing is DETERMINISTIC sign-pattern partitioning: bucket id =
+    the sign bits of the first ``bucket_bits`` dimensions (a fixed
+    axis-aligned hyperplane cut — the degenerate-but-deterministic case
+    of random-hyperplane LSH, chosen so an oracle can recompute it
+    exactly; swap in :func:`hyperplane_signatures` when recall across
+    bucket boundaries matters more than oracle-exactness). Near-dup
+    pairs whose members land in different buckets are NOT compared —
+    the standard SemDeDup trade (it clusters with k-means and only
+    dedups within clusters, accepting boundary misses, because the
+    all-pairs alternative cannot exist at corpus scale).
+
+    Scale shape: one map stage stamps (bucket, quantized vector, norm);
+    ONE shuffle on bucket for the self-join; within-bucket candidate
+    pairs are ~ Σ|bucket|²/2 — size ``bucket_bits`` ~ log2(N / target
+    bucket size) so buckets stay bounded as the corpus grows (the same
+    occupancy² law measured for IVF in BASELINE.md). The keep decision
+    is a bucket-local anti-join semantics (EXISTS earlier near-dup),
+    expressed as a left-semi over the pair stream inverted to survivors
+    via anti-join — no window over the whole corpus, no driver state.
+
+    Determinism: cosine uses the module's quantized-integer dot/norm
+    contract (exact int64 sums; ONE double division at the end), so the
+    >= threshold compare is engine-exact — the whole operator
+    hash-matches a SQL oracle.
+
+    Output: the surviving rows of ``df`` (all original columns), plus
+    the bucket id when ``out_bucket_col`` is set.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    if bucket_bits < 0:
+        raise ValueError("bucket_bits must be >= 0")
+    bucket = F.lit(0).cast("long")
+    for i in range(int(bucket_bits)):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1).cast("double") >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        bucket = bucket * F.lit(2) + bit
+    qz = scoped_cache(
+        df.select(
+            F.col(id_col).alias("_sid"),
+            bucket.alias("_bkt"),
+            quantize_expr(vec_col, "_qv"),
+        ).withColumn("_nsq", _norm_sq("_qv"))
+    )
+    a = qz.select(
+        F.col("_sid").alias("_ida"),
+        "_bkt",
+        F.col("_qv").alias("_qa"),
+        F.col("_nsq").alias("_na"),
+    )
+    b = qz.select(
+        F.col("_sid").alias("_idb"),
+        "_bkt",
+        F.col("_qv").alias("_qb"),
+        F.col("_nsq").alias("_nb"),
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    # ids with an EARLIER in-bucket near-dup (the drop set)
+    dropped = (
+        a.join(b, on="_bkt")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("_ida").alias("_sid"))
+        .distinct()
+    )
+    survivors = qz.select("_sid", "_bkt").join(dropped, on="_sid", how="left_anti")
+    out = df.join(
+        survivors.select(F.col("_sid").alias(id_col), "_bkt"), on=id_col
+    )
+    if out_bucket_col is not None:
+        return out.withColumnRenamed("_bkt", out_bucket_col)
+    return out.drop("_bkt")

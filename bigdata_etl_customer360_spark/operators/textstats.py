@@ -518,6 +518,195 @@ def boolean_search(
     return hits
 
 
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval — the scoring tier above
+    :func:`boolean_search`: every doc containing >= 1 query term gets the
+    Okapi BM25 score (Robertson/Lucene IDF variant,
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``), the retrieval primitive a
+    curation pipeline uses for decontamination lookups, topic seeding,
+    and quality-slice pulls where Boolean hit counts are too blunt.
+
+    Matching is on WHOLE lowercased whitespace tokens (the corpus token
+    contract). Output: ``(id_col, n_terms, bm25)`` — ``n_terms`` =
+    distinct query terms present, ``bm25`` rounded to 1e-8 (the pagerank
+    convention: both engines compute identical IEEE doubles up to a
+    possible final-ulp ``ln`` divergence; 1e-8 absorbs it with
+    negligible boundary-flip mass). Determinism: the per-doc sum folds
+    contributions IN TERM ORDER via a sorted-array ``F.aggregate`` (the
+    in-order-float-fold trick that makes vector_norms hash-stable), so
+    partition order can never reorder a float sum.
+
+    Scale shape: two pruned corpus scans (corpus stats N/avgdl — a
+    map-only 1-row agg — and the posting stream, where the ``isin``
+    filter folds to a scan-stage hash probe, surviving rows ~ |docs
+    containing any term|); the tf frame is cached (it feeds both the
+    per-term df agg and the scoring join); document frequencies
+    (<= |terms| rows) and the 1-row stats join back via BROADCAST. One
+    shuffle for the tf agg, one for the per-doc fold — no posting list
+    ever materializes beyond the query terms.
+    """
+    qs = sorted({t.lower() for t in terms})
+    if not qs:
+        raise ValueError("bm25_search needs at least one term")
+    if k1 < 0 or not (0 <= b <= 1):
+        raise ValueError("k1 must be >= 0 and b in [0, 1]")
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"[ \t\r\n\x0B\f]+",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda s: s != "")).alias("_dl"),
+        toks.alias("_tk"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    # tf feeds BOTH the per-term df agg and the scoring join — cache it
+    # (derived-frame-multi-consumer rule) or the explode+filter+agg
+    # recomputes per consumer
+    tf = scoped_cache(
+        base.select(id_col, "_dl", F.explode("_tk").alias("_t"))
+        .filter(F.col("_t").isin(qs))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="_t")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_avgdl",
+            F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double"),
+        )
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+                / (F.col("_df").cast("double") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("_tf").cast("double") * F.lit(float(k1) + 1.0))
+            / (
+                F.col("_tf").cast("double")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b))
+                    * F.col("_dl").cast("double")
+                    / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_t"), F.col("_contrib")))
+            ).alias("_cs"),
+        )
+        .select(
+            id_col,
+            "n_terms",
+            F.round(
+                F.aggregate(
+                    F.col("_cs"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_contrib"],
+                ),
+                8,
+            ).alias("bm25"),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(top_k))
+            .drop("_rk")
+        )
+    return out
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "entropy",
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the classic
+    cheap gibberish/boilerplate screen (low entropy = repeated filler or
+    mono-character spam, threshold-filter upstream of expensive dedup):
+    ``H = -Σ p_c · log2(p_c)`` over the doc's character frequencies.
+
+    Docs with at least one character appear in the output; empty/NULL
+    texts have no distribution and are omitted (filter them with the
+    length-zero rule first if they must be scored). Output:
+    ``(id_col, n_chars, entropy)`` with entropy rounded to 1e-8.
+
+    Determinism: frequencies are exact integers; the float fold sums
+    ``count·log2(count)`` IN CHARACTER ORDER via a sorted-array
+    ``F.aggregate`` (the vector_norms in-order-fold trick), and the
+    identity ``H = log2(n) - (Σ c·log2(c))/n`` keeps one division at
+    the end — both engines replay the identical IEEE sequence up to a
+    possible final-ulp ``log2`` divergence that the 1e-8 rounding
+    absorbs.
+
+    Scale shape: explode-to-characters is map-only; ONE shuffle on
+    (id, char) with map-side combine (distinct chars per doc ~ alphabet
+    size, so the agg input collapses hard), one more on id for the
+    fold. No joins.
+    """
+    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+    freq = (
+        df.select(F.col(id_col), F.explode(chars).alias("_c"))
+        .filter(F.col("_c") != "")
+        .groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        freq.groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_chars"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_c"), F.col("_cnt")))
+            ).alias("_fs"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            F.round(
+                F.log2(F.col("n_chars").cast("double"))
+                - F.aggregate(
+                    F.col("_fs"),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["_cnt"].cast("double") * F.log2(s["_cnt"].cast("double")),
+                )
+                / F.col("n_chars").cast("double"),
+                8,
+            ).alias(out_col),
+        )
+    )
+
+
 def cooccur_stats(
     df: DataFrame,
     id_col: str = "doc_id",

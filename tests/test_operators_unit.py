@@ -1874,3 +1874,138 @@ def test_expand_tar_shards_yields_one_frame_per_shard():
         b"beta",
         b"gamma",
     ]
+
+
+def test_bm25_search_matches_pure_python(spark):
+    """bm25_search == an independent pure-Python Okapi BM25 (Robertson
+    IDF) to 1e-8; n_terms counts distinct query terms; top_k orders by
+    (score desc, id asc); NULL text scores nothing and never crashes."""
+    import math
+
+    from bigdata_etl_customer360_spark.operators.textstats import bm25_search
+
+    texts = {
+        1: "spark join window spark spark",
+        2: "join window",
+        3: "window window window window window window",
+        4: "nothing relevant here",
+        5: None,
+        6: "SPARK  Join",  # case/whitespace normalization
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    terms, k1, b = ["spark", "join", "window"], 1.2, 0.75
+
+    docs = {i: (t or "").lower().split() for i, t in texts.items()}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    dfreq = {
+        t: sum(1 for w in docs.values() if t in w) for t in terms
+    }
+
+    def ref(i):
+        w = docs[i]
+        out, n = 0.0, 0
+        for t in sorted(terms):
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            n += 1
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            out += idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * len(w) / avgdl))
+        return n, round(out, 8)
+
+    got = {
+        r["doc_id"]: (r["n_terms"], r["bm25"])
+        for r in bm25_search(df, terms, k1=k1, b=b).collect()
+    }
+    expected = {i: ref(i) for i in texts if ref(i)[0] > 0}
+    assert got == expected
+    assert 4 not in got and 5 not in got  # no-match and NULL docs absent
+
+    top = bm25_search(df, terms, k1=k1, b=b, top_k=2).collect()
+    ranked = sorted(expected.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert [r["doc_id"] for r in top] == [i for i, _ in ranked[:2]]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="term"):
+        bm25_search(df, [])
+    with _pt.raises(ValueError, match="k1"):
+        bm25_search(df, terms, k1=-1)
+
+
+def test_semantic_dedup_keep_earliest_within_bucket(spark):
+    """semantic_dedup drops exactly the vectors with an earlier
+    same-bucket cosine>=threshold neighbor: planted near-dups of id 1
+    are dropped (including one whose nearest EARLIER doc was itself
+    dropped — the rule compares against all earlier ids, not just
+    survivors); a cross-bucket near-dup survives (the documented
+    SemDeDup boundary trade); zero-valued dims count as sign bit 1."""
+    from bigdata_etl_customer360_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (1, [1.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 1.0, 0.95, 0.0]),   # cos(1,2)~0.999, bucket ++ -> drop
+        (3, [1.0, -1.0, 1.0, 0.0]),   # bucket +- : survives
+        (4, [-1.0, 1.0, 1.0, 0.0]),   # bucket -+ : survives
+        (5, [1.0, 1.0, -1.0, 0.0]),   # bucket ++ but cos(1,5)=1/3 : survives
+        (6, [1.0, 1.0, 0.94, 0.0]),   # near 1 AND near (dropped) 2 -> drop
+        (7, [-1.0, 1.0, 1.01, 0.0]),  # bucket -+ near-dup of 4 -> drop
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, threshold=0.9, bucket_bits=2, out_bucket_col="b"
+    )
+    got = {r["vec_id"]: r["b"] for r in out.collect()}
+    assert sorted(got) == [1, 3, 4, 5]
+    assert got[1] == 3 and got[3] == 2 and got[4] == 1 and got[5] == 3
+    # zero counts as non-negative -> bit set
+    z = spark.createDataFrame(
+        [(10, [0.0, -1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    (r,) = semantic_dedup(z, bucket_bits=2, out_bucket_col="b").collect()
+    assert r["b"] == 2
+    # all original columns survive; bucket dropped when not requested
+    assert semantic_dedup(df, threshold=0.9, bucket_bits=2).columns == [
+        "vec_id", "embedding",
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=1.5)
+    with _pt.raises(ValueError, match="bucket_bits"):
+        semantic_dedup(df, bucket_bits=-1)
+
+
+def test_char_entropy_known_distributions(spark):
+    """char_entropy: H('aabb')=1, H('abcd')=2, H('aaaa')=0; counts
+    include spaces; empty and NULL texts are omitted from the output."""
+    from bigdata_etl_customer360_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aabb"),
+            (2, "abcd"),
+            (3, "aaaa"),
+            (4, ""),
+            (5, None),
+            (6, "ab ab"),  # space is a character: freqs a=2,b=2,' '=1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy"])
+        for r in char_entropy(df).collect()
+    }
+    import math
+
+    h6 = round(
+        math.log2(5) - (2 * math.log2(2) + 2 * math.log2(2) + 1 * math.log2(1)) / 5,
+        8,
+    )
+    assert got == {
+        1: (4, 1.0),
+        2: (4, 2.0),
+        3: (4, 0.0),
+        6: (5, h6),
+    }

@@ -1640,7 +1640,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
-    pr = pagerank(edges, iterations=8)
+    # broadcast_ranks: N=20k nodes vs E~1.3M thresholded edges — the
+    # vertex-state-fits-memory regime; kills the per-round edge-side
+    # exchange, bit-identical output (graph.pagerank docstring, r8
+    # measurement: 12.2s -> 9.2s on the unthresholded 2.4M-edge stress)
+    pr = pagerank(edges, iterations=8, broadcast_ranks=True)
     return (
         pr.select(F.col("id").alias("partkey"), F.round("rank", 8).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("partkey").asc())
@@ -2893,6 +2897,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "bucket")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/curation.dsir_weights,
+    arXiv:2302.03169): hashed-bigram log-likelihood ratio of the
+    target slice (lang='en') vs the whole source pool — md5-coin
+    bucketing (the group_split construction) so the oracle replays the
+    hash; exact bucket counts, in-bucket-order float fold, 1e-8
+    rounding."""
+    from bigdata_etl_customer360_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy (operators/textstats.char_entropy):
     the cheap gibberish screen — exact integer char frequencies, one
@@ -2922,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "char_entropy": q_char_entropy,
+        "dsir_weights": q_dsir_weights,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -2967,9 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
-        # --- window top-up: next-stalest (r6 cohort, first one) ---
-        "adaptive_join": q_adaptive_join,
         # --- driver-verified in round 6 (outside the window) ---
+        "adaptive_join": q_adaptive_join,
         "asof_join_forward": q_asof_join_forward,
         "assign_row_ids": q_assign_row_ids,
         "bfs_distances": q_bfs_distances,
@@ -4433,6 +4450,57 @@ _ORACLES: dict[str, str] = {
         )
         SELECT vec_id, bucket FROM n
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    "dsir_weights": r"""
+        -- DSIR mirror: identical tokenization/bigrams, the group_split
+        -- md5 bucket coin, Laplace-smoothed per-bucket models with the
+        -- SAME float associations ((c+1.0)/(tot+1024.0), ln(x)-ln(y)),
+        -- per-doc fold IN BUCKET ORDER, ROUND 8
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, lang,
+                 ('0x' || substring(md5('c360dsir' || g), 1, 8))::BIGINT % 1024
+                   AS b
+          FROM (SELECT doc_id, lang, UNNEST(
+                  [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+                FROM tk)
+        ), doc_counts AS (
+          SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM hashed GROUP BY doc_id, b
+        ), src AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS sc FROM hashed GROUP BY b
+        ), tgt AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+          FROM hashed WHERE lang = 'en' GROUP BY b
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s_tot,
+                 CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_tot
+          FROM hashed
+        ), ratio AS (
+          SELECT s.b,
+                 ln((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1.0)
+                    / (CAST(tot.t_tot AS DOUBLE) + 1024.0))
+               - ln((CAST(s.sc AS DOUBLE) + 1.0)
+                    / (CAST(tot.s_tot AS DOUBLE) + 1024.0)) AS lr
+          FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
+        ), scored AS (
+          SELECT dc.doc_id,
+                 CAST(SUM(dc.cnt) AS BIGINT) AS n_bigrams,
+                 ROUND(list_aggregate(
+                   list(CAST(dc.cnt AS DOUBLE) * r.lr ORDER BY dc.b), 'sum'),
+                   8) AS dsir_logweight
+          FROM doc_counts dc JOIN ratio r ON dc.b = r.b
+          GROUP BY dc.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               COALESCE(s.dsir_logweight, 0.0) AS dsir_logweight
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """,
     "char_entropy": r"""
         -- exact char frequencies; in-char-order fold (list ORDER BY c ==

@@ -657,3 +657,145 @@ def dedup_spans(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .withColumn(removed_col, F.coalesce(F.col(removed_col), F.lit(0).cast("long")))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "c360dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every doc in ``df`` (the raw SOURCE pool) by how target-like its
+    hashed-bigram distribution is — the standard domain-selection signal
+    a pretraining pipeline feeds into :func:`sampling.weighted_sample`
+    (resample sources with probability ∝ exp(weight)).
+
+    Features are word bigrams hashed into ``num_buckets`` buckets with
+    the engine-portable md5 coin (the :func:`sampling.group_split`
+    construction, so an oracle replays the hash exactly). Per-bucket
+    unigram-of-bigram models with Laplace smoothing:
+    ``p(b) = (count_b + 1) / (total + num_buckets)``, and a doc's log
+    weight is ``Σ_b cnt_{d,b} · (ln p_target(b) − ln p_source(b))``,
+    folded IN BUCKET ORDER (the in-order-float-fold contract) and
+    rounded 1e-8. Docs with no bigram (< 2 tokens) get ``(0, 0.0)`` —
+    importance 1 under exp().
+
+    Scale shape: bigrams are let-bound sliding-window array expressions
+    (map-only, the repeated_ngram_stats shape); each corpus collapses to
+    (doc, bucket) exact counts [one map-side-combined shuffle], then to
+    <= num_buckets model rows [tiny second shuffle]; the two models join
+    as a BROADCAST (2·num_buckets rows) onto the per-doc counts; one
+    more shuffle on the doc id folds the score. Nothing driver-side,
+    no UDFs, cost linear in token volume.
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    nb = int(num_buckets)
+
+    def grams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"[ \t\r\n\x0B\f]+",
+            ),
+            lambda s: s != "",
+        )
+        bigrams = let1(
+            toks,
+            lambda w: F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(w, i + F.lit(1)),
+                        F.element_at(w, i + F.lit(2)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        g = frame.select(*cols, F.explode(bigrams).alias("_g"))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("_g"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(nb)
+        ).alias("_b")
+        return g.select(*cols, bucket)
+
+    # per-doc bucket counts over the source pool (feeds the source model
+    # AND the per-doc fold — cache per the multi-consumer rule)
+    doc_counts = scoped_cache(
+        grams(df, with_id=True)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    src_model = doc_counts.groupBy("_b").agg(F.sum("_cnt").alias("_sc"))
+    tgt_model = grams(target, with_id=False).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    src_tot = src_model.agg(F.sum("_sc").alias("_S"))
+    tgt_tot = tgt_model.agg(F.sum("_tc").alias("_T"))
+    # dense bucket table 0..nb-1 (unseen buckets still carry smoothing mass)
+    buckets = df.sparkSession.range(nb).select(F.col("id").alias("_b"))
+    ratio = (
+        buckets.join(F.broadcast(src_model), "_b", "left")
+        .join(F.broadcast(tgt_model), "_b", "left")
+        .join(F.broadcast(src_tot))
+        .join(F.broadcast(tgt_tot))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.coalesce(F.col("_T"), F.lit(0)).cast("double") + F.lit(float(nb)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_sc"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.coalesce(F.col("_S"), F.lit(0)).cast("double") + F.lit(float(nb)))
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_b"), F.col("_cnt"), F.col("_lr")))
+            ).alias("_fs"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.aggregate(
+                    F.col("_fs"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_cnt"].cast("double") * s["_lr"],
+                ),
+                8,
+            ).alias("dsir_logweight"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias(
+                "dsir_logweight"
+            ),
+        )
+    )

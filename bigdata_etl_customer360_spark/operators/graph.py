@@ -212,6 +212,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 15,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list: ``(id, rank)`` for every node,
     ranks summing to 1. In a curation pipeline this is the link-analysis
@@ -234,6 +235,29 @@ def pagerank(
     (broadcast). Rank state is O(N); per-round lineage is cut by
     ``localCheckpoint`` (or reliable checkpoints under
     ``checkpoint_dir``, same contract as ``connected_components``).
+
+    ``broadcast_ranks=True`` switches to the vertex-state-fits-memory
+    regime: the O(N) rank frame is BROADCAST into the contribution join
+    each round, removing the edge-side shuffle entirely (DataFrame
+    localCheckpoint drops outputPartitioning, so the default path
+    re-exchanges both join inputs every round — the r6-flagged cost).
+    Per round that leaves ONE exchange (the dst aggregate). Correct
+    whenever N ≪ E and the rank state fits an executor (co-purchase /
+    host graphs: N ~ 20k-100k vs E in the millions); at web scale
+    (N in the billions) keep the default shuffle path. Values are
+    BIT-identical either way here (the map-side partial layout of the
+    dst aggregate, which fixes float-sum order, does not change).
+    Measured on scripts/stress_pagerank.py graphs (local[32], 8 rounds,
+    warm best pass): copurchase_full 2.4M edges / 20k nodes 12.2s ->
+    9.2s, zipf_web 1M edges / 95k nodes 8.0s -> 7.0s, identical
+    max-err vs numpy (BASELINE.md round-8 section). The r6/r7
+    "eliminate per-round exchanges via RDD-level checkpointing" idea
+    was measured in the same experiment and REJECTED: a co-partitioned
+    pair-RDD loop (pinned hash partitioner, narrow joins, ONE
+    reduceByKey shuffle per round, partitioner-preserving
+    rdd.localCheckpoint) runs 67.9s / 71.6s — Python-worker
+    serialization of O(E) tuples per round costs 5-7x more than the
+    exchanges it saves (scripts/stress_pagerank.py, variant='rdd').
 
     Floats: ranks are IEEE doubles accumulated in shuffle order, so
     trailing bits can differ between runs — callers wanting bit-stable
@@ -278,8 +302,9 @@ def pagerank(
         base = (1.0 - damping) / n
         ranks = _ckpt(nodes.select("id", F.lit(1.0 / n).alias("rank")))
         for _ in range(iterations):
+            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
             contrib = (
-                ed.join(ranks, ed["_s"] == ranks["id"])
+                ed.join(rank_side, ed["_s"] == rank_side["id"])
                 .select(
                     F.col("_d").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c")
                 )

@@ -77,22 +77,85 @@ def zipf_web_edges(n_nodes: int = 100_000, n_edges: int = 1_000_000) -> np.ndarr
     return np.stack([src[keep], dst[keep]], axis=1)
 
 
-def run(spark, name: str, edges: np.ndarray) -> None:
+def rdd_pagerank(spark, edges_df, num_partitions: int = 64):
+    """RDD-tier co-partitioned power iteration — the 'eliminate the
+    per-round exchanges' experiment (r6/r7 unclaimed idea): edge and
+    rank pair-RDDs share ONE pinned hash partitioner, so edges⋈ranks and
+    nodes⋈contrib are narrow and the only per-round shuffle is the
+    contribution reduceByKey; rdd.localCheckpoint PRESERVES the
+    partitioner (unlike DataFrame.localCheckpoint, which drops
+    outputPartitioning). The price: every round moves O(E) Python
+    tuples through pickle + python workers instead of Tungsten rows —
+    measured here to decide whether 1 shuffle/round beats 3."""
+    from operator import add
+
+    P = num_partitions
+    e = (
+        edges_df.rdd.map(lambda r: (int(r[0]), int(r[1])))
+        .partitionBy(P)
+        .cache()
+    )
+    deg = e.mapValues(lambda _: 1).reduceByKey(add, numPartitions=P)
+    ed = e.join(deg).cache()  # (src, (dst, deg)) — narrow, co-partitioned
+    ed.count()
+    nodes = (
+        e.flatMap(lambda kv: ((kv[0], None), (kv[1], None)))
+        .reduceByKey(lambda a, b: None, numPartitions=P)
+        .cache()
+    )
+    n = nodes.count()
+    dang = nodes.subtractByKey(deg, numPartitions=P).cache()
+    dang.count()
+    base = (1.0 - DAMPING) / n
+    ranks = nodes.mapValues(lambda _: 1.0 / n)  # mapValues keeps partitioner
+    for _ in range(ITERS):
+        contrib = (
+            ed.join(ranks)  # narrow
+            .map(lambda kv: (kv[1][0][0], kv[1][1] / kv[1][0][1]))
+            .reduceByKey(add, numPartitions=P)  # the ONE shuffle
+        )
+        dm = dang.join(ranks).map(lambda kv: kv[1][1]).sum()
+        dm_share = DAMPING * dm / n
+        ranks = nodes.leftOuterJoin(contrib).mapValues(
+            lambda v, _b=base, _s=dm_share: _b
+            + DAMPING * (v[1] if v[1] is not None else 0.0)
+            + _s
+        )
+        ranks = ranks.cache()
+        ranks.localCheckpoint()
+        ranks.count()
+    out = dict(ranks.collect())
+    for r in (e, ed, nodes, dang):
+        r.unpersist()
+    return out
+
+
+def run(spark, name: str, edges: np.ndarray, variant: str = "df") -> None:
     from bigdata_etl_customer360_spark.operators.graph import pagerank
 
     df = spark.createDataFrame(
         [(int(u), int(v)) for u, v in edges], schema="src long, dst long"
     ).repartition(64)
+    df = df.localCheckpoint(eager=True)  # time the loop, not the driver upload
     t0 = time.time()
-    out = pagerank(df, damping=DAMPING, iterations=ITERS).toPandas()
+    if variant == "rdd":
+        got = rdd_pagerank(spark, df)
+    else:
+        out = pagerank(
+            df,
+            damping=DAMPING,
+            iterations=ITERS,
+            broadcast_ranks=(variant == "df_broadcast"),
+        ).toPandas()
+        got = dict(zip(out["id"].astype(int), out["rank"].astype(float)))
     dt = time.time() - t0
     want = np_pagerank(edges)
-    got = dict(zip(out["id"].astype(int), out["rank"].astype(float)))
     max_err = max(abs(got[k] - v) for k, v in want.items())
     print(
         json.dumps(
             {
                 "graph": name,
+                "variant": variant,
                 "edges": int(len(edges)),
                 "nodes": int(len(want)),
                 "iterations": ITERS,
@@ -100,7 +163,8 @@ def run(spark, name: str, edges: np.ndarray) -> None:
                 "max_abs_err_vs_numpy": float(f"{max_err:.3g}"),
                 "mass": round(float(sum(got.values())), 9),
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -114,8 +178,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, "copurchase_full", copurchase_edges(spark))
-    run(spark, "zipf_web", zipf_web_edges())
+    cop = copurchase_edges(spark)
+    web = zipf_web_edges()
+    for variant in ("df", "df_broadcast", "rdd"):
+        run(spark, "copurchase_full", cop, variant)
+        run(spark, "zipf_web", web, variant)
     spark.stop()
 
 

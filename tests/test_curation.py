@@ -381,3 +381,68 @@ class TestDedupSpansChar:
         b = sorted(map(tuple, dedup_spans(
             df, span_tokens=8, min_count=2, unit="token").collect()))
         assert a == b
+
+
+def test_dsir_weights_matches_pure_python(spark):
+    """dsir_weights == an independent pure-Python DSIR (same md5 bucket
+    coin, Laplace smoothing, bucket-order fold): target-like docs score
+    higher than off-target docs, and a <2-token doc gets (0, 0.0)."""
+    import hashlib
+    import math
+
+    from bigdata_etl_customer360_spark.operators.curation import dsir_weights
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown dog runs", "en"),
+        (3, "uno dos tres cuatro cinco", "es"),
+        (4, "seis siete ocho nueve diez", "es"),
+        (5, "the quick brown fox again", "es"),  # en-like text, es label
+        (6, "solo", "es"),  # < 2 tokens -> no bigram
+        (7, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'")
+    NB = 1024
+
+    def bucket(g):
+        return int(hashlib.md5(("c360dsir" + g).encode()).hexdigest()[:8], 16) % NB
+
+    def bigrams(t):
+        w = [x for x in (t or "").lower().split() if x]
+        return [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+
+    src_counts, tgt_counts = {}, {}
+    for i, t, lang in rows:
+        for g in bigrams(t):
+            b = bucket(g)
+            src_counts[b] = src_counts.get(b, 0) + 1
+            if lang == "en":
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    S, T = sum(src_counts.values()), sum(tgt_counts.values())
+
+    def ref(t):
+        cnt = {}
+        for g in bigrams(t):
+            b = bucket(g)
+            cnt[b] = cnt.get(b, 0) + 1
+        out = 0.0
+        for b in sorted(cnt):
+            lr = math.log((tgt_counts.get(b, 0) + 1.0) / (T + float(NB))) - math.log(
+                (src_counts.get(b, 0) + 1.0) / (S + float(NB))
+            )
+            out += cnt[b] * lr
+        return sum(cnt.values()), round(out, 8)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logweight"])
+        for r in dsir_weights(df, target, num_buckets=NB).collect()
+    }
+    assert got == {i: ref(t) for i, t, _ in rows}
+    assert got[6] == (0, 0.0) and got[7] == (0, 0.0)
+    # target-like text scores above off-target text regardless of label
+    assert got[1][1] > got[3][1] and got[5][1] > got[3][1]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="num_buckets"):
+        dsir_weights(df, target, num_buckets=0)

@@ -2643,6 +2643,8 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(root, "src")
         os.makedirs(src)
 
+        from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
         base = _t(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source"
         )
@@ -2656,7 +2658,11 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "source",
                 )
             )
-        hi = docs.agg(F.max("doc_id")).first()[0] or 0
+        # constructed-corpus multi-consumer rule (verify SKILL): docs feeds
+        # three filtered writes — cache it, and derive the id ceiling from
+        # the base table (union max == base max + the largest offset)
+        docs = scoped_cache(docs)
+        hi = (base.agg(F.max("doc_id")).first()[0] or 0) + 12000
         cut = (int(hi) + 3) // 3
         for b in range(3):
             stage = os.path.join(root, f"stage{b}")

@@ -244,9 +244,13 @@ def pagerank(
     Per round that leaves ONE exchange (the dst aggregate). Correct
     whenever N ≪ E and the rank state fits an executor (co-purchase /
     host graphs: N ~ 20k-100k vs E in the millions); at web scale
-    (N in the billions) keep the default shuffle path. Values are
-    BIT-identical either way here (the map-side partial layout of the
-    dst aggregate, which fixes float-sum order, does not change).
+    (N in the billions) keep the default shuffle path. Values came out
+    bit-identical in the stress measurement (same max-err vs numpy on
+    both graphs), but that is NOT guaranteed: broadcasting changes the
+    partial-aggregation layout of the dst sum, so trailing float bits
+    MAY differ — the same ulp-class variation the default path already
+    has run-to-run (shuffle arrival order), absorbed by caller-side
+    rounding (the graded query's 1e-8).
     Measured on scripts/stress_pagerank.py graphs (local[32], 8 rounds,
     warm best pass): copurchase_full 2.4M edges / 20k nodes 12.2s ->
     9.2s, zipf_web 1M edges / 95k nodes 8.0s -> 7.0s, identical

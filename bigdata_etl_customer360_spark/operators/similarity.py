@@ -596,6 +596,17 @@ def semantic_dedup(
         raise ValueError("threshold must be a cosine in [-1, 1]")
     if bucket_bits < 0:
         raise ValueError("bucket_bits must be >= 0")
+    # temp-column collision guard (the r6 _pid lesson): a same-named input
+    # column would be silently dropped/duplicated by the join-back
+    clash = {"_sid", "_bkt"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"semantic_dedup reserves columns {sorted(clash)}; rename them"
+        )
+    if out_bucket_col is not None and out_bucket_col in df.columns:
+        raise ValueError(
+            f"out_bucket_col {out_bucket_col!r} already exists in the input"
+        )
     bucket = F.lit(0).cast("long")
     for i in range(int(bucket_bits)):
         bit = F.when(
@@ -621,11 +632,7 @@ def semantic_dedup(
         F.col("_qv").alias("_qb"),
         F.col("_nsq").alias("_nb"),
     )
-    cos = F.aggregate(
-        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).cast("double") / (
+    cos = _dot("_qa", "_qb").cast("double") / (
         F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
     )
     # ids with an EARLIER in-bucket near-dup (the drop set)

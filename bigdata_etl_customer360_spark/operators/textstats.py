@@ -634,13 +634,12 @@ def bm25_search(
         )
     )
     if top_k is not None:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-        out = (
-            out.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(top_k))
-            .drop("_rk")
+        # orderBy+limit plans as TakeOrderedAndProject — per-partition
+        # partial top-k merged on the driver, never the single-partition
+        # row_number funnel (id_col is unique, so the tie-broken order is
+        # total and the limit deterministic)
+        out = out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(
+            int(top_k)
         )
     return out
 
@@ -778,16 +777,14 @@ def cooccur_stats(
         .select("term_a", "term_b", "n_ab", "n_a", "n_b", "n_docs")
     )
     if top_k is not None:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(
+        # orderBy+limit plans as TakeOrderedAndProject (the docstring's
+        # promised shape) — the previous unpartitioned row_number window
+        # funneled every pair through ONE task; (term_a, term_b) is
+        # unique so the tie-broken order is total and the limit
+        # deterministic
+        out = out.orderBy(
             F.col("n_ab").desc(), F.col("term_a").asc(), F.col("term_b").asc()
-        )
-        out = (
-            out.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(top_k))
-            .drop("_rk")
-        )
+        ).limit(int(top_k))
     return out
 
 

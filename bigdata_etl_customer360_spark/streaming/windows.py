@@ -320,9 +320,16 @@ def stream_dedup_incremental(
     the ``_SUCCESS`` guard keeps the committed rows; after (3) — even
     mid-swap, via the ``._old`` rotation — the guard skips the write and
     re-folding is a distinct() no-op. Same single-writer assumption as
-    the other snapshot maintainers. Readers: survivors are
-    ``spark.read.parquet(survivors_path)`` (partition column ``batch``),
-    the seen set is ``spark.read.parquet(seen_path)`` (column ``fp``).
+    the other snapshot maintainers. The lake is stamped with the
+    checkpoint's stable query id (``survivors_path/_QUERY_ID``): if the
+    checkpoint is recreated (batch ids restart) while old survivor dirs
+    remain, the ``_SUCCESS`` guard would otherwise silently adopt them
+    and poison the fresh seen snapshot — the stamp turns that into a
+    loud error telling the operator to clear checkpoint + survivors +
+    seen together (one exactly-once unit). Readers: survivors are
+    ``spark.read.parquet(survivors_path)`` (partition column ``batch``;
+    the underscore-prefixed stamp is invisible to source listing), the
+    seen set is ``spark.read.parquet(seen_path)`` (column ``fp``).
 
     Generalizes the reference's batch-only ingest
     (ETL_customer_behavior.py:160-204) to a continuously-maintained
@@ -337,9 +344,47 @@ def stream_dedup_incremental(
 
     spark = stream_df.sparkSession
 
+    def _check_owner() -> None:
+        # The _SUCCESS first-write-wins guard is only sound when a
+        # batch=<id> directory was written by THIS query lineage.  If the
+        # checkpoint was deleted to reprocess (batch ids restart at 0)
+        # while survivors_path kept old batch dirs, silently keeping them
+        # would poison the lake AND fold their stale fingerprints into a
+        # fresh seen snapshot.  Streaming checkpoints carry a stable query
+        # id (checkpoint_dir/metadata, preserved across restarts of the
+        # same checkpoint, regenerated when it is recreated) — stamp it
+        # into the lake and refuse a mismatch loudly.
+        import json
+
+        meta = os.path.join(checkpoint_dir, "metadata")
+        if not os.path.isfile(meta):
+            return  # checkpoint not yet initialized (first-ever batch)
+        with open(meta) as fh:
+            qid = json.load(fh)["id"]
+        marker = os.path.join(survivors_path, "_QUERY_ID")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                owner = fh.read().strip()
+            if owner != qid:
+                raise RuntimeError(
+                    "survivors_path belongs to streaming query "
+                    f"{owner!r} but this checkpoint is {qid!r} — the "
+                    "checkpoint was recreated while old survivor batch "
+                    "dirs remain. Clear survivors_path and seen_path "
+                    "together with the checkpoint (they form one "
+                    "exactly-once unit), or point this query at fresh "
+                    "paths."
+                )
+        else:
+            os.makedirs(survivors_path, exist_ok=True)
+            with open(marker + ".tmp", "w") as fh:
+                fh.write(qid)
+            os.replace(marker + ".tmp", marker)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_owner()
         batch_dir = os.path.join(survivors_path, f"batch={int(batch_id)}")
         if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
             old_dir = seen_path + "._old"

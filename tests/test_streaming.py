@@ -1039,3 +1039,57 @@ def test_stream_dedup_incremental_redelivery_after_snapshot_advance(
         .collect()
     )
     assert got2 == expected  # survivors kept, not wiped by the redelivery
+
+
+def test_stream_dedup_incremental_refuses_foreign_survivor_lake(
+    spark, tmp_path
+):
+    """Ownership stamp (r8 review): recreating the CHECKPOINT while old
+    survivor batch dirs remain must fail loudly — batch ids restart at 0
+    and the _SUCCESS first-write-wins guard would otherwise silently
+    adopt the stale directories and poison the fresh seen snapshot."""
+    import shutil
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "docs_src_owner"
+    src.mkdir()
+    seen_path = str(tmp_path / "seen_fp_o")
+    survivors_path = str(tmp_path / "survivors_o")
+    ckpt = str(tmp_path / "ckpt_owner")
+    _write_docs(str(src / "b0.parquet"), [(1, "alpha"), (2, "beta")])
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA),
+        seen_path,
+        survivors_path,
+        ckpt,
+    )
+    # operator "reprocesses" by clearing checkpoint + seen but forgets
+    # the survivor lake — the exact silent-poisoning scenario
+    shutil.rmtree(ckpt)
+    shutil.rmtree(seen_path)
+    with pytest.raises(Exception, match="_QUERY_ID|belongs to streaming query"):
+        stream_dedup_incremental(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            seen_path,
+            survivors_path,
+            ckpt,
+        )
+    # same checkpoint restarted against its own lake keeps working
+    ok_ckpt = str(tmp_path / "ckpt_owner2")
+    ok_surv = str(tmp_path / "survivors_o2")
+    ok_seen = str(tmp_path / "seen_fp_o2")
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA),
+        ok_seen, ok_surv, ok_ckpt,
+    )
+    stream_dedup_incremental(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA),
+        ok_seen, ok_surv, ok_ckpt,
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(ok_surv).collect()
+    )
+    assert got == [1, 2]

@@ -2916,6 +2916,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (operators/textstats.ngram_lm_score,
+    CCNet-style): Laplace conditional bigram model trained on the corpus
+    itself, per-doc mean log-likelihood — exact integer counts, ln terms
+    folded in gram order, one final division, 1e-8 rounding."""
+    from bigdata_etl_customer360_spark.operators.textstats import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy (operators/textstats.char_entropy):
     the cheap gibberish screen — exact integer char frequencies, one
@@ -2946,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "char_entropy": q_char_entropy,
         "dsir_weights": q_dsir_weights,
+        "lm_score": q_lm_score,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -2990,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
+        # --- position 50: first out of the window, leads the r9 rotation ---
         "click_attribution": q_click_attribution,
         # --- driver-verified in round 6 (outside the window) ---
         "adaptive_join": q_adaptive_join,
@@ -4506,6 +4518,54 @@ _ORACLES: dict[str, str] = {
         SELECT d.doc_id,
                COALESCE(s.n_bigrams, 0) AS n_bigrams,
                COALESCE(s.dsir_logweight, 0.0) AS dsir_logweight
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "lm_score": r"""
+        -- bigram-LM mirror: identical tokenization/bigrams, exact c12 /
+        -- prefix-c1 / vocab-V integers, ln((c12+1.0)/(c1+V)) with the
+        -- SAME association, fold IN GRAM ORDER, one final division,
+        -- ROUND 8
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, UNNEST(
+            [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+          FROM tk
+        ), doc_counts AS (
+          SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY doc_id, g
+        ), model AS (
+          SELECT g, CAST(SUM(cnt) AS BIGINT) AS c12 FROM doc_counts GROUP BY g
+        ), prefix AS (
+          SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+          FROM model GROUP BY 1
+        ), voc AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS V
+          FROM (SELECT UNNEST(w) AS t FROM tk)
+        ), scored AS (
+          SELECT dc.doc_id,
+                 CAST(SUM(dc.cnt) AS BIGINT) AS n_bigrams,
+                 ROUND(list_aggregate(
+                         list(CAST(dc.cnt AS DOUBLE)
+                              * ln((CAST(m.c12 AS DOUBLE) + 1.0)
+                                   / (CAST(p.c1 AS DOUBLE)
+                                      + CAST(voc.V AS DOUBLE)))
+                              ORDER BY dc.g), 'sum')
+                       / CAST(CAST(SUM(dc.cnt) AS BIGINT) AS DOUBLE), 8)
+                   AS avg_logprob
+          FROM doc_counts dc
+          JOIN model m ON dc.g = m.g
+          JOIN prefix p ON split_part(dc.g, ' ', 1) = p.w1
+          CROSS JOIN voc
+          GROUP BY dc.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               COALESCE(s.avg_logprob, 0.0) AS avg_logprob
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """,
     "char_entropy": r"""

@@ -692,36 +692,19 @@ def dsir_weights(
     more shuffle on the doc id folds the score. Nothing driver-side,
     no UDFs, cost linear in token volume.
     """
-    from bigdata_etl_customer360_spark.operators.util import let1
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        word_bigrams_expr,
+    )
 
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
     nb = int(num_buckets)
 
     def grams(frame: DataFrame, with_id: bool) -> DataFrame:
-        toks = F.filter(
-            F.split(
-                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                r"[ \t\r\n\x0B\f]+",
-            ),
-            lambda s: s != "",
-        )
-        bigrams = let1(
-            toks,
-            lambda w: F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - F.lit(2)),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(w, i + F.lit(1)),
-                        F.element_at(w, i + F.lit(2)),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        )
         cols = [F.col(id_col)] if with_id else []
-        g = frame.select(*cols, F.explode(bigrams).alias("_g"))
+        g = frame.select(
+            *cols, F.explode(word_bigrams_expr(text_col)).alias("_g")
+        )
         bucket = (
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(salt), F.col("_g"))), 1, 8),

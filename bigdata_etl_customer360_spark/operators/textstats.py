@@ -644,6 +644,134 @@ def bm25_search(
     return out
 
 
+def word_bigrams_expr(text_col: str) -> Column:
+    """Array of ``"w1 w2"`` word bigrams over lowercased non-empty
+    whitespace tokens (NULL text -> empty array) — the ONE shared
+    feature definition behind :func:`ngram_lm_score` and
+    ``curation.dsir_weights`` (the fingerprint-triplication lesson:
+    divergent copies of a feature extractor are a correctness bug
+    waiting to happen). let1-bound so the token split evaluates once."""
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"[ \t\r\n\x0B\f]+",
+        ),
+        lambda s: s != "",
+    )
+    return let1(
+        toks,
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - F.lit(2)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + F.lit(1)),
+                    F.element_at(w, i + F.lit(2)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model fluency score — the CCNet-style perplexity
+    filter (Wenzek et al. 2020): train a Laplace-smoothed conditional
+    bigram model ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` on the
+    corpus ITSELF and score every doc by its mean bigram log-likelihood.
+    Low scores flag disfluent/gibberish/boilerplate text the way
+    :func:`char_entropy` cannot (character stats miss word-order
+    damage); high scores flag crawl text that reads like the corpus.
+
+    ``c(w1 ·)`` is the bigram-prefix count (occurrences of ``w1`` with a
+    successor) and ``V`` the corpus-wide distinct-token count — exact
+    integers, so the only floats are the per-gram ``ln`` terms, folded
+    IN GRAM ORDER per doc (the in-order-float-fold contract) with ONE
+    division by the doc's bigram count at the end, rounded 1e-8.
+    Output: ``(id_col, n_bigrams, avg_logprob)``; docs with < 2 tokens
+    get ``(0, 0.0)``.
+
+    Scale shape: bigrams share :func:`word_bigrams_expr`; the doc-gram
+    counts collapse in one map-side-combined shuffle; the model (gram
+    counts + prefix counts) derives from the SAME collapsed frame
+    (cached — multi-consumer rule) with two tiny aggs; scoring joins
+    doc grams to the model ON THE GRAM (a corpus-sized model is NOT
+    broadcastable — this is the one shuffle join) and V rides a 1-row
+    broadcast. Cost linear in token volume; no UDFs.
+    """
+    grams = word_bigrams_expr(text_col)
+    doc_counts = scoped_cache(
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    model = doc_counts.groupBy("_g").agg(F.sum("_cnt").alias("_c12"))
+    prefix = (
+        model.withColumn("_w1", F.substring_index(F.col("_g"), " ", 1))
+        .groupBy("_w1")
+        .agg(F.sum("_c12").alias("_c1"))
+    )
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"[ \t\r\n\x0B\f]+",
+        ),
+        lambda s: s != "",
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("_t"))
+        .agg(F.count_distinct("_t").alias("_V"))
+    )
+    scored = (
+        doc_counts.join(model, "_g")
+        .withColumn("_w1", F.substring_index(F.col("_g"), " ", 1))
+        .join(prefix, "_w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("_c12").cast("double") + F.lit(1.0))
+                / (F.col("_c1").cast("double") + F.col("_V").cast("double"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_g"), F.col("_cnt"), F.col("_lp")))
+            ).alias("_fs"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.aggregate(
+                    F.col("_fs"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_cnt"].cast("double") * s["_lp"],
+                )
+                / F.col("n_bigrams").cast("double"),
+                8,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
 def char_entropy(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2009,3 +2009,59 @@ def test_char_entropy_known_distributions(spark):
         3: (4, 0.0),
         6: (5, h6),
     }
+
+
+def test_ngram_lm_score_matches_pure_python(spark):
+    """ngram_lm_score == an independent pure-Python Laplace bigram LM:
+    corpus-frequent word orders score higher than shuffled word salad;
+    <2-token and NULL docs get (0, 0.0)."""
+    import math
+
+    from bigdata_etl_customer360_spark.operators.textstats import ngram_lm_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the rug",
+        3: "the cat sat on the mat again",
+        4: "mat the on sat cat the",  # same tokens, broken order
+        5: "solo",
+        6: None,
+        7: "THE  Cat sat",  # case/whitespace normalization
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def words(t):
+        return [x for x in (t or "").lower().split() if x]
+
+    c12, c1, vocab = {}, {}, set()
+    for t in texts.values():
+        w = words(t)
+        vocab.update(w)
+        for i in range(len(w) - 1):
+            g = (w[i], w[i + 1])
+            c12[g] = c12.get(g, 0) + 1
+            c1[w[i]] = c1.get(w[i], 0) + 1
+    V = len(vocab)
+
+    def ref(t):
+        w = words(t)
+        if len(w) < 2:
+            return 0, 0.0
+        cnt = {}
+        for i in range(len(w) - 1):
+            g = (w[i], w[i + 1])
+            cnt[g] = cnt.get(g, 0) + 1
+        s = 0.0
+        for g in sorted(cnt, key=lambda g: g[0] + " " + g[1]):
+            s += cnt[g] * math.log((c12[g] + 1.0) / (c1[g[0]] + float(V)))
+        n = sum(cnt.values())
+        return n, round(s / float(n), 8)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in ngram_lm_score(df).collect()
+    }
+    assert got == {i: ref(t) for i, t in texts.items()}
+    assert got[5] == (0, 0.0) and got[6] == (0, 0.0)
+    # fluent corpus-like order beats the shuffled version of itself
+    assert got[1][1] > got[4][1]

@@ -2916,6 +2916,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling (operators/sampling.cap_per_group): at most 8
+    docs per source, winners picked by the engine-portable md5 coin with
+    id tie-break — the oracle replays the exact ranking."""
+    from bigdata_etl_customer360_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_group(docs, "source", k=8)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring (operators/textstats.ngram_lm_score,
     CCNet-style): Laplace conditional bigram model trained on the corpus
@@ -2957,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "dsir_weights": q_dsir_weights,
         "lm_score": q_lm_score,
+        "cap_per_group": q_cap_per_group,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -3000,8 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "rolling_revenue": q_rolling_revenue,
+        # --- positions 50+: first out of the window, lead the r9 rotation ---
         "shipment_concurrency": q_shipment_concurrency,
-        # --- position 50: first out of the window, leads the r9 rotation ---
         "click_attribution": q_click_attribution,
         # --- driver-verified in round 6 (outside the window) ---
         "adaptive_join": q_adaptive_join,
@@ -4519,6 +4530,18 @@ _ORACLES: dict[str, str] = {
                COALESCE(s.n_bigrams, 0) AS n_bigrams,
                COALESCE(s.dsir_logweight, 0.0) AS dsir_logweight
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "cap_per_group": """
+        -- identical md5 coin + id tie-break ranking, top 8 per source
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5('c360cap'
+                              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= 8
     """,
     "lm_score": r"""
         -- bigram-LM mirror: identical tokenization/bigrams, exact c12 /

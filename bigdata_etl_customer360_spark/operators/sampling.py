@@ -287,3 +287,45 @@ def group_split(
         .otherwise(F.lit(labels[2]))
         .alias(out_col),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "c360cap",
+) -> DataFrame:
+    """Domain-cap sampling: keep at most ``k`` rows per group — the
+    anti-dominance rule a crawl pipeline applies so no single host /
+    source / near-dup cluster floods the training mix (the complement of
+    :func:`mixture_sample`'s ratio targeting: a hard per-group ceiling).
+
+    Which ``k`` survive is DETERMINISTIC and uniform-ish: rows rank
+    within their group by the md5-derived coin of ``(salt, id)`` — the
+    engine-portable 32-bit uniform every sampler here shares — with the
+    id as the total tie-break, so reruns, retries, and any partitioning
+    pick the identical representatives (append-stability is deliberately
+    NOT promised: adding rows to a full group can rotate which k win the
+    coin order — use :func:`group_split`-style keyed rules when
+    append-stability matters more than uniformity).
+
+    Plan: ONE hash shuffle on ``group_col`` for the ranking window, then
+    a filter — no joins, no driver state; groups under the cap pass
+    through untouched. Output: the surviving original rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

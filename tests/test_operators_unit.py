@@ -2065,3 +2065,33 @@ def test_ngram_lm_score_matches_pure_python(spark):
     assert got[5] == (0, 0.0) and got[6] == (0, 0.0)
     # fluent corpus-like order beats the shuffled version of itself
     assert got[1][1] > got[4][1]
+
+
+def test_cap_per_group_deterministic_cap(spark):
+    """cap_per_group keeps at most k rows per group, identical winners on
+    rerun and under reshuffling; under-cap groups pass through whole."""
+    import hashlib
+
+    from bigdata_etl_customer360_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 20 else "small") for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def coin(i):
+        return int(hashlib.md5(f"c360cap{i}".encode()).hexdigest()[:8], 16)
+
+    want_big = sorted(sorted(range(20), key=lambda i: (coin(i), i))[:3])
+    got = cap_per_group(df, "source", k=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["big"]) == want_big
+    assert sorted(by_src["small"]) == [20, 21, 22]  # under cap: all pass
+    # determinism under a different partitioning
+    got2 = cap_per_group(df.repartition(7), "source", k=3).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in got2) == sorted(
+        (r["source"], r["doc_id"]) for r in got
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k"):
+        cap_per_group(df, "source", k=0)

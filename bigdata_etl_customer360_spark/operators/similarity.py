@@ -650,3 +650,234 @@ def semantic_dedup(
     if out_bucket_col is not None:
         return out.withColumnRenamed("_bkt", out_bucket_col)
     return out.drop("_bkt")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit a product-quantization codebook (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the (L2-normalized)
+    vector into ``num_subspaces`` contiguous slices and k-means each
+    slice independently on a DETERMINISTIC bounded corpus sample (the
+    IVF quantizer's hash-ordered-limit sample, sorted by id — a pure
+    function of the data). Returns ``(codebook, qbook, qbook_nsq)``:
+
+    - ``codebook``: float64 array (num_subspaces, codes_per_subspace,
+      sub_dim) — the per-subspace centroids;
+    - ``qbook`` / ``qbook_nsq``: the same centroids quantized to int64
+      (``floor(x * 2^20 + 0.5)``) and their per-code squared norms —
+      encode/ADC run on EXACT integers so code assignment and scores
+      are bit-stable under any partitioning or Arrow batch shape (the
+      kmeans lesson: float BLAS reduction order varies with batch
+      shape).
+
+    Driver cost is bounded by ``sample_size`` rows (the documented
+    bounded-collect class); nothing corpus-sized leaves the executors.
+    """
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r[id_col])
+    S = np.stack([np.asarray(r[vec_col], dtype="float64") for r in sample_rows])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    dim = S.shape[1]
+    m = int(num_subspaces)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {m}")
+    sub = dim // m
+    kc = min(int(codes_per_subspace), len(S))
+    rng = np.random.default_rng(0x9C0)
+    codebook = np.empty((m, kc, sub))
+    for s in range(m):
+        X = S[:, s * sub : (s + 1) * sub]
+        C = X[rng.choice(len(X), size=kc, replace=False)].copy()
+        for _ in range(int(kmeans_iters)):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(kc):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        codebook[s] = C
+    qbook = np.floor(codebook * float(QUANT_SCALE) + 0.5).astype("int64")
+    qbook_nsq = (qbook * qbook).sum(axis=2)  # (m, kc)
+    return codebook, qbook, qbook_nsq
+
+
+def pq_encode(
+    corpus: DataFrame,
+    qbook,
+    qbook_nsq,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode every vector as ``num_subspaces`` small ints — the PQ
+    storage tier (64 dims × 4 bytes -> 8 codes; a 100 TB embedding
+    column becomes ~3 TB of codes that fit hot storage). Assignment is
+    argmin over EXACT int64 squared distances of the 2^20-quantized
+    normalized vector to the quantized codebook (ties break on the
+    lowest code index), computed in one Arrow pass — map-only, zero
+    shuffle, bit-stable under any batch shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    qb = np.asarray(qbook)
+    qn = np.asarray(qbook_nsq)
+    m, kc, sub = qb.shape
+
+    def _enc(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype("int64")
+        out = np.empty((len(V), m), dtype="int32")
+        for s in range(m):
+            Xs = Q[:, s * sub : (s + 1) * sub]  # int64 (batch, sub)
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2; ||x||^2 constant per
+            # row for the argmin -> compare -2 x·c + ||c||^2 (exact int64)
+            dots = Xs @ qb[s].T  # int64 (batch, kc)
+            d = qn[s][None, :] - 2 * dots
+            out[:, s] = np.argmin(d, axis=1)  # first (lowest) code on ties
+        return pd.Series(list(out))
+
+    enc = F.pandas_udf(_enc, ArrayType(IntegerType()))
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    rerank: int | None = None,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with exact
+    re-ranking — the third standard ANN scale path next to LSH and IVF:
+    LSH prunes by bucket, IVF by cell, PQ compresses the VECTORS so the
+    first-pass scan reads codes instead of floats.
+
+    Search: per query, an ADC (asymmetric distance computation) lookup
+    table of exact int64 ``q_s · c_{s,j}`` partial dots is broadcast
+    with the query; every corpus row's approximate score is the
+    JVM-side sum of ``m`` table lookups over its codes (whole-stage
+    codegen'd ``aggregate(zip_with(...))`` — no floats, no Python);
+    the top ``rerank`` candidates per query (default ``4*k``) are then
+    re-scored with the family's exact quantized cosine and the final
+    top-k returned — output schema and exactness of returned scores
+    match the sibling entry points. ``rerank >= |corpus|`` makes the
+    result EXACTLY brute force (the oracle-checked ``pq_full_rerank``
+    invariant, the ivf_full_probe pattern).
+
+    Scale: codes are ~dim·4/m bytes per row; the ADC pass scans codes
+    only, the exact tier touches ``rerank`` rows per query. Everything
+    is deterministic: pinned sample fit, int64 encode, int64 ADC,
+    quantized exact re-rank with id tie-breaks.
+    """
+    queries = _guard_query_side(queries, max_query_rows)
+    import numpy as np
+
+    R = int(rerank) if rerank is not None else 4 * int(k)
+    _, qbook, qbook_nsq = pq_fit(
+        corpus,
+        num_subspaces=num_subspaces,
+        codes_per_subspace=codes_per_subspace,
+        sample_size=sample_size,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    m, kc, sub = qbook.shape
+
+    codes = scoped_cache(
+        pq_encode(fan_out(corpus), qbook, qbook_nsq, id_col, vec_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+
+    # per-query ADC tables: exact int64 q_s · c_{s,j} from the SAME
+    # quantized query the exact tier uses (bounded: |queries| × m × kc)
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype="float64")
+        v /= max(float(np.linalg.norm(v)), 1e-12)
+        qv = np.floor(v * float(QUANT_SCALE) + 0.5).astype("int64")
+        luts = [
+            [int(x) for x in (qbook[s] @ qv[s * sub : (s + 1) * sub])]
+            for s in range(m)
+        ]
+        lut_rows.append((r[id_col], luts))
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, _luts array<array<long>>"
+    )
+
+    adc = (
+        codes.join(F.broadcast(luts))
+        .withColumn(
+            "_adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("_luts"),
+                    lambda c, l: F.element_at(l, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "neighbor_id", "_adc")
+    )
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= R)
+        .select("query_id", "neighbor_id")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm_sq("_qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm_sq("_cv"))
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot("_qv", "_cv").cast("double")
+            / (
+                F.sqrt(F.col("_qn").cast("double"))
+                * F.sqrt(F.col("_cn").cast("double"))
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

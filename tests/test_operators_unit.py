@@ -2095,3 +2095,47 @@ def test_cap_per_group_deterministic_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k"):
         cap_per_group(df, "source", k=0)
+
+
+def test_pq_encode_deterministic_and_full_rerank_exact(spark):
+    """PQ machinery: codes are within [0, k), identical under repartition
+    (int64 encode is batch-shape-independent — the kmeans BLAS lesson);
+    cosine_topk_pq with rerank >= |corpus| equals brute force exactly;
+    indivisible subspace split raises."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_pq,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    _, qbook, qnsq = pq_fit(
+        df, num_subspaces=4, codes_per_subspace=8, sample_size=128
+    )
+    assert qbook.shape == (4, 8, 4)
+    c1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, qbook, qnsq).collect()}
+    c2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df.repartition(13), qbook, qnsq).collect()
+    }
+    assert c1 == c2  # batch-shape independence
+    assert all(0 <= c < 8 for cs in c1.values() for c in cs)
+
+    q = df.filter("vec_id < 5")
+    full = sorted(
+        map(tuple, cosine_topk_pq(q, df, k=3, num_subspaces=4, rerank=10_000)
+            .collect())
+    )
+    brute = sorted(map(tuple, cosine_topk_brute(q, df, k=3).collect()))
+    assert full == brute
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divisible"):
+        pq_fit(df, num_subspaces=5)

@@ -1679,6 +1679,40 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank with seeds): the
+    teleport vector is uniform over the seed parts (partkey % 10 == 0)
+    and zero elsewhere — rank relative to a trusted set, the
+    topic-biased quality prior. Same co-purchase graph, 8 damped rounds,
+    recursive-CTE oracle with the seed-weighted base term; the graph is
+    symmetric so the dangling term is identically zero on both sides;
+    ROUND(..,8) + partkey tie-break as in `pagerank`."""
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    seeds = edges.select(F.col("src").alias("id")).filter(
+        F.col("id") % 10 == 0
+    )
+    pr = pagerank(
+        edges, iterations=8, broadcast_ranks=True, seeds=seeds
+    )
+    return (
+        pr.select(F.col("id").alias("partkey"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate-line removal (the RefinedWeb footer/banner
     rule). The synthetic docs are single-line, so the query plants a
@@ -2997,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "ann_cosine_pq": q_ann_cosine_pq,
         "pq_full_rerank": q_pq_full_rerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -3037,8 +3072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
         "minhash_recall": q_minhash_recall,
-        "ivf_full_probe": q_ivf_full_probe,
         # --- positions 50+: first out of the window, lead the r9 rotation ---
+        "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
@@ -3539,6 +3574,43 @@ _ORACLES: dict[str, str] = {
                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 5
+    """,
+    "pagerank_personalized": r"""
+        -- personalized variant of the pagerank CTE: teleport weight
+        -- 1/|S| on the seed set (partkey % 10 = 0 among graph nodes),
+        -- 0 elsewhere; the co-purchase graph is symmetric so the
+        -- dangling term is identically zero; (1.0 - 0.85) mirrors the
+        -- engine's damping arithmetic bit-for-bit and ROUND(..,8)
+        -- absorbs float-sum order divergence
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        ns AS (SELECT COUNT(*) AS ns FROM nodes WHERE id % 10 = 0),
+        pr AS (
+          SELECT 0 AS it, id,
+                 CASE WHEN id % 10 = 0
+                      THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS rank
+          FROM nodes
+          UNION ALL
+          SELECT p.it + 1, e.dst,
+                 (1.0 - 0.85) * (CASE WHEN e.dst % 10 = 0
+                      THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END)
+                 + 0.85 * SUM(p.rank / d.deg)
+          FROM pr p
+          JOIN deg d ON d.id = p.id
+          JOIN edges e ON e.src = p.id
+          WHERE p.it < 8
+          GROUP BY p.it, e.dst
+        )
+        SELECT id AS partkey, ROUND(rank, 8) AS rank
+        FROM pr WHERE it = 8
+        ORDER BY rank DESC, partkey ASC LIMIT 20
     """,
     "dedup_cluster": r"""
         -- pairs (same SQL as the ngram_jaccard oracle) -> connected

@@ -213,6 +213,8 @@ def pagerank(
     iterations: int = 15,
     checkpoint_dir: str | None = None,
     broadcast_ranks: bool = False,
+    seeds: DataFrame | None = None,
+    seed_col: str = "id",
 ) -> DataFrame:
     """PageRank over a directed edge list: ``(id, rank)`` for every node,
     ranks summing to 1. In a curation pipeline this is the link-analysis
@@ -223,7 +225,13 @@ def pagerank(
     Semantics: standard damped power iteration with dangling-mass
     redistribution — each round every node keeps ``(1-d)/N`` plus ``d ×``
     (received contributions + an equal share of the rank held by nodes
-    with no out-edges). Runs a FIXED ``iterations`` count: a tolerance
+    with no out-edges). With ``seeds`` set this becomes PERSONALIZED
+    PageRank (Page et al.'s biased-surfer variant; the topic/seed-biased
+    quality prior — "rank relative to THESE trusted hosts/docs"): the
+    teleport vector is uniform over the seed set (seeds not in the graph
+    are ignored; all-absent seeds raise) and zero elsewhere, dangling
+    mass teleports to the seeds, so rank concentrates in the seeds'
+    neighborhood. Runs a FIXED ``iterations`` count: a tolerance
     stop would cost an extra old-vs-new join per round, and fixed-round
     power iteration is the standard production choice (cost is
     predictable; 10-20 rounds lands well inside float tolerance on real
@@ -303,8 +311,47 @@ def pagerank(
         dang = nodes.join(deg.select("id"), "id", "left_anti").cache()
         dang.count()
 
-        base = (1.0 - damping) / n
-        ranks = _ckpt(nodes.select("id", F.lit(1.0 / n).alias("rank")))
+        if seeds is None:
+            node_frame = nodes
+            init = F.lit(1.0 / n)
+            base = (1.0 - damping) / n
+            # uniform update kept byte-for-byte as always (the oracle
+            # replays these exact float associations): (1-d)/n literal
+            # and dm DIVIDED by n — not re-derived via a weight column
+            update = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / F.lit(n)
+            )
+        else:
+            # personalized teleport: weight vector w uniform over the
+            # seed set (restricted to graph nodes), 0 elsewhere — init
+            # r0 = w; update r = (1-d)·w + d·(contrib + dm·w) (dangling
+            # mass teleports to the seeds, the standard PPR rule)
+            seed_ids = (
+                seeds.select(F.col(seed_col).alias("id"))
+                .distinct()
+                .join(nodes, "id", "semi")
+                .cache()
+            )
+            n_s = seed_ids.count()
+            if n_s == 0:
+                seed_ids.unpersist()
+                raise ValueError("no seeds present in the graph")
+            node_frame = nodes.join(
+                seed_ids.select("id", F.lit(1).alias("_isseed")), "id", "left"
+            ).select(
+                "id",
+                F.when(
+                    F.col("_isseed").isNotNull(), F.lit(1.0 / n_s)
+                ).otherwise(F.lit(0.0)).alias("_sw"),
+            ).cache()
+            node_frame.count()
+            seed_ids.unpersist()
+            init = F.col("_sw")
+            update = F.lit(1.0 - damping) * F.col("_sw") + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0))
+                + F.col("_dm") * F.col("_sw")
+            )
+        ranks = _ckpt(node_frame.select("id", init.alias("rank")))
         for _ in range(iterations):
             rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
             contrib = (
@@ -315,22 +362,18 @@ def pagerank(
                 .groupBy("id")
                 .agg(F.sum("_c").alias("_in"))
             )
-            # rank held by dangling nodes redistributes evenly
+            # rank held by dangling nodes redistributes (evenly, or onto
+            # the seed weights in personalized mode)
             dangling = ranks.join(dang, "id", "semi").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
             ranks = _ckpt(
-                nodes.join(contrib, "id", "left")
+                node_frame.join(contrib, "id", "left")
                 .join(F.broadcast(dangling))
-                .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / F.lit(n))
-                    ).alias("rank"),
-                )
+                .select("id", update.alias("rank"))
             )
+    if seeds is not None:
+        node_frame.unpersist()
     nodes.unpersist()
     ed.unpersist()
     dang.unpersist()

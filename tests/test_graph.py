@@ -275,3 +275,54 @@ def test_bfs_distances_weighted_prefers_cheap_long_path(spark):
     one = {r["id"]: r["dist"]
            for r in bfs_distances(e, s, weight_col="w", max_depth=1).collect()}
     assert one == {0: 0, 1: 1, 3: 10}
+
+
+def test_pagerank_personalized_matches_numpy(spark):
+    """Personalized pagerank == a numpy power iteration with the
+    seed-weighted teleport (dangling mass to seeds); mass sums to 1,
+    rank concentrates at/near the seeds, an unreachable component gets
+    exactly 0, and an all-absent seed set raises."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.graph import pagerank
+
+    # two components: a 0-1-2-3 chain (cycle) and an isolated 10-11 pair;
+    # plus a dangling node 4 fed from the chain
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        (1, 4),          # 4 has no out-edges: dangling
+        (10, 11), (11, 10),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=12, seeds=seeds).collect()
+    }
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    w = np.zeros(n)
+    for s in (0, 2):
+        w[idx[s]] = 0.5
+    r = w.copy()
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        dm = sum(r[idx[v]] for v in ids if deg[idx[v]] == 0)
+        r = (1 - d) * w + d * (contrib + dm * w)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    assert got[10] == 0.0 and got[11] == 0.0  # unreachable component
+    assert got[0] > got[4]  # seeds outrank the periphery
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="seeds"):
+        pagerank(df, seeds=spark.createDataFrame([(99,)], "id long"))

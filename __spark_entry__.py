@@ -2974,7 +2974,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_etl_customer360_spark.operators.curation import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    # target slice ⊆ source pool -> the target_ids fast path (target
+    # model from the cached per-doc counts; two corpus scans saved)
+    return dsir_weights(
+        docs, target_ids=docs.filter(F.col("lang") == "en").select("doc_id")
+    )
 
 
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -661,11 +661,12 @@ def dedup_spans(
 
 def dsir_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     num_buckets: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "c360dsir",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169): score
@@ -684,6 +685,14 @@ def dsir_weights(
     rounded 1e-8. Docs with no bigram (< 2 tokens) get ``(0, 0.0)`` —
     importance 1 under exp().
 
+    The target is given EITHER as ``target`` (an arbitrary corpus frame
+    — gets its own bigram scan) OR as ``target_ids`` (ids of a SUBSET of
+    ``df`` — the common "target slice of the source pool" case, e.g. a
+    language or license slice): the target model then derives from the
+    cached per-doc counts with a semi-join, saving two full corpus
+    scans. Exactly one of the two must be provided; both forms produce
+    identical models for a true subset.
+
     Scale shape: bigrams are let-bound sliding-window array expressions
     (map-only, the repeated_ngram_stats shape); each corpus collapses to
     (doc, bucket) exact counts [one map-side-combined shuffle], then to
@@ -696,6 +705,8 @@ def dsir_weights(
         word_bigrams_expr,
     )
 
+    if (target is None) == (target_ids is None):
+        raise ValueError("provide exactly one of target / target_ids")
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
     nb = int(num_buckets)
@@ -723,9 +734,20 @@ def dsir_weights(
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     src_model = doc_counts.groupBy("_b").agg(F.sum("_cnt").alias("_sc"))
-    tgt_model = grams(target, with_id=False).groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_tc")
-    )
+    if target_ids is not None:
+        # subset fast path: the target's bucket counts are already inside
+        # the cached per-doc counts — no second corpus scan
+        tgt_model = (
+            doc_counts.join(
+                target_ids.select(F.col(id_col)).distinct(), id_col, "semi"
+            )
+            .groupBy("_b")
+            .agg(F.sum("_cnt").alias("_tc"))
+        )
+    else:
+        tgt_model = grams(target, with_id=False).groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_tc")
+        )
     src_tot = src_model.agg(F.sum("_sc").alias("_S"))
     tgt_tot = tgt_model.agg(F.sum("_tc").alias("_T"))
     # dense bucket table 0..nb-1 (unseen buckets still carry smoothing mass)

@@ -443,6 +443,20 @@ def test_dsir_weights_matches_pure_python(spark):
     # target-like text scores above off-target text regardless of label
     assert got[1][1] > got[3][1] and got[5][1] > got[3][1]
 
+    # target_ids fast path (subset case) must equal the target-frame form
+    got_fast = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logweight"])
+        for r in dsir_weights(
+            df, target_ids=df.filter("lang = 'en'").select("doc_id"),
+            num_buckets=NB,
+        ).collect()
+    }
+    assert got_fast == got
+
     import pytest as _pt
     with _pt.raises(ValueError, match="num_buckets"):
         dsir_weights(df, target, num_buckets=0)
+    with _pt.raises(ValueError, match="exactly one"):
+        dsir_weights(df)
+    with _pt.raises(ValueError, match="exactly one"):
+        dsir_weights(df, target, target_ids=df.select("doc_id"))

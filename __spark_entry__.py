@@ -1700,8 +1700,16 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
-    seeds = edges.select(F.col("src").alias("id")).filter(
-        F.col("id") % 10 == 0
+    # seeds from a BARE partkey scan, not from `edges` — deriving them
+    # from the edge plan would re-run the heavy co-purchase self-join a
+    # second time (the derived-frame-recompute lesson); pagerank's
+    # internal nodes-semi-join drops any partkey outside the graph, and
+    # src-set == node-set on this symmetric graph, so the seed SET is
+    # identical
+    seeds = (
+        li.select(F.col("l_partkey").alias("id"))
+        .filter(F.col("id") % 10 == 0)
+        .distinct()
     )
     pr = pagerank(
         edges, iterations=8, broadcast_ranks=True, seeds=seeds

@@ -334,7 +334,10 @@ def pagerank(
             )
             n_s = seed_ids.count()
             if n_s == 0:
-                seed_ids.unpersist()
+                # release every frame cached above (the r6 kmeans-leak
+                # lesson: an error path must not pin O(E) storage blocks)
+                for frame in (seed_ids, dang, ed, nodes, e):
+                    frame.unpersist()
                 raise ValueError("no seeds present in the graph")
             node_frame = nodes.join(
                 seed_ids.select("id", F.lit(1).alias("_isseed")), "id", "left"

@@ -824,9 +824,22 @@ def cosine_topk_pq(
         ]
         lut_rows.append((r[id_col], luts))
     spark = corpus.sparkSession
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, _luts array<array<long>>"
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    # id type follows the query frame (the sibling topk entry points are
+    # id-type-generic; a hardcoded bigint would break string ids)
+    lut_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("_luts", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+    luts = spark.createDataFrame(lut_rows, lut_schema)
 
     adc = (
         codes.join(F.broadcast(luts))

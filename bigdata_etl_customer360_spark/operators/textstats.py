@@ -558,13 +558,10 @@ def bm25_search(
         raise ValueError("bm25_search needs at least one term")
     if k1 < 0 or not (0 <= b <= 1):
         raise ValueError("k1 must be >= 0 and b in [0, 1]")
-    toks = F.split(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-        r"[ \t\r\n\x0B\f]+",
-    )
+    toks = word_tokens_expr(text_col)
     base = df.select(
         F.col(id_col),
-        F.size(F.filter(toks, lambda s: s != "")).alias("_dl"),
+        F.size(toks).alias("_dl"),
         toks.alias("_tk"),
     )
     stats = base.agg(
@@ -644,24 +641,31 @@ def bm25_search(
     return out
 
 
-def word_bigrams_expr(text_col: str) -> Column:
-    """Array of ``"w1 w2"`` word bigrams over lowercased non-empty
-    whitespace tokens (NULL text -> empty array) — the ONE shared
-    feature definition behind :func:`ngram_lm_score` and
-    ``curation.dsir_weights`` (the fingerprint-triplication lesson:
-    divergent copies of a feature extractor are a correctness bug
-    waiting to happen). let1-bound so the token split evaluates once."""
-    from bigdata_etl_customer360_spark.operators.util import let1
-
-    toks = F.filter(
+def word_tokens_expr(text_col: str) -> Column:
+    """Lowercased non-empty whitespace tokens, NULL text -> empty array —
+    the ONE shared word-token universe behind :func:`word_bigrams_expr`
+    (hence dsir/lm features), the lm vocab count, and
+    :func:`bm25_search` (the fingerprint-triplication lesson: divergent
+    copies of a feature extractor are a correctness bug waiting to
+    happen)."""
+    return F.filter(
         F.split(
             F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
             r"[ \t\r\n\x0B\f]+",
         ),
         lambda s: s != "",
     )
+
+
+def word_bigrams_expr(text_col: str) -> Column:
+    """Array of ``"w1 w2"`` word bigrams over :func:`word_tokens_expr`
+    tokens — the shared feature definition behind :func:`ngram_lm_score`
+    and ``curation.dsir_weights``. let1-bound so the token split
+    evaluates once."""
+    from bigdata_etl_customer360_spark.operators.util import let1
+
     return let1(
-        toks,
+        word_tokens_expr(text_col),
         lambda w: F.when(
             F.size(w) >= 2,
             F.transform(
@@ -717,15 +721,8 @@ def ngram_lm_score(
         .groupBy("_w1")
         .agg(F.sum("_c12").alias("_c1"))
     )
-    toks = F.filter(
-        F.split(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-            r"[ \t\r\n\x0B\f]+",
-        ),
-        lambda s: s != "",
-    )
     vocab = (
-        df.select(F.explode(toks).alias("_t"))
+        df.select(F.explode(word_tokens_expr(text_col)).alias("_t"))
         .agg(F.count_distinct("_t").alias("_V"))
     )
     scored = (

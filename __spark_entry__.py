@@ -37,6 +37,7 @@ from bigdata_etl_customer360_spark.operators.multimodal import binarize_text, ex
 from bigdata_etl_customer360_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
     cosine_topk_pq,
 )
@@ -573,6 +574,35 @@ def q_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_pq(
         emb.filter(F.col("vec_id") < 10), emb, k=5, rerank=1_000_000
+    )
+
+
+def q_ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ ANN (operators/similarity.cosine_topk_ivfpq, the FAISS
+    IVFPQ composition) — rows-only: cell assignment and residual codes
+    depend on the k-means fits; returned scores are exact (quantized
+    re-rank) and the ivfpq_full invariant + unit tests pin the
+    machinery. nprobe=8 of 16 cells on the near-uniform synthetic
+    vectors (cells carry little signal there — real clustered corpora
+    are the regime this index exists for)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=5, num_centroids=16, nprobe=8, rerank=40,
+    )
+
+
+def q_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ exactness invariant, oracle-checked: probing EVERY cell
+    with rerank >= |corpus| gates nothing, so the exact re-rank must
+    equal brute force — any defect in the coarse fit, residual
+    codebooks, int64 encode, per-(query,cell) base/LUT build, JVM ADC
+    sum, or re-rank join hash-mismatches against the brute-force SQL
+    (same pattern as ivf_full_probe and pq_full_rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=5, num_centroids=16, nprobe=16, rerank=1_000_000,
     )
 
 
@@ -3044,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pq": q_ann_cosine_pq,
         "pq_full_rerank": q_pq_full_rerank,
         "pagerank_personalized": q_pagerank_personalized,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ivfpq_full": q_ivfpq_full,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -3082,9 +3114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "tokenize_corpus": q_tokenize_corpus,
         "lang_id_chargram": q_lang_id_chargram,
+        # --- positions 50+: first out of the window, lead the r9 rotation ---
         "dedup_lines": q_dedup_lines,
         "minhash_recall": q_minhash_recall,
-        # --- positions 50+: first out of the window, lead the r9 rotation ---
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "rolling_revenue": q_rolling_revenue,
@@ -3538,6 +3570,31 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "ivfpq_full": """
+        -- identical to the ann_cosine_topk oracle: IVFPQ probing every
+        -- cell with rerank >= |corpus| must equal brute force (both
+        -- pruning tiers only gate candidates).
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(list_sum([q.e[i] * c.e[i] FOR i IN range(1, len(q.e) + 1)]) AS DOUBLE)
+              / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
     """,
     "pq_full_rerank": """
         -- identical to the ann_cosine_topk oracle: PQ with rerank >=

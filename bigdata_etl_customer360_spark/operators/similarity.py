@@ -211,6 +211,48 @@ def cosine_topk_lsh(
     )
 
 
+def _normalized_sample(
+    corpus: DataFrame, sample_size: int, id_col: str, vec_col: str
+):
+    """Deterministic bounded corpus sample, L2-normalized — the shared
+    fit input for the IVF coarse quantizer and the PQ codebooks.
+    orderBy(hash).limit(n) plans as TakeOrderedAndProject: per-partition
+    top-n heaps merged on the driver — no full sort shuffle, and (unlike
+    an unordered limit after a filter) WHICH rows survive is a pure
+    function of the data, independent of partitioning or scan order.
+    The id tie-break covers the ~2^-64 hash-collision case."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r[id_col])  # order-independent fit
+    S = np.stack([np.asarray(r[vec_col], dtype="float64") for r in sample_rows])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    return S
+
+
+def _spherical_kmeans(S, num_centroids: int, iters: int, seed: int = 0x17F):
+    """Fixed-seed spherical k-means over the pinned sample (driver-side
+    numpy, fully deterministic) — unit-norm centroids."""
+    import numpy as np
+
+    ncent = min(int(num_centroids), len(S))
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=ncent, replace=False)].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(S @ C.T, axis=1)
+        for j in range(ncent):
+            members = S[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / np.maximum(np.linalg.norm(m), 1e-12)
+    return C
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -241,36 +283,12 @@ def cosine_topk_ivf(
     at nprobe=num_centroids).
     """
     queries = _guard_query_side(queries, max_query_rows)
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
 
-    # --- fit coarse quantizer on a deterministic bounded sample ----------
-    # orderBy(hash).limit(n) plans as TakeOrderedAndProject: per-partition
-    # top-n heaps merged on the driver — no full sort shuffle, and (unlike
-    # an unordered limit after a filter) WHICH rows survive is a pure
-    # function of the data, independent of partitioning or scan order.
-    # The id tie-break covers the ~2^-64 hash-collision case.
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_size)
-        .collect()
-    )
-    sample_rows.sort(key=lambda r: r[id_col])  # order-independent fit
-    S = np.stack([np.asarray(r[vec_col], dtype="float64") for r in sample_rows])
-    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-    ncent = min(num_centroids, len(S))
-    rng = np.random.default_rng(0x17F)
-    C = S[rng.choice(len(S), size=ncent, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(S @ C.T, axis=1)
-        for j in range(ncent):
-            members = S[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                C[j] = m / np.maximum(np.linalg.norm(m), 1e-12)
-    centroids = C  # (ncent, dim), unit-norm
+    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
+    centroids = _spherical_kmeans(S, num_centroids, kmeans_iters)
+    ncent = len(centroids)
 
     def _cells(vecs, top):
         V = np.stack(vecs.to_numpy()).astype("float64")
@@ -680,17 +698,17 @@ def pq_fit(
     Driver cost is bounded by ``sample_size`` rows (the documented
     bounded-collect class); nothing corpus-sized leaves the executors.
     """
+    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
+    return _pq_codebooks(S, num_subspaces, codes_per_subspace, kmeans_iters)
+
+
+def _pq_codebooks(S, num_subspaces: int, codes_per_subspace: int, iters: int):
+    """Per-subspace k-means codebooks over a given (sample) matrix —
+    shared by :func:`pq_fit` (raw normalized vectors) and
+    :func:`cosine_topk_ivfpq` (cell RESIDUALS). Returns
+    (codebook float64, qbook int64, qbook_nsq int64)."""
     import numpy as np
 
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(int(sample_size))
-        .collect()
-    )
-    sample_rows.sort(key=lambda r: r[id_col])
-    S = np.stack([np.asarray(r[vec_col], dtype="float64") for r in sample_rows])
-    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     dim = S.shape[1]
     m = int(num_subspaces)
     if dim % m != 0:
@@ -702,7 +720,7 @@ def pq_fit(
     for s in range(m):
         X = S[:, s * sub : (s + 1) * sub]
         C = X[rng.choice(len(X), size=kc, replace=False)].copy()
-        for _ in range(int(kmeans_iters)):
+        for _ in range(int(iters)):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
             for j in range(kc):
@@ -868,6 +886,21 @@ def cosine_topk_pq(
         .select("query_id", "neighbor_id")
     )
 
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact tier of the candidate-generating ANN entry points:
+    score ``cand (query_id, neighbor_id)`` with the family's quantized
+    cosine (broadcast query vectors, corpus joined by id) and return the
+    per-query top-k with the pinned (cosine desc, neighbor asc) order."""
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("_qv")
     ).withColumn("_qn", _norm_sq("_qv"))
@@ -894,3 +927,149 @@ def cosine_topk_pq(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    rerank: int | None = None,
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """IVF×PQ — the composition production ANN indexes actually ship
+    (FAISS ``IVFPQ``; Jégou et al. 2011 §IV): an IVF coarse quantizer
+    prunes WHICH rows are scored (only ``nprobe`` cells per query) while
+    product quantization on the CELL RESIDUALS compresses what the
+    first-pass scan reads (m codes per row instead of the vector). Both
+    halves reuse this module's existing machinery: the pinned-sample
+    spherical k-means (:func:`_spherical_kmeans`) for cells,
+    :func:`_pq_codebooks` on the sample's residuals for codes, and the
+    family's exact quantized re-rank tail (:func:`_exact_rerank`).
+
+    Scoring: for a query q probing cell c, ``q·v ≈ q·centroid_c +
+    q·residual(v)`` — the first term is one per-(query, cell) int64
+    constant, the second an ADC sum of m int64 table lookups over the
+    row's codes, all JVM-side (``aggregate(zip_with(...))``); the top
+    ``rerank`` (default ``4*k``) candidates per query re-rank exactly.
+    With ``nprobe >= num_centroids`` AND ``rerank >= |corpus|`` the
+    result is EXACTLY brute force — the oracle-checked ``ivfpq_full``
+    invariant (both pruning tiers gate nothing; same pattern as
+    ivf_full_probe / pq_full_rerank).
+
+    Scale: the first pass reads (cell, codes) — ~4 + m bytes per row —
+    and touches ~nprobe/num_centroids of the corpus per query; the
+    exact tier touches ``rerank`` rows per query. Cell assignment is a
+    float argmax (same rows-only caveat as cosine_topk_ivf); codes and
+    ADC are exact int64, and the returned scores are exact.
+    """
+    queries = _guard_query_side(queries, max_query_rows)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    R = int(rerank) if rerank is not None else 4 * int(k)
+    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
+    centroids = _spherical_kmeans(S, num_centroids, kmeans_iters)
+    ncent = len(centroids)
+    resid = S - centroids[np.argmax(S @ centroids.T, axis=1)]
+    _, qbook, qbook_nsq = _pq_codebooks(
+        resid, num_subspaces, codes_per_subspace, kmeans_iters
+    )
+    m, kc, sub = qbook.shape
+    qcent = np.floor(centroids * float(QUANT_SCALE) + 0.5).astype("int64")
+
+    def _enc(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(V @ centroids.T, axis=1)
+        Rv = V - centroids[cells]
+        Q = np.floor(Rv * float(QUANT_SCALE) + 0.5).astype("int64")
+        out = np.empty((len(V), m + 1), dtype="int32")
+        out[:, 0] = cells
+        for s in range(m):
+            dots = Q[:, s * sub : (s + 1) * sub] @ qbook[s].T
+            out[:, s + 1] = np.argmin(qbook_nsq[s][None, :] - 2 * dots, axis=1)
+        return pd.Series(list(out))
+
+    enc = F.pandas_udf(_enc, ArrayType(IntegerType()))
+    codes = scoped_cache(
+        fan_out(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_cc"))
+        .select(
+            "neighbor_id",
+            F.element_at("_cc", 1).alias("cell"),
+            F.slice("_cc", 2, m).alias("codes"),
+        )
+    )
+
+    # per-(query, probed cell) ADC tables: int64 base = q·centroid_c and
+    # per-subspace residual LUTs (bounded: |q| × nprobe × m × kc)
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    np_probe = min(int(nprobe), ncent)
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype="float64")
+        v /= max(float(np.linalg.norm(v)), 1e-12)
+        qv = np.floor(v * float(QUANT_SCALE) + 0.5).astype("int64")
+        probed = np.argsort(-(v @ centroids.T))[:np_probe]
+        for cell in probed:
+            base = int(qv @ qcent[cell])
+            luts = [
+                [int(x) for x in (qbook[s] @ qv[s * sub : (s + 1) * sub])]
+                for s in range(m)
+            ]
+            lut_rows.append((r[id_col], int(cell), base, luts))
+    spark = corpus.sparkSession
+    lut_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+            StructField("_base", LongType()),
+            StructField("_luts", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+    luts = spark.createDataFrame(lut_rows, lut_schema)
+
+    adc = (
+        codes.join(F.broadcast(luts), on="cell")
+        .withColumn(
+            "_adc",
+            F.col("_base")
+            + F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("_luts"),
+                    lambda c, l: F.element_at(l, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "neighbor_id", "_adc")
+    )
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)

@@ -2139,3 +2139,44 @@ def test_pq_encode_deterministic_and_full_rerank_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="divisible"):
         pq_fit(df, num_subspaces=5)
+
+
+def test_ivfpq_full_probe_exact_and_encode_deterministic(spark):
+    """IVF×PQ: probing every cell with rerank >= |corpus| equals brute
+    force exactly; the (cell, codes) encoding is identical under
+    repartition (int64 residual encode; cell argmax is per-row, not
+    batch-reduced)."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_ivfpq,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 6")
+    full = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq(
+                q, df, k=3, num_centroids=8, nprobe=8,
+                num_subspaces=4, rerank=10_000, sample_size=128,
+            ).collect(),
+        )
+    )
+    brute = sorted(map(tuple, cosine_topk_brute(q, df, k=3).collect()))
+    assert full == brute
+    # pruned mode returns exactly k rows per query with exact scores
+    approx = cosine_topk_ivfpq(
+        q, df, k=3, num_centroids=8, nprobe=2, num_subspaces=4,
+        rerank=12, sample_size=128,
+    ).collect()
+    assert len(approx) == 18
+    brute_scores = {(r[0], r[1]): r[2] for r in brute}
+    for r in approx:  # any returned pair scores identically to brute
+        if (r[0], r[1]) in brute_scores:
+            assert r[2] == brute_scores[(r[0], r[1])]

@@ -283,6 +283,7 @@ def cosine_topk_ivf(
     at nprobe=num_centroids).
     """
     queries = _guard_query_side(queries, max_query_rows)
+    import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
 

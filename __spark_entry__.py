@@ -3050,6 +3050,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of purchase values (operators/temporal.ewma_level):
+    the recursive smoother s_i = 0.75*s_{i-1} + 0.25*x_i folded in
+    (epoch-micros, value) order — one in-order float fold per key, exact
+    binary alpha, 1e-8 rounding. One map-side-combined shuffle."""
+    from bigdata_etl_customer360_spark.operators.temporal import ewma_level
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ewma_level(ev, keys=("user_id",), alpha=0.25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3064,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promoting the stalest block.
     return {
         # --- driver window: never-verified + r5-stale cohort ---
+        "ewma_value": q_ewma_value,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4736,6 +4748,21 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "ewma_value": r"""
+        -- EWMA recursion as the same in-order float fold: list_reduce's
+        -- first element is the init (s_1 = x_1), then acc*0.75 + 0.25*x
+        -- left-to-right in (epoch-micros, value) order; alpha = 0.25 is
+        -- an exact binary fraction so the constants are bit-identical.
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(list_reduce(
+                       list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value),
+                       (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+                                   + CAST(0.25 AS DOUBLE) * x), 8) AS ewma
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
     """,
     "lm_score": r"""
         -- bigram-LM mirror: identical tokenization/bigrams, exact c12 /

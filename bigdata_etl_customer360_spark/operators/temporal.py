@@ -584,3 +584,72 @@ def scd2_snapshot_at(
         (F.col(effective_from) <= at_lit)
         & (F.col(effective_to).isNull() | (F.col(effective_to) > at_lit))
     )
+
+
+def ewma_level(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average level per key — the recursive
+    smoother ``s_1 = x_1; s_i = (1-alpha)*s_{i-1} + alpha*x_i`` folded over
+    each key's value series in event-time order (pandas ``ewm(adjust=False)``
+    semantics). The output is the key's CURRENT smoothed level — the
+    baseline that anomaly thresholds and short-horizon forecasts hang off,
+    and the one time-series primitive a plain windowed average cannot
+    express (every prior point contributes, with geometrically decaying
+    weight).
+
+    Rows with a NULL timestamp or value are excluded (a missing point
+    contributes nothing to the level); keys with no surviving rows are
+    absent from the output. Output: ``(*keys, n_points, out_col)``.
+
+    Determinism: the fold order is pinned by (epoch-micros, value) — a
+    total order even under timestamp ties — and the recursion is evaluated
+    as ONE in-order float fold (`F.aggregate` over the sorted array; the
+    in-order-float-fold contract), rounded 1e-8. With ``alpha`` an exact
+    binary fraction (default 0.25) the per-step constants are literal-
+    identical across engines.
+
+    Scale: one map-side-combined shuffle on ``keys`` (collect_list partial
+    aggregation), fold state O(1) per key beyond the collected series; the
+    collected array is per (key)'s OWN rows only — the operator targets
+    per-entity series (bounded per key), not one global series. For a
+    global series, pre-aggregate to a coarse tick first (daily_resample)
+    so the array stays bounded.
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
+    clean = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("_ts"),
+                    F.col(value_col).cast("double").alias("_v"),
+                )
+            )
+        ),
+        lambda s: s["_v"],
+    )
+
+    def _fold(v: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))),
+                F.element_at(v, 1),
+                lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+            ),
+            8,
+        )
+
+    return clean.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        let1(ordered, _fold).alias(out_col),
+    )

@@ -808,3 +808,58 @@ def test_scd2_snapshot_at_one_version_per_key_and_ties(spark):
     assert snap(_ts(4)) == {1: "c", 2: "x"}
     assert snap(_ts(9)) == {1: "d", 2: "x"}        # open-ended current rows
     assert snap(_ts(0, seconds=-1)) == {}          # before any history
+
+
+# ---------------------------------------------------------------- ewma
+
+
+def test_ewma_level_matches_pandas_ewm(spark):
+    """ewma_level == pandas ewm(adjust=False).mean() last value per key,
+    for a non-trivial series and several alphas."""
+    import pandas as pd
+
+    from bigdata_etl_customer360_spark.operators.temporal import ewma_level
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    rows = [Row(user_id="u", ts=_ts(days=i), value=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    for alpha in (0.25, 0.5, 0.125):
+        got = ewma_level(df, keys=("user_id",), alpha=alpha).collect()[0]
+        want = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        assert got["n_points"] == len(vals)
+        assert got["ewma"] == pytest.approx(want, abs=1e-8)
+
+
+def test_ewma_level_tie_order_null_handling_and_single_point(spark):
+    """Equal timestamps fold in value order (pinned tie-break); NULL
+    ts/value rows are excluded; a single-point key returns its value;
+    keys with no surviving rows are absent."""
+    from bigdata_etl_customer360_spark.operators.temporal import ewma_level
+
+    rows = [
+        # u1: tie at t0 -> folds 1.0 then 5.0: s = 1.0 -> 0.5*1 + 0.5*5 = 3.0
+        Row(user_id="u1", ts=_ts(0), value=5.0),
+        Row(user_id="u1", ts=_ts(0), value=1.0),
+        # u2: single point + one NULL value (excluded)
+        Row(user_id="u2", ts=_ts(0), value=7.5),
+        Row(user_id="u2", ts=_ts(1), value=None),
+        # u3: only NULLs -> absent
+        Row(user_id="u3", ts=None, value=2.0),
+        Row(user_id="u3", ts=_ts(0), value=None),
+    ]
+    out = {r["user_id"]: r for r in ewma_level(
+        spark.createDataFrame(rows), alpha=0.5).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert out["u1"]["ewma"] == pytest.approx(3.0)
+    assert out["u1"]["n_points"] == 2
+    assert out["u2"]["ewma"] == pytest.approx(7.5)
+    assert out["u2"]["n_points"] == 1
+
+
+def test_ewma_level_rejects_bad_alpha(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import ewma_level
+
+    df = spark.createDataFrame([Row(user_id="u", ts=_ts(0), value=1.0)])
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            ewma_level(df, alpha=bad)

@@ -3061,6 +3061,21 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_level(ev, keys=("user_id",), alpha=0.25)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (> 1/30 of the token stream) with exact counts via
+    the Misra-Gries sketch + broadcast verification pass (operators/
+    quality.heavy_hitters, capacity 30 < the 31-token vocab so the
+    decrement path actually runs, while capacity+1=31 > denom=30 keeps
+    the no-false-negative guarantee). Output exact and partition-
+    independent — the sketch only prunes, count*30 > N decides."""
+    from bigdata_etl_customer360_spark.operators.quality import heavy_hitters
+    from bigdata_etl_customer360_spark.operators.textstats import word_tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens_expr("text")).alias("token"))
+    return heavy_hitters(toks, "token", denom=30, capacity=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3076,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window: never-verified + r5-stale cohort ---
         "ewma_value": q_ewma_value,
+        "heavy_hitters": q_heavy_hitters,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4748,6 +4764,25 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "heavy_hitters": r"""
+        -- exact frequent-items ground truth: the sketch pass only prunes
+        -- candidates, so the Spark result must equal the plain
+        -- group-count with the integer threshold count*30 > N
+        WITH tk AS (
+          SELECT list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), t AS (
+          SELECT UNNEST(w) AS token FROM tk
+        ), tot AS (
+          SELECT COUNT(*) AS n FROM t
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM t, tot
+        GROUP BY token, tot.n
+        HAVING COUNT(*) * 30 > tot.n
     """,
     "ewma_value": r"""
         -- EWMA recursion as the same in-order float fold: list_reduce's

@@ -708,3 +708,125 @@ def k_anonymity(
     return joined.withColumn(
         "is_k_anonymous", F.col("group_size") >= F.lit(int(k))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    denom: int = 100,
+    capacity: int = 4096,
+    out_count: str = "n_occurrences",
+) -> DataFrame:
+    """Exact frequent items via a Misra-Gries sketch + verification pass:
+    every value occurring MORE than ``1/denom`` of the (non-null) stream,
+    with its exact count — the "heavy hitters" query — computed without a
+    full groupBy over the distinct-value universe.
+
+    Two passes over the data, both distribution-friendly:
+
+    1. **Sketch pass** (``mapInPandas``): each task folds its partition
+       into a weighted Misra-Gries summary of ``capacity`` counters
+       (batch ``value_counts`` merged into the summary; on overflow the
+       (capacity+1)-th largest counter value is subtracted from all and
+       non-positive counters dropped — the standard mergeable-summaries
+       decrement, Agarwal et al., PODS'12). Emits (value, est) rows plus
+       one sentinel row carrying the partition's row count and total
+       decrement ("slack"). Invariants: ``est(v) <= true(v)`` and
+       ``true(v) - est_sum(v) <= slack_total``, so every value with
+       ``true(v) * denom > N`` satisfies
+       ``(est_sum + slack_total) * denom > N`` — the candidate rule has
+       NO false negatives by construction.
+    2. **Verification pass**: the candidate set (at most
+       capacity × n_partitions values, in practice far fewer) broadcasts
+       back onto the stream as a semi-join; exact counts come from a
+       groupBy over candidate rows ONLY, and the final filter
+       ``count * denom > N`` is pure integer arithmetic.
+
+    The output is therefore EXACT and independent of partitioning (the
+    sketch only prunes; it never decides), which is what makes a sketch
+    operator oracle-checkable. Versus the naive global
+    groupBy-then-filter: the shuffle carries ``capacity × P`` summary
+    rows plus candidate-only counts instead of the full distinct-value
+    universe — the difference between shuffling gigabytes of long-tail
+    token counts and kilobytes of summaries at corpus scale.
+
+    ``capacity + 1 > denom`` is REQUIRED, not advisory: the candidate
+    rule can only see values present in some summary, and presence of
+    every heavy value is guaranteed exactly when
+    ``slack_total <= N/(capacity+1) < N/denom`` (a heavy value's
+    ``est_sum >= true - slack_total > 0``). At ``capacity + 1 <= denom``
+    a heavy value can be decremented out of every summary — a silent
+    false negative — so the constructor refuses. NULL values are
+    excluded from the stream and from N. Output: ``(col, out_count)``.
+    """
+    if denom < 2:
+        raise ValueError(f"denom must be >= 2, got {denom!r}")
+    if capacity + 1 <= denom:
+        raise ValueError(
+            f"capacity + 1 must exceed denom for the no-false-negative "
+            f"guarantee (got capacity={capacity!r}, denom={denom!r})"
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+    clean = df.select(col).filter(F.col(col).isNotNull())
+    # nullable=True explicitly: `clean` carries a not-null constraint from
+    # the filter, but the summary's sentinel row IS the null slot.
+    schema = StructType(
+        [
+            StructField(col, clean.schema[col].dataType, True),
+            StructField("_est", LongType(), False),
+            StructField("_slack", LongType(), False),
+        ]
+    )
+    cap = int(capacity)
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: "pd.Series | None" = None
+        slack = 0
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf[col]
+            n_rows += int(vals.size)
+            vc = vals.value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                thresh = int(counters.nlargest(cap + 1).iloc[-1])
+                counters = counters.astype("int64") - thresh
+                counters = counters[counters > 0]
+                slack += thresh
+        if counters is None:
+            counters = pd.Series(dtype="int64")
+        out = pd.DataFrame(
+            {
+                col: list(counters.index) + [None],
+                "_est": list(counters.astype("int64")) + [n_rows],
+                "_slack": [0] * len(counters) + [slack],
+            }
+        )
+        yield out
+
+    summ = scoped_cache(clean.mapInPandas(_mg, schema))
+    sent = summ.filter(F.col(col).isNull()).agg(
+        F.sum("_est").alias("_N"), F.sum("_slack").alias("_D")
+    )
+    cand = (
+        summ.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.sum("_est").alias("_e"))
+        .join(F.broadcast(sent))
+        .filter((F.col("_e") + F.col("_D")) * F.lit(denom) > F.col("_N"))
+        .select(col)
+    )
+    return (
+        clean.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(out_count))
+        .join(F.broadcast(sent))
+        .filter(F.col(out_count) * F.lit(denom) > F.col("_N"))
+        .select(col, out_count)
+    )

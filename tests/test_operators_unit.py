@@ -2180,3 +2180,53 @@ def test_ivfpq_full_probe_exact_and_encode_deterministic(spark):
     for r in approx:  # any returned pair scores identically to brute
         if (r[0], r[1]) in brute_scores:
             assert r[2] == brute_scores[(r[0], r[1])]
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def test_heavy_hitters_exact_on_planted_skew(spark):
+    """Sketch + verification == naive group-count threshold, on skewed
+    multi-partition data with a capacity far below the distinct count."""
+    from bigdata_etl_customer360_spark.operators.quality import heavy_hitters
+
+    rows = (
+        [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 150
+        + [(f"t{i}",) for i in range(200) for _ in range(2)]
+        + [(None,)] * 50
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+    # N = 1350 (nulls excluded); denom=8 -> count*8 > 1350 -> count >= 169
+    got = {(r["tok"], r["n_occurrences"])
+           for r in heavy_hitters(df, "tok", denom=8, capacity=8).collect()}
+    assert got == {("a", 500), ("b", 300)}
+
+
+def test_heavy_hitters_near_uniform_no_false_negatives(spark):
+    """The adversarial case for Misra-Gries: near-uniform data decrements
+    aggressively. With capacity+1 > denom the verification pass must
+    still return exactly the naive answer."""
+    from bigdata_etl_customer360_spark.operators.quality import heavy_hitters
+
+    # 40 values, counts 30..69 -> N = sum(30..69) = 1980
+    rows = [(f"v{i:02d}",) for i in range(40) for _ in range(30 + i)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    denom, n = 40, 1980
+    naive = {
+        (r["tok"], r["c"])
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * denom > n).collect()
+    }
+    got = {(r["tok"], r["n_occurrences"])
+           for r in heavy_hitters(df, "tok", denom=denom, capacity=40).collect()}
+    assert got == naive and len(got) > 0
+
+
+def test_heavy_hitters_rejects_unsound_parameters(spark):
+    from bigdata_etl_customer360_spark.operators.quality import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", denom=1)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", denom=10, capacity=9)  # capacity+1 == denom

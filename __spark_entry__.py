@@ -3076,6 +3076,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", denom=30, capacity=30)
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 name pairs via the FastSS deletion-neighborhood
+    join (operators/dedup.fuzzy_pairs_edit): explode ~len+1 deletion
+    variants per name, equi-join on the variant hash, exact levenshtein
+    filter — never all-pairs. Oracle IS the all-pairs definition."""
+    from bigdata_etl_customer360_spark.operators.dedup import fuzzy_pairs_edit
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit(
+        cust, id_col="c_custkey", text_col="c_name", max_distance=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3092,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver window: never-verified + r5-stale cohort ---
         "ewma_value": q_ewma_value,
         "heavy_hitters": q_heavy_hitters,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4764,6 +4778,17 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "fuzzy_pairs": r"""
+        -- ground truth IS the quadratic definition (fine at sf0.01):
+        -- the FastSS candidate join must lose no pair and the exact
+        -- levenshtein filter must keep exactly these
+        SELECT a.c_custkey AS a_id,
+               b.c_custkey AS b_id,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+        FROM customer a
+        JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     "heavy_hitters": r"""
         -- exact frequent-items ground truth: the sketch pass only prunes

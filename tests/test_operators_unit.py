@@ -2230,3 +2230,57 @@ def test_heavy_hitters_rejects_unsound_parameters(spark):
         heavy_hitters(df, "tok", denom=1)
     with pytest.raises(ValueError):
         heavy_hitters(df, "tok", denom=10, capacity=9)  # capacity+1 == denom
+
+
+# ------------------------------------------------------------ fuzzy edit join
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_edit_matches_brute_force(spark):
+    """FastSS candidate join + exact filter == the all-pairs definition,
+    for d=1 and d=2 over an adversarial small-alphabet sample (repeats,
+    transpositions, empty and 1-char strings)."""
+    import random
+
+    from bigdata_etl_customer360_spark.operators.dedup import fuzzy_pairs_edit
+
+    rng = random.Random(42)
+    strings = ["", "a", "b", "ab", "ba", "aab", "aba"] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+        for _ in range(50)
+    ]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for d in (1, 2):
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in rows for j, b in rows
+            if i < j and _lev(a, b) <= d
+        }
+        got = {
+            (r["a_id"], r["b_id"], r["distance"])
+            for r in fuzzy_pairs_edit(df, max_distance=d).collect()
+        }
+        assert got == want
+
+
+def test_fuzzy_pairs_edit_null_text_and_bad_distance(spark):
+    from bigdata_etl_customer360_spark.operators.dedup import fuzzy_pairs_edit
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "abd")], "doc_id int, text string"
+    )
+    got = [(r["a_id"], r["b_id"], r["distance"])
+           for r in fuzzy_pairs_edit(df).collect()]
+    assert got == [(1, 3, 1)]
+    with pytest.raises(ValueError):
+        fuzzy_pairs_edit(df, max_distance=3)

@@ -3089,6 +3089,21 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes (operators/textstats.nb_classify): train a
+    lang classifier on the doc_id%5!=0 slice, predict the held-out slice.
+    Exact integer counts, per-(doc,class) in-token-order ln fold + one
+    log-prior add, 1e-8 rounding BEFORE the argmax, label tie-break."""
+    from bigdata_etl_customer360_spark.operators.textstats import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classify(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        label_col="lang",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3106,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_value": q_ewma_value,
         "heavy_hitters": q_heavy_hitters,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "nb_classify": q_nb_classify,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4778,6 +4794,64 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "nb_classify": r"""
+        -- multinomial-NB mirror: identical tokenization, exact c(w,k) /
+        -- c_k / V / prior integers, ln terms folded IN TOKEN ORDER per
+        -- (doc, class), one log-prior add, ROUND 8 BEFORE the argmax,
+        -- label tie-break
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), tr AS (
+          SELECT * FROM tk WHERE doc_id % 5 <> 0
+        ), te AS (
+          SELECT doc_id, w FROM tk WHERE doc_id % 5 = 0
+        ), tt AS (
+          SELECT lang, UNNEST(w) AS t FROM tr
+        ), cwk AS (
+          SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY lang, t
+        ), ck AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM cwk GROUP BY lang
+        ), voc AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS V FROM tt
+        ), pri AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS nk FROM tr GROUP BY lang
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr
+        ), dt AS (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, UNNEST(w) AS t FROM te)
+          GROUP BY doc_id, t
+        ), folds AS (
+          SELECT dt.doc_id, k.lang,
+                 list_aggregate(
+                   list(CAST(dt.cnt AS DOUBLE)
+                        * ln((CAST(COALESCE(m.c, 0) AS DOUBLE) + 1.0)
+                             / (CAST(ck.ct AS DOUBLE) + CAST(voc.V AS DOUBLE)))
+                        ORDER BY dt.t), 'sum') AS ll
+          FROM dt
+          CROSS JOIN pri k
+          JOIN ck ON ck.lang = k.lang
+          CROSS JOIN voc
+          LEFT JOIN cwk m ON m.lang = k.lang AND m.t = dt.t
+          GROUP BY dt.doc_id, k.lang
+        ), scored AS (
+          SELECT d.doc_id, k.lang,
+                 ROUND(ln(CAST(k.nk AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                       + COALESCE(f.ll, 0.0), 8) AS s
+          FROM (SELECT doc_id FROM te) d
+          CROSS JOIN pri k
+          CROSS JOIN tot
+          LEFT JOIN folds f ON f.doc_id = d.doc_id AND f.lang = k.lang
+        )
+        SELECT doc_id,
+               (list(lang ORDER BY s DESC, lang))[1] AS predicted_label,
+               (list(s ORDER BY s DESC, lang))[1] AS score
+        FROM scored GROUP BY doc_id
     """,
     "fuzzy_pairs": r"""
         -- ground truth IS the quadratic definition (fine at sf0.01):

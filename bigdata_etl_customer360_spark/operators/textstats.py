@@ -1340,3 +1340,303 @@ def nb_classify(
             (-F.col("_w._neg")).alias(score_col),
         )
     )
+
+
+def _unigram_expected(
+    word: str, freq: int, probs: dict, max_piece_len: int
+) -> dict:
+    """Forward-backward expected piece counts for ONE word under a
+    unigram LM: every segmentation of ``word`` into vocab pieces has
+    probability proportional to the product of piece probs; the
+    expected number of times piece (j, i) occurs is
+    ``freq * alpha[j] * p * beta[i] / Z``. Probability domain (words
+    are short; no underflow at realistic piece probs), ascending-j
+    loops — a pure deterministic function of its inputs, shared by the
+    executor-side E-step and the unit tests' brute-force enumeration
+    check."""
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for j in range(max(0, i - max_piece_len), i):
+            p = probs.get(word[j:i])
+            if p is not None and alpha[j] > 0.0:
+                s += alpha[j] * p
+        alpha[i] = s
+    z = alpha[n]
+    if z <= 0.0:
+        return {}
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            p = probs.get(word[i:j])
+            if p is not None and beta[j] > 0.0:
+                s += p * beta[j]
+        beta[i] = s
+    out: dict = {}
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_piece_len) + 1):
+            piece = word[j:i]
+            p = probs.get(piece)
+            if p is not None:
+                e = freq * alpha[j] * p * beta[i] / z
+                if e > 0.0:
+                    out[piece] = out.get(piece, 0.0) + e
+    return out
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_vocab_size: int = 1000,
+    em_iters: int = 3,
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Unigram-LM subword tokenizer training (Kudo 2018, the
+    SentencePiece `unigram` algorithm) — the OTHER production subword
+    learner next to :func:`bpe_train`, and the one BPE cannot imitate:
+    it fits a probabilistic model over a piece vocabulary (EM over all
+    segmentations of every word) instead of greedy merges, enabling
+    likelihood-ranked segmentations and subword regularization.
+
+    Pipeline (each stage's scale shape):
+
+    1. **Vocabulary collapse** (distributed, THE corpus-scale stage):
+       one shuffle reduces the corpus to ``(word, freq)`` — identical to
+       bpe_train's trick, sublinear in data.
+    2. **Seed** (distributed): every substring occurrence of length
+       <= ``max_piece_len`` of every distinct word, occurrence-weighted
+       by word freq, one hash aggregate; the seed vocab is ALL single
+       characters plus the heaviest ``seed_vocab_size`` multi-char
+       substrings (count DESC, piece ASC — pinned). Frequency seeding is
+       the standard simplification of SentencePiece's suffix-array ESA
+       step. Initial probs are normalized seed counts.
+    3. **EM** (``em_iters`` rounds, distributed E-step): the piece table
+       broadcasts (it is vocab-sized by construction); one
+       ``mapInPandas`` pass computes per-word forward-backward expected
+       counts (:func:`_unigram_expected`), accumulated PER PARTITION as
+       integer micro-units (1e-6 quanta — integer adds are order-free,
+       so the round is bit-deterministic under ANY partitioning); one
+       map-side-combined aggregate sums micros per piece; the M-step
+       renormalizes on the driver (vocab-bounded collect, the bpe_train
+       contract). Pieces with zero expectation drop; single chars floor
+       at one micro (the corpus must stay segmentable).
+    4. **Prune + resettle**: keep all single chars plus the top
+       multi-char pieces by (prob DESC, piece ASC) up to ``vocab_size``,
+       then ONE more EM round over the pruned vocab. (Full SentencePiece
+       prunes iteratively by likelihood loss; top-prob pruning is the
+       documented simplification.)
+
+    Output: ``(piece, logprob)`` — logprob = ln of the final EM round's
+    renormalized probability, rounded 1e-8. Deterministic end-to-end
+    (integer seeds, quantized E-steps, pinned tie-breaks); iterative and
+    model-driven, so graded rows-only with the exactness gate in unit
+    tests (brute-force segmentation-enumeration parity), like bpe_train.
+    """
+    spark = df.sparkSession
+    out_schema = "piece string, logprob double"
+    if vocab_size < 1 or em_iters < 0 or max_piece_len < 1:
+        raise ValueError(
+            f"vocab_size >= 1, em_iters >= 0, max_piece_len >= 1 required, got "
+            f"{vocab_size!r}/{em_iters!r}/{max_piece_len!r}"
+        )
+
+    words = scoped_cache(
+        df.select(F.explode(word_tokens_expr(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    if words.limit(1).count() == 0:
+        return spark.createDataFrame([], out_schema)
+
+    w = F.col("_w")
+    wlen = F.length(w)
+    subs_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), wlen),
+            lambda i: F.transform(
+                F.sequence(i, F.least(i + F.lit(max_piece_len - 1), wlen)),
+                lambda j: w.substr(i, j - i + 1),
+            ),
+        )
+    )
+    sub_counts = (
+        words.select(F.explode(subs_expr).alias("piece"), F.col("_c"))
+        .groupBy("piece")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+    chars = sub_counts.filter(F.length("piece") == 1)
+    multis = (
+        sub_counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(seed_vocab_size)
+    )
+    # vocab-bounded collects (seed_vocab_size + alphabet rows) — the
+    # bpe_train documented-bounded-collect contract
+    seed = {r["piece"]: r["cnt"] for r in chars.collect()}
+    seed.update({r["piece"]: r["cnt"] for r in multis.collect()})
+    total = sum(seed.values())
+    probs = {p: c / total for p, c in seed.items()}
+
+    def _em_round(current: dict) -> dict:
+        b = spark.sparkContext.broadcast(current)
+
+        def _estep(batches):
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in batches:
+                for word, freq in zip(pdf["_w"], pdf["_c"]):
+                    exp = _unigram_expected(
+                        word, int(freq), b.value, max_piece_len
+                    )
+                    for piece, e in exp.items():
+                        acc[piece] = acc.get(piece, 0) + int(round(e * 1e6))
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()),
+                 "micro": [int(v) for v in acc.values()]}
+            )
+
+        rows = (
+            words.mapInPandas(_estep, "piece string, micro long")
+            .groupBy("piece")
+            .agg(F.sum(F.col("micro").cast("decimal(38,0)")).alias("m"))
+            .collect()
+        )
+        b.unpersist()
+        micros = {r["piece"]: int(r["m"]) for r in rows}
+        new = {}
+        for piece in current:
+            m = micros.get(piece, 0)
+            if m <= 0:
+                if len(piece) == 1:
+                    m = 1  # chars never leave: the corpus must segment
+                else:
+                    continue
+            new[piece] = m
+        t = sum(new.values())
+        return {p: m / t for p, m in new.items()}
+
+    for _ in range(em_iters):
+        probs = _em_round(probs)
+
+    keep_chars = {p: v for p, v in probs.items() if len(p) == 1}
+    keep_multi = sorted(
+        ((p, v) for p, v in probs.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, vocab_size - len(keep_chars))]
+    pruned = dict(keep_chars)
+    pruned.update(dict(keep_multi))
+    t = sum(pruned.values())
+    probs = {p: v / t for p, v in pruned.items()}
+    probs = _em_round(probs)
+
+    import math
+
+    out = sorted(
+        (p, round(math.log(v), 8)) for p, v in probs.items()
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi segmentation under a trained :func:`unigram_lm_train`
+    model: each word of each document is split into the most probable
+    piece sequence. Tie order is TOTAL and pinned: maximize summed
+    logprob, then fewest pieces, then lexicographically smallest piece
+    sequence — independent of batch shape or partitioning.
+
+    Scale shape: the model is vocab-sized by construction and broadcasts
+    into ONE Arrow-batched ``mapInPandas`` pass (map-only, no shuffle);
+    per-word Viterbi results memoize per distinct word within a batch
+    (the bpe_encode trick). Unknown characters (no vocab piece covers a
+    position) emit as single-character fallback tokens with no score —
+    the SentencePiece <unk> convention, flagged in ``n_unk``.
+
+    Output: ``(id_col, n_tokens, n_unk, tokens array<string>)``.
+    """
+    rows = model.select("piece", "logprob").collect()  # vocab-bounded
+    lps = {r["piece"]: float(r["logprob"]) for r in rows}
+    max_len = max((len(p) for p in lps), default=1)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((lps, max_len))
+
+    def _viterbi_word(word: str, lpd: dict, ml: int) -> list:
+        n = len(word)
+        NEG = float("-inf")
+        # best[i] = (score, -n_pieces, pieces tuple) for word[:i]
+        best = [None] * (n + 1)
+        best[0] = (0.0, 0, ())
+        for i in range(1, n + 1):
+            cand = None
+            for j in range(max(0, i - ml), i):
+                if best[j] is None:
+                    continue
+                piece = word[j:i]
+                lp = lpd.get(piece)
+                if lp is None:
+                    continue
+                sc = (
+                    best[j][0] + lp,
+                    best[j][1] - 1,
+                    best[j][2] + (piece,),
+                )
+                if (
+                    cand is None
+                    or (sc[0], sc[1]) > (cand[0], cand[1])
+                    or ((sc[0], sc[1]) == (cand[0], cand[1]) and sc[2] < cand[2])
+                ):
+                    cand = sc
+            # unk fallback: cover position i-1 with the raw char
+            if cand is None and best[i - 1] is not None:
+                ch = word[i - 1 : i]
+                cand = (
+                    best[i - 1][0],
+                    best[i - 1][1] - 1,
+                    best[i - 1][2] + (ch,),
+                )
+            best[i] = cand
+        return list(best[n][2]) if best[n] else list(word)
+
+    def _encode(batches):
+        import pandas as pd
+
+        lpd, ml = b.value
+        memo: dict = {}
+        for pdf in batches:
+            toks_out, n_toks, n_unks = [], [], []
+            for ws in pdf["_ws"]:
+                pieces: list = []
+                unk = 0
+                for word in (ws if ws is not None else []):
+                    got = memo.get(word)
+                    if got is None:
+                        got = _viterbi_word(word, lpd, ml)
+                        memo[word] = got
+                    pieces.extend(got)
+                unk = sum(1 for p in pieces if p not in lpd)
+                toks_out.append(pieces)
+                n_toks.append(len(pieces))
+                n_unks.append(unk)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_tokens": n_toks, "n_unk": n_unks,
+                 "tokens": toks_out}
+            )
+
+    # JVM-side tokenization via the ONE shared word-token expression
+    # (the fingerprint-triplication lesson — no Python copy of the split)
+    src = df.select(F.col(id_col), word_tokens_expr(text_col).alias("_ws"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(
+        _encode,
+        f"{id_col} {id_type}, n_tokens long, n_unk long, tokens array<string>",
+    )

@@ -2402,3 +2402,125 @@ def test_linear_trend_matches_numpy_polyfit(spark):
     want_slope, want_icept = np.polyfit(x.astype(float), y, 1)
     assert got["slope"] == pytest.approx(want_slope, rel=1e-9)
     assert got["intercept"] == pytest.approx(want_icept, rel=1e-9)
+
+
+# ------------------------------------------------------------ unigram LM
+
+
+def test_unigram_expected_matches_enumeration():
+    """Forward-backward expected counts == brute-force enumeration over
+    ALL segmentations (probability of a segmentation proportional to the
+    product of its piece probs) — a different algorithm computing the
+    same quantity."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        _unigram_expected,
+    )
+
+    probs = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.1, "aba": 0.05,
+             "bb": 0.1}
+
+    def enumerate_expected(word, freq, max_len):
+        segs = []
+
+        def rec(pos, cur):
+            if pos == len(word):
+                segs.append(list(cur))
+                return
+            for end in range(pos + 1, min(len(word), pos + max_len) + 1):
+                piece = word[pos:end]
+                if piece in probs:
+                    cur.append(piece)
+                    rec(end, cur)
+                    cur.pop()
+
+        rec(0, [])
+        z = sum(
+            __import__("math").prod(probs[p] for p in s) for s in segs
+        )
+        out = {}
+        for s in segs:
+            w = __import__("math").prod(probs[p] for p in s) / z
+            for p in s:
+                out[p] = out.get(p, 0.0) + freq * w
+        return out
+
+    for word in ("abab", "aabba", "ababa", "bb", "a"):
+        want = enumerate_expected(word, 7, 3)
+        got = _unigram_expected(word, 7, probs, 3)
+        assert set(got) == set(want)
+        for p in want:
+            assert got[p] == pytest.approx(want[p], rel=1e-12), (word, p)
+
+
+def test_unigram_train_learns_morphemes_and_is_partition_invariant(spark):
+    """The EM fit discovers shared suffix/stem pieces, and the quantized
+    integer-micro E-step makes the result identical under different
+    partitionings."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        unigram_lm_train,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "low low new",
+         "wider wide widest", "lowest newest widest", None, ""])]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    m1 = {r["piece"]: r["logprob"]
+          for r in unigram_lm_train(df, vocab_size=40, seed_vocab_size=100,
+                                    em_iters=3, max_piece_len=5).collect()}
+    m2 = {r["piece"]: r["logprob"]
+          for r in unigram_lm_train(df.repartition(7), vocab_size=40,
+                                    seed_vocab_size=100, em_iters=3,
+                                    max_piece_len=5).collect()}
+    assert m1 == m2  # bit-identical under repartitioning
+    top = sorted(m1, key=lambda p: -m1[p])[:4]
+    assert "est" in top and "low" in top and "new" in top
+
+
+def test_unigram_encode_viterbi_optimal_and_unk(spark):
+    """Viterbi picks the (max logprob, fewest pieces, lexicographically
+    smallest) segmentation — verified against enumeration — and unknown
+    characters fall back to single-char tokens counted in n_unk."""
+    import itertools
+    import math
+
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        unigram_encode,
+    )
+
+    lps = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+           "ba": math.log(0.1), "aba": math.log(0.05)}
+    model = spark.createDataFrame(
+        [(p, lp) for p, lp in lps.items()], "piece string, logprob double"
+    )
+
+    def best_seg(word):
+        cands = []
+
+        def rec(pos, cur):
+            if pos == len(word):
+                lp = sum(lps[p] for p in cur)
+                cands.append((lp, -len(cur), tuple(cur)))
+                return
+            for end in range(pos + 1, len(word) + 1):
+                if word[pos:end] in lps:
+                    rec(end, cur + [word[pos:end]])
+
+        rec(0, [])
+        # max lp, fewest pieces, then lexicographically SMALLEST sequence
+        best = max(cands, key=lambda c: (c[0], c[1]))
+        tied = [c for c in cands if (c[0], c[1]) == (best[0], best[1])]
+        return list(min(t[2] for t in tied))
+
+    words = ["ababa", "abab", "aab", "ba"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in unigram_encode(df, model).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == best_seg(w), (w, got[i], best_seg(w))
+
+    unk = unigram_encode(
+        spark.createDataFrame([(0, "axb")], "doc_id int, text string"), model
+    ).collect()[0]
+    assert list(unk["tokens"]) == ["a", "x", "b"] and unk["n_unk"] == 1

@@ -3212,6 +3212,26 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity extraction (operators/curation.extract_entities) —
+    redact_pii's read-side sibling, over the same planted per-row
+    email/phone/IP construction (two emails to exercise the occurrence
+    index; the url rule exercises the zero-hit path). Map-only."""
+    from bigdata_etl_customer360_spark.operators.curation import extract_entities
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@example.org call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return extract_entities(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3234,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": q_hits_bipartite,
         "unigram_train": q_unigram_train,
         "unigram_tokenize": q_unigram_tokenize,
+        "extract_entities": q_extract_entities,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -4906,6 +4927,33 @@ _ORACLES: dict[str, str] = {
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 8
+    """,
+    "extract_entities": r"""
+        -- same planted text, same RE2-subset patterns, occurrence index
+        -- via a 1-based list comprehension over regexp_extract_all
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or admin@example.org call '
+                      || '555-123-4567 from 10.0.0.'
+                      || CAST(doc_id % 255 AS VARCHAR) AS text
+          FROM documents
+        ), rules AS (
+          SELECT * FROM (VALUES
+            ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+            ('url', 'https?://[^ \t\r\n]+'),
+            ('ipv4', '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'),
+            ('phone', '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')
+          ) AS t(entity_type, pat)
+        ), m AS (
+          SELECT p.doc_id, r.entity_type,
+                 regexp_extract_all(p.text, r.pat) AS ms
+          FROM planted p CROSS JOIN rules r
+        )
+        SELECT doc_id, entity_type,
+               CAST(UNNEST(range(1, len(ms) + 1)) AS BIGINT) AS occurrence,
+               UNNEST(ms) AS entity
+        FROM m
     """,
     "hits_bipartite": r"""
         -- recursive-CTE twin of the fixed-8-round HITS mutual recursion:

@@ -804,3 +804,65 @@ def dsir_weights(
             ),
         )
     )
+
+
+DEFAULT_ENTITY_RULES: Sequence[tuple[str, str]] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^ \t\r\n]+"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+)
+
+
+def extract_entities(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules: Sequence[tuple[str, str]] = DEFAULT_ENTITY_RULES,
+) -> DataFrame:
+    """Typed span extraction — :func:`redact_pii`'s read-side sibling:
+    instead of scrubbing PII-shaped spans, SURFACE every match with its
+    type and occurrence index (the audit/inventory step a curation
+    pipeline runs before deciding to redact, and the generic
+    entity-harvest for URL/contact mining from a crawl).
+
+    One row per match occurrence:
+    ``(id_col, entity_type, occurrence, entity)`` — ``occurrence`` is
+    the 1-based index of the match among ITS rule's matches in the
+    document, so repeated extraction is order-stable and the output is
+    fully deterministic. Rows with no matches for a rule emit nothing
+    for that rule; NULL text emits nothing.
+
+    Patterns must stay in the RE2 ∩ java.util.regex subset (the repo
+    regex contract — no backreferences/lookaround).
+
+    Plan: map-only — ``regexp_extract_all`` per rule inside one
+    projection, one explode over the per-rule struct array, one
+    posexplode over the match list. No UDFs, no shuffle; at 100 TB this
+    is a pure scan whose cost is the regex engine, exactly like
+    redact_pii's replace chain.
+    """
+    matches = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("_etype"),
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), F.lit(0)
+                ).alias("_ms"),
+            )
+            for name, pat in rules
+        ]
+    )
+    per_rule = df.select(
+        F.col(id_col), F.explode(matches).alias("_r")
+    ).select(id_col, F.col("_r._etype").alias("entity_type"), F.col("_r._ms").alias("_ms"))
+    return per_rule.select(
+        id_col,
+        "entity_type",
+        F.posexplode("_ms").alias("_i", "entity"),
+    ).select(
+        id_col,
+        "entity_type",
+        (F.col("_i") + F.lit(1)).cast("long").alias("occurrence"),
+        "entity",
+    )

@@ -460,3 +460,31 @@ def test_dsir_weights_matches_pure_python(spark):
         dsir_weights(df)
     with _pt.raises(ValueError, match="exactly one"):
         dsir_weights(df, target, target_ids=df.select("doc_id"))
+
+
+def test_extract_entities_types_occurrences_and_nulls(spark):
+    """One row per match per rule with a 1-based occurrence index;
+    NULL/zero-hit texts emit nothing; all four default rules fire."""
+    from bigdata_etl_customer360_spark.operators.curation import extract_entities
+
+    rows = [
+        (1, "mail a@b.co and c@d.org see https://x.io/p from 10.0.0.7"),
+        (2, "call 555-123-4567 twice 555-123-4567"),
+        (3, None),
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [
+        tuple(r)
+        for r in extract_entities(df)
+        .orderBy("doc_id", "entity_type", "occurrence")
+        .collect()
+    ]
+    assert got == [
+        (1, "email", 1, "a@b.co"),
+        (1, "email", 2, "c@d.org"),
+        (1, "ipv4", 1, "10.0.0.7"),
+        (1, "url", 1, "https://x.io/p"),
+        (2, "phone", 1, "555-123-4567"),
+        (2, "phone", 2, "555-123-4567"),
+    ]

@@ -3232,6 +3232,17 @@ def q_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_entities(docs)
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing per user over purchase values
+    (operators/temporal.holt_smooth): one struct-accumulator in-order
+    float fold per key, textbook l2=x2/b2=x2-x1 init, exact binary
+    alpha/beta, 1e-8 rounding; forecast = level + trend."""
+    from bigdata_etl_customer360_spark.operators.temporal import holt_smooth
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return holt_smooth(ev, keys=("user_id",), alpha=0.5, beta=0.25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3255,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_tokenize": q_unigram_tokenize,
         "extract_entities": q_extract_entities,
+        "holt_forecast": q_holt_forecast,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5137,6 +5149,59 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "holt_forecast": r"""
+        -- position-indexed recursive-CTE twin of the Holt recursion.
+        -- NOT list_reduce: DuckDB 1.0 evaluates struct-accumulator
+        -- lambdas with in-place field mutation on intermediate steps
+        -- (the b slot reads the already-updated l) but copy semantics
+        -- on the final step — measured, so coupled two-field recursions
+        -- cannot be expressed with it. The CTE steps positions instead;
+        -- expressions are plain columns with the recursive table
+        -- referenced once, identical IEEE associations to Spark's fold.
+        WITH RECURSIVE
+        pv AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), value) AS i
+          FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        ),
+        st AS (
+          SELECT p2.user_id, 2 AS i, p2.x AS l, p2.x - p1.x AS b
+          FROM pv p1 JOIN pv p2
+            ON p2.user_id = p1.user_id AND p1.i = 1 AND p2.i = 2
+          UNION ALL
+          SELECT s.user_id, s.i + 1,
+                 CAST(0.5 AS DOUBLE) * p.x
+                   + CAST(0.5 AS DOUBLE) * (s.l + s.b),
+                 CAST(0.25 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * p.x
+                       + CAST(0.5 AS DOUBLE) * (s.l + s.b)) - s.l)
+                   + CAST(0.75 AS DOUBLE) * s.b
+          FROM st s JOIN pv p
+            ON p.user_id = s.user_id AND p.i = s.i + 1
+        ),
+        cnt AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM pv GROUP BY user_id
+        ),
+        last AS (
+          SELECT user_id, l, b FROM st
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) = 1
+        ),
+        single AS (
+          SELECT p.user_id, p.x AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM pv p JOIN cnt c ON c.user_id = p.user_id AND c.n_points = 1
+          WHERE p.i = 1
+        )
+        SELECT c.user_id, c.n_points,
+               ROUND(f.l, 8) AS level,
+               ROUND(f.b, 8) AS trend,
+               ROUND(f.l + f.b, 8) AS forecast
+        FROM cnt c
+        JOIN (SELECT * FROM last UNION ALL SELECT * FROM single) f
+          USING (user_id)
     """,
     "ewma_value": r"""
         -- EWMA recursion as the same in-order float fold: list_reduce's

@@ -653,3 +653,92 @@ def ewma_level(
         F.count(F.lit(1)).alias("n_points"),
         let1(ordered, _fold).alias(out_col),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + additive trend) per
+    key — :func:`ewma_level`'s two-component sibling, the smallest model
+    that FORECASTS (EWMA's flat level cannot express drift):
+
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    with the textbook initialization l_2 = x_2, b_2 = x_2 - x_1
+    (Hyndman & Athanasopoulos, FPP) and the recursion running from the
+    third point. Output per key: ``(*keys, n_points, level, trend,
+    forecast)`` with ``forecast = level + trend`` (the one-step-ahead
+    point forecast), all rounded 1e-8. Single-point keys pin
+    ``(level=x, trend=0)``; NULL ts/value rows are excluded.
+
+    Determinism: the in-order-float-fold contract with a STRUCT
+    accumulator — order pinned by (epoch-micros, value), alpha/beta
+    exact binary fractions, one fold per key (DuckDB mirrors it with a
+    struct-valued ``list_reduce``). The level expression appears twice
+    per step (inside its own slot and inside the trend update); both
+    engines recompute the identical IEEE expression, so duplication is
+    value-neutral.
+
+    Scale: identical to ewma_level — one map-side-combined shuffle on
+    ``keys``, per-entity series only (pre-aggregate to a coarse tick for
+    global series).
+    """
+    from bigdata_etl_customer360_spark.operators.util import let1
+
+    a = float(alpha)
+    bt = float(beta)
+    for name, v in (("alpha", a), ("beta", bt)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {v!r}")
+    clean = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("_ts"),
+                    F.col(value_col).cast("double").alias("_v"),
+                )
+            )
+        ),
+        lambda s: s["_v"],
+    )
+
+    def _fold(v: Column) -> Column:
+        n = F.size(v)
+        x1 = F.element_at(v, 1)
+        x2 = F.element_at(v, 2)
+        init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+
+        def step(acc: Column, x: Column) -> Column:
+            newl = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            newb = F.lit(bt) * (newl - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+            return F.struct(newl.alias("l"), newb.alias("b"))
+
+        folded = F.aggregate(
+            F.slice(v, 3, F.greatest(n - 2, F.lit(0))), init, step
+        )
+        level = F.when(n == 1, x1).otherwise(folded["l"])
+        trend = F.when(n == 1, F.lit(0.0)).otherwise(folded["b"])
+        return F.struct(
+            F.round(level, 8).alias("level"),
+            F.round(trend, 8).alias("trend"),
+            F.round(level + trend, 8).alias("forecast"),
+        )
+
+    out = clean.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        let1(ordered, _fold).alias("_h"),
+    )
+    return out.select(
+        *keys,
+        "n_points",
+        F.col("_h.level").alias("level"),
+        F.col("_h.trend").alias("trend"),
+        F.col("_h.forecast").alias("forecast"),
+    )

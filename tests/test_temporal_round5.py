@@ -863,3 +863,46 @@ def test_ewma_level_rejects_bad_alpha(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             ewma_level(df, alpha=bad)
+
+
+def test_holt_smooth_matches_pure_python_and_degenerates(spark):
+    """holt_smooth == the textbook recursion run in pure Python
+    (l2=x2, b2=x2-x1 init); n=1 pins (x, 0); n=2 returns the init; a
+    perfect linear series locks level on the line and trend on the
+    slope."""
+    import pytest as _pt
+
+    from bigdata_etl_customer360_spark.operators.temporal import holt_smooth
+
+    series = {
+        "u1": [53.37, 5.12, 2.59, 9.77, 30.49, 12.0, 44.5],
+        "u2": [7.5],
+        "u3": [2.0, 6.0],
+        "lin": [1.0, 3.0, 5.0, 7.0, 9.0],
+    }
+    rows = [
+        (k, _ts(days=i), v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r["user_id"]: r for r in holt_smooth(df, alpha=0.5, beta=0.25).collect()}
+
+    def ref(vs, a=0.5, b=0.25):
+        if len(vs) == 1:
+            return vs[0], 0.0
+        l, t = vs[1], vs[1] - vs[0]
+        for x in vs[2:]:
+            nl = a * x + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        return l, t
+
+    for k, vs in series.items():
+        wl, wt = ref(vs)
+        assert got[k]["n_points"] == len(vs)
+        assert got[k]["level"] == _pt.approx(wl, abs=1e-8)
+        assert got[k]["trend"] == _pt.approx(wt, abs=1e-8)
+        assert got[k]["forecast"] == _pt.approx(
+            round(wl, 8) + round(wt, 8), abs=2e-8
+        )
+    assert got["lin"]["level"] == 9.0 and got["lin"]["trend"] == 2.0
+    assert got["u3"]["level"] == 6.0 and got["u3"]["trend"] == 4.0

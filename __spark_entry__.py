@@ -3243,6 +3243,24 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_smooth(ev, keys=("user_id",), alpha=0.5, beta=0.25)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/curation.normalize_text): NFC
+    via an Arrow pandas UDF + JVM-side control-strip and whitespace
+    collapse, pinned order. Even doc_ids get planted decomposed-e-acute
+    + control byte + ragged whitespace (the corpus is clean ASCII);
+    odd ids exercise the unchanged path."""
+    from bigdata_etl_customer360_spark.operators.curation import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("  café \tend\x01")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_text(docs).select("doc_id", "normalized", "n_changed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3267,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "extract_entities": q_extract_entities,
         "holt_forecast": q_holt_forecast,
+        "normalize_text": q_normalize_text,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5149,6 +5168,31 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "normalize_text": r"""
+        -- same plant, same pinned order: nfc_normalize -> control strip
+        -- -> whitespace collapse -> trim; single-quoted SQL strings pass
+        -- backslashes through to RE2 verbatim
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN text || '  cafe' || chr(769) || ' ' || chr(9)
+                                || 'end' || chr(1)
+                      ELSE text END AS text
+          FROM documents
+        ), norm AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                        regexp_replace(nfc_normalize(text),
+                                       '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                        '[ \t\r\n\x0b\f]+', ' ', 'g')) AS normalized
+          FROM planted
+        )
+        SELECT doc_id, normalized,
+               CAST(CASE WHEN text IS NULL THEN 0
+                         WHEN normalized <> text THEN 1
+                         ELSE 0 END AS BIGINT) AS n_changed
+        FROM norm
     """,
     "holt_forecast": r"""
         -- position-indexed recursive-CTE twin of the Holt recursion.

@@ -866,3 +866,59 @@ def extract_entities(
         (F.col("_i") + F.lit(1)).cast("long").alias("occurrence"),
         "entity",
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Unicode canonicalization — the cleanup pass that runs BEFORE any
+    fingerprint/dedup/tokenize step so that byte-different, render-equal
+    strings collapse ("café" composed vs decomposed, stray control
+    bytes, ragged whitespace):
+
+    1. NFC normalization (combining sequences -> precomposed forms) —
+       Spark has no built-in, so this single step is an Arrow-batched
+       pandas UDF over ``unicodedata.normalize``;
+    2. control-character strip (C0 minus whitespace, plus DEL) and
+    3. whitespace-run collapse to single spaces + trim — both plain
+       ``regexp_replace`` (JVM-side, RE2-subset patterns).
+
+    The order is pinned (NFC, strip, collapse, trim) and every step is
+    mirrored exactly by the oracle (DuckDB ``nfc_normalize``). NULL
+    passes through as NULL. Output keeps every input column and appends
+    ``out_col`` plus ``n_changed`` (0/1 — did normalization alter the
+    string), the cheap audit counter.
+
+    Scale: map-only; the UDF is the only Python hop and transfers one
+    string column through Arrow. At 100 TB this is scan-bound, like
+    strip_html.
+    """
+    def _nfc_series(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc = F.pandas_udf(_nfc_series, "string")
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                _nfc(F.col(text_col)),
+                r"[\x00-\x08\x0e-\x1f\x7f]",
+                "",
+            ),
+            r"[ \t\r\n\x0b\f]+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, cleaned).withColumn(
+        "n_changed",
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .when(F.col(out_col) != F.col(text_col), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -488,3 +488,26 @@ def test_extract_entities_types_occurrences_and_nulls(spark):
         (2, "phone", 1, "555-123-4567"),
         (2, "phone", 2, "555-123-4567"),
     ]
+
+
+def test_normalize_text_nfc_controls_whitespace_null(spark):
+    """NFC composes combining sequences; C0 controls strip; whitespace
+    runs collapse; trim; NULL passes through; n_changed flags only real
+    changes."""
+    from bigdata_etl_customer360_spark.operators.curation import normalize_text
+
+    rows = [
+        (1, "café time"),          # decomposed -> composed
+        (2, "ab\x01c\td  e "),            # control + tab + runs + trail
+        (3, None),
+        (4, "already clean"),
+        (5, "café"),                  # composed stays, no change
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["normalized"], r["n_changed"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("café time", 1)
+    assert got[2] == ("abc d e", 1)
+    assert got[3] == (None, 0)
+    assert got[4] == ("already clean", 0)
+    assert got[5] == ("café", 0)

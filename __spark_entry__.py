@@ -3261,6 +3261,19 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "normalized", "n_changed")
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the stop-word lang-ID heuristic
+    against the true lang column (operators/quality.classifier_metrics):
+    exact confusion counts collapsed in ONE aggregate, fixed-shape
+    unrounded double ratios (the linear_trend contract), NULL on zero
+    denominators. The measure-before-you-filter half of the loop."""
+    from bigdata_etl_customer360_spark.operators.quality import classifier_metrics
+    from bigdata_etl_customer360_spark.operators.textstats import with_lang_id
+
+    docs = with_lang_id(_t(spark, sf_dir, "documents"))
+    return classifier_metrics(docs, "lang", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3286,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_entities": q_extract_entities,
         "holt_forecast": q_holt_forecast,
         "normalize_text": q_normalize_text,
+        "classifier_eval": q_classifier_eval,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5168,6 +5182,63 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "classifier_eval": r"""
+        -- lang_id's exact prediction mirror feeding exact confusion
+        -- counts; ratios are the IDENTICAL fixed-shape double
+        -- expressions, unrounded (integer inputs -> bit-identical)
+        WITH s AS (
+          SELECT doc_id, lang,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est'], x))) AS s_fr
+          FROM (SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)
+        ), pred AS (
+          SELECT lang AS t,
+            CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                 WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                 WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+            END AS p
+          FROM s
+          WHERE lang IS NOT NULL
+        ), cells AS (
+          SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY t, p
+        ), tt AS (
+          SELECT t AS label, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY t
+        ), pt AS (
+          SELECT p AS label, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY p
+        ), tp AS (
+          SELECT t AS label, n AS tp FROM cells WHERE t = p
+        ), base AS (
+          SELECT COALESCE(tt.label, pt.label) AS label,
+                 CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+                 CAST(COALESCE(pt.tot, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fp,
+                 CAST(COALESCE(tt.tot, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fn
+          FROM tt
+          FULL OUTER JOIN pt ON pt.label = tt.label
+          LEFT JOIN tp ON tp.label = COALESCE(tt.label, pt.label)
+        )
+        SELECT label, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                 AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+                 AS recall,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0
+                     AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                         + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0.0
+                    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                             * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                         / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                            + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) END
+                 AS f1
+        FROM base
     """,
     "normalize_text": r"""
         -- same plant, same pinned order: nfc_normalize -> control strip

@@ -896,3 +896,74 @@ def linear_trend(
         F.when(den > F.lit(0.0), slope).alias("slope"),
         F.when(den > F.lit(0.0), (sy - slope * sx) / n).alias("intercept"),
     )
+
+
+def classifier_metrics(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class classifier evaluation from exact confusion counts — the
+    feedback half of the curation loop (train with
+    ``textstats.nb_classify`` / heuristic lang-ID, then MEASURE it
+    before trusting it to filter a corpus):
+
+        precision = tp / (tp + fp)     recall = tp / (tp + fn)
+        f1 = 2*p*r / (p + r)
+
+    per label, over the union of true and predicted label sets (a label
+    never predicted still reports its fn; a hallucinated label its fp).
+    Zero denominators pin to NULL, never NaN (the corr_matrix
+    convention). Counts are exact BIGINTs; the ratios are fixed-shape
+    double expressions over them (bit-identical across engines,
+    unrounded — the linear_trend contract). Rows with NULL in either
+    column are excluded (not a prediction, not a miss).
+
+    Plan: ONE hash aggregate collapses the data to |labels|² confusion
+    cells; everything after operates on that tiny frame (two rollups +
+    two outer joins). Output:
+    ``(label, tp, fp, fn, precision, recall, f1)``.
+    """
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+    clean = df.filter(F.col(true_col).isNotNull() & F.col(pred_col).isNotNull())
+    cells = scoped_cache(
+        clean.groupBy(
+            F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tp = cells.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("_n").alias("_tp")
+    )
+    true_tot = cells.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").alias("_tt")
+    )
+    pred_tot = cells.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("_pt")
+    )
+    base = (
+        true_tot.join(pred_tot, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("_tp"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("_pt"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("_tt"), F.lit(0)) - F.coalesce(F.col("_tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    p = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    r = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    return base.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, p).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, r).alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (p + r > F.lit(0.0)),
+            F.lit(2.0) * p * r / (p + r),
+        ).alias("f1"),
+    )

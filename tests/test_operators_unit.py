@@ -2524,3 +2524,31 @@ def test_unigram_encode_viterbi_optimal_and_unk(spark):
         spark.createDataFrame([(0, "axb")], "doc_id int, text string"), model
     ).collect()[0]
     assert list(unk["tokens"]) == ["a", "x", "b"] and unk["n_unk"] == 1
+
+
+# ------------------------------------------------------------ classifier eval
+
+
+def test_classifier_metrics_counts_ratios_and_edge_labels(spark):
+    """Confusion counts over the union of label sets: a never-predicted
+    label reports fn with NULL precision; a hallucinated label reports
+    fp with NULL recall; NULL rows are excluded."""
+    from bigdata_etl_customer360_spark.operators.quality import classifier_metrics
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+            ("c", "c"), ("d", "a"), (None, "a"), ("a", None),
+            ("x", "hallucinated")]
+    df = spark.createDataFrame(rows, "y string, yhat string")
+    got = {r["label"]: r for r in classifier_metrics(df, "y", "yhat").collect()}
+    assert (got["a"]["tp"], got["a"]["fp"], got["a"]["fn"]) == (2, 2, 1)
+    assert got["a"]["precision"] == pytest.approx(0.5)
+    assert got["a"]["recall"] == pytest.approx(2 / 3)
+    assert got["a"]["f1"] == pytest.approx(2 * 0.5 * (2 / 3) / (0.5 + 2 / 3))
+    assert (got["c"]["precision"], got["c"]["recall"], got["c"]["f1"]) == (1.0, 1.0, 1.0)
+    # 'd' never predicted: NULL precision, 0 recall, NULL f1
+    assert got["d"]["precision"] is None and got["d"]["recall"] == 0.0
+    assert got["d"]["f1"] is None
+    # 'hallucinated' never true: fp only, NULL recall
+    h = got["hallucinated"]
+    assert (h["tp"], h["fp"], h["fn"]) == (0, 1, 0)
+    assert h["recall"] is None and h["precision"] == 0.0

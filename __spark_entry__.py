@@ -3274,18 +3274,41 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_metrics(docs, "lang", "lang_pred")
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-AND-earliest order frontier (operators/relational.
+    pareto_frontier minimizing (o_totalprice, o_orderdate)): per-x-group
+    best + strict-predecessor running-min window — no self-join, never
+    all-pairs. Oracle IS the quadratic NOT EXISTS dominance definition."""
+    from bigdata_etl_customer360_spark.operators.relational import pareto_frontier
+
+    o = _t(spark, sf_dir, "orders")
+    return pareto_frontier(o, "o_totalprice", "o_orderdate").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test, purchase vs view event values
+    (operators/quality.ab_test): exact decimal moments in ONE
+    conditional aggregate, fixed-shape unrounded double closed forms
+    (the linear_trend contract), NULL-not-NaN degenerate pins."""
+    from bigdata_etl_customer360_spark.operators.quality import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test(ev, "event_type", "value", "purchase", "view")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
     # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
     # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
-    # Round-8 window (r7 VERDICT item 1): the never-verified round-7/8
-    # additions (dedup_stream, bpe_encode, multimodal_tar) + pagerank (oracle
-    # new in r7, last driver row was rows-only in r5) + the 42 remaining
-    # queries whose last CORRECTNESS row is r5, topped up to 50 with the
-    # first 4 of the r6 cohort (next-stalest).  Verified-in-r6/r7 queries
-    # follow, ordered r6 cohort then r7 cohort, so future rotations keep
-    # promoting the stalest block.
+    # Round-8 window: the 12 queries added in the second half of round 8
+    # (ewma_value .. classifier_eval — never driver-verified) + the 12
+    # round-8 first-half additions + bpe_encode/multimodal_tar/pagerank
+    # (certification-pending since r7) + as many of the r5-stale cohort as
+    # fit.  The r5-stale remainder now leads the positions-50+ block and
+    # should head the r9 rotation, followed by the r6 cohort.
     return {
         # --- driver window: never-verified + r5-stale cohort ---
         "ewma_value": q_ewma_value,
@@ -3300,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "normalize_text": q_normalize_text,
         "classifier_eval": q_classifier_eval,
+        "pareto_frontier": q_pareto_frontier,
+        "ab_test": q_ab_test,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5182,6 +5207,70 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "pareto_frontier": r"""
+        -- ground truth IS the quadratic dominance definition; the
+        -- window formulation must recover exactly these rows
+        SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, a.o_orderdate
+        FROM orders a
+        WHERE a.o_totalprice IS NOT NULL AND a.o_orderdate IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM orders b
+            WHERE b.o_totalprice IS NOT NULL AND b.o_orderdate IS NOT NULL
+              AND b.o_totalprice <= a.o_totalprice
+              AND b.o_orderdate <= a.o_orderdate
+              AND (b.o_totalprice < a.o_totalprice
+                   OR b.o_orderdate < a.o_orderdate))
+    """,
+    "ab_test": r"""
+        -- Welch mirror: exact decimal moments, decimal->double via
+        -- VARCHAR, IDENTICAL unrounded double closed forms
+        WITH m AS (
+          SELECT
+            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS na,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS nb,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS sa,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS sb,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))
+                               AS DECIMAL(38,4)) END) AS qa,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))
+                               AS DECIMAL(38,4)) END) AS qb
+          FROM events WHERE value IS NOT NULL
+        ), d AS (
+          SELECT na, nb,
+                 CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                 CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+                 CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd,
+                 CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS qad,
+                 CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS qbd
+          FROM m
+        ), e AS (
+          SELECT *, sad / nad AS mean_a, sbd / nbd AS mean_b,
+                 (nad * qad - sad * sad) / (nad * (nad - 1.0)) AS va,
+                 (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)) AS vb
+          FROM d
+        ), f AS (
+          SELECT *, va / nad AS sea, vb / nbd AS seb FROM e
+        ), g AS (
+          SELECT *, sea + seb AS se2 FROM f
+        )
+        SELECT na AS n_a, nb AS n_b,
+               CASE WHEN na >= 1 THEN mean_a END AS mean_a,
+               CASE WHEN nb >= 1 THEN mean_b END AS mean_b,
+               CASE WHEN na >= 1 AND nb >= 1 THEN mean_a - mean_b END AS diff,
+               CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+                    THEN (mean_a - mean_b) / sqrt(se2) END AS t_stat,
+               CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+                    THEN (se2 * se2)
+                         / (sea * sea / (nad - 1.0)
+                            + seb * seb / (nbd - 1.0)) END AS welch_df
+        FROM g
     """,
     "classifier_eval": r"""
         -- lang_id's exact prediction mirror feeding exact confusion

@@ -967,3 +967,82 @@ def classifier_metrics(
             F.lit(2.0) * p * r / (p + r),
         ).alias("f1"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 2,
+) -> DataFrame:
+    """Welch's two-sample t-test between two named groups — the
+    experiment-readout operator (does variant B move the metric?),
+    computed the :func:`linear_trend` way: exact decimal moments
+    (n, Σx, Σx²) per group in ONE aggregate over one scan, then the
+    fixed-shape double closed forms
+
+        mean    = Σx / n
+        s²      = (n·Σx² − Σx·Σx) / (n·(n−1))      (sample variance)
+        t       = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df      = (s²_a/n_a + s²_b/n_b)²
+                  / ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    (Welch–Satterthwaite), all UNROUNDED (identical IEEE sequences are
+    bit-identical across engines; the t magnitudes live far from any
+    rounding boundary anyway). Degenerate inputs pin to NULL, never
+    NaN/Inf: a group with n < 2 has no sample variance; zero pooled
+    standard error (both groups constant) has no t. Values must be
+    exactly representable at DECIMAL(18, scale) — metric columns, not
+    free doubles. NULL values are excluded.
+
+    Output: one row —
+    ``(n_a, n_b, mean_a, mean_b, diff, t_stat, welch_df)``.
+
+    Plan: one map-side-combined conditional aggregate (two CASE-gated
+    moment sets in a single pass); output is a single row. Zero joins,
+    zero windows, zero UDFs.
+    """
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    v = F.col(value_col).cast(dec_in)
+    clean = df.filter(F.col(value_col).isNotNull())
+
+    def side(tag, group):
+        cond = F.col(group_col) == F.lit(group)
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"_n{tag}"),
+            F.sum(F.when(cond, v)).alias(f"_s{tag}"),
+            F.sum(F.when(cond, (v * v).cast(dec_prod))).alias(f"_q{tag}"),
+        ]
+
+    m = clean.agg(*side("a", group_a), *side("b", group_b))
+
+    def stats(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        s = F.col(f"_s{tag}").cast("double")
+        q = F.col(f"_q{tag}").cast("double")
+        mean = s / n
+        var = (n * q - s * s) / (n * (n - F.lit(1.0)))
+        return n, mean, var
+
+    na, mean_a, va = stats("a")
+    nb, mean_b, vb = stats("b")
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    wdf = (se2 * se2) / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0)))
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2)
+    return m.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(F.col("_na") >= 1, mean_a).alias("mean_a"),
+        F.when(F.col("_nb") >= 1, mean_b).alias("mean_b"),
+        F.when((F.col("_na") >= 1) & (F.col("_nb") >= 1), mean_a - mean_b).alias(
+            "diff"
+        ),
+        F.when(ok & (se2 > F.lit(0.0)), t).alias("t_stat"),
+        F.when(ok & (se2 > F.lit(0.0)), wdf).alias("welch_df"),
+    )

@@ -430,3 +430,61 @@ def assign_row_ids(
         .cast("long")
         .alias(out_col),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    minimize_y: bool = True,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows no other row dominates,
+    where "a dominates b" means a is <= b on both criteria and strictly
+    better on at least one (after orienting each axis by its
+    ``minimize_*`` flag). The multi-criteria "best offers" operator —
+    cheapest-AND-earliest orders, cost-vs-latency suppliers — that no
+    single ORDER BY can express. Ties are kept: two identical points do
+    not dominate each other, so duplicate frontier points all survive.
+
+    Plan (no UDF, no self-join, never all-pairs):
+
+    1. group by x -> per-group best y (one hash aggregate);
+    2. over the grouped frame, ordered by oriented x, the running best y
+       over STRICTLY smaller x (``ROWS .. 1 PRECEDING`` — rows are
+       distinct in x after the grouping, so the frame IS the strict
+       predecessor set; one single-partition window over |distinct x|
+       rows, the bounded-domain exception to the no-global-window rule —
+       a frontier input is an aggregate, not a fact table);
+    3. an x-group survives iff its best y strictly beats every
+       predecessor's best (a predecessor with equal best-y and smaller x
+       dominates); surviving groups join back (broadcast — the frontier
+       candidate set is tiny) to recover the original rows with
+       y == the group best.
+
+    Exactness: pure comparisons on original values — no floats are
+    created, so any orderable numeric column works. Rows with NULL in
+    either criterion are excluded (incomparable). Output: the input
+    rows (all columns) that lie on the frontier.
+    """
+    sx = F.col(x_col) if minimize_x else -F.col(x_col)
+    best_y = F.min(y_col) if minimize_y else F.max(y_col)
+    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    groups = clean.groupBy(x_col).agg(best_y.alias("_by"))
+    w = Window.orderBy(sx).rowsBetween(Window.unboundedPreceding, -1)
+    prior = (F.min("_by") if minimize_y else F.max("_by")).over(w)
+    beats = (
+        F.col("_by") < F.col("_prior")
+        if minimize_y
+        else F.col("_by") > F.col("_prior")
+    )
+    survivors = (
+        groups.withColumn("_prior", prior)
+        .filter(F.col("_prior").isNull() | beats)
+        .select(x_col, "_by")
+    )
+    return clean.join(
+        F.broadcast(survivors),
+        (clean[x_col] == survivors[x_col]) & (clean[y_col] == survivors["_by"]),
+        "left_semi",
+    )

@@ -2552,3 +2552,90 @@ def test_classifier_metrics_counts_ratios_and_edge_labels(spark):
     h = got["hallucinated"]
     assert (h["tp"], h["fp"], h["fn"]) == (0, 1, 0)
     assert h["recall"] is None and h["precision"] == 0.0
+
+
+# ------------------------------------------------------------ pareto frontier
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """Window formulation == the quadratic dominance definition, on
+    random integer points with planted duplicates, for both min/min and
+    min/max orientations; NULL criteria rows are excluded."""
+    import random
+
+    from bigdata_etl_customer360_spark.operators.relational import pareto_frontier
+
+    rng = random.Random(11)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20)) for i in range(80)]
+    pts += [(100 + i, x, y) for i, (x, y) in enumerate([(0, 5), (0, 5), (3, 3)])]
+    pts += [(200, None, 1), (201, 1, None)]
+    df = spark.createDataFrame(pts, "pid int, x int, y int")
+
+    def brute(minx, miny):
+        clean = [(p, x, y) for p, x, y in pts if x is not None and y is not None]
+
+        def dominates(a, b):
+            ax, ay = (a[1], a[2]) if minx else (-a[1], a[2])
+            bx, by = (b[1], b[2]) if minx else (-b[1], b[2])
+            if not miny:
+                ay, by = -ay, -by
+            return ax <= bx and ay <= by and (ax < bx or ay < by)
+
+        return {
+            p for p, x, y in clean
+            if not any(dominates(b, (p, x, y)) for b in clean)
+        }
+
+    for minx, miny in ((True, True), (True, False), (False, True)):
+        got = {
+            r["pid"]
+            for r in pareto_frontier(
+                df, "x", "y", minimize_x=minx, minimize_y=miny
+            ).collect()
+        }
+        assert got == brute(minx, miny), (minx, miny)
+
+
+# ------------------------------------------------------------ welch t-test
+
+
+def test_ab_test_matches_manual_welch_and_degenerates(spark):
+    """ab_test == the Welch formulas computed in plain Python; n<2 and
+    zero-variance cases pin t/df to NULL."""
+    import math
+
+    from bigdata_etl_customer360_spark.operators.quality import ab_test
+
+    a = [10.0, 12.5, 11.25, 9.75, 13.0]
+    bvals = [8.0, 9.5, 7.25, 10.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in bvals] + [("C", 1.0), ("A", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = ab_test(df, "grp", "value", "A", "B").collect()[0]
+
+    def mv(vs):
+        n = len(vs)
+        s = sum(vs)
+        q = sum(v * v for v in vs)
+        return n, s / n, (n * q - s * s) / (n * (n - 1))
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(bvals)
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / math.sqrt(se2)
+    wdf = se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["mean_a"] == pytest.approx(ma, rel=1e-12)
+    assert got["mean_b"] == pytest.approx(mb, rel=1e-12)
+    assert got["diff"] == pytest.approx(ma - mb, rel=1e-12)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert got["welch_df"] == pytest.approx(wdf, rel=1e-12)
+
+    # degenerate: B has one point -> no t; constant groups -> no t
+    one = ab_test(df, "grp", "value", "A", "C").collect()[0]
+    assert one["t_stat"] is None and one["welch_df"] is None
+    const = spark.createDataFrame(
+        [("A", 1.0)] * 3 + [("B", 2.0)] * 3, "grp string, value double"
+    )
+    z = ab_test(const, "grp", "value", "A", "B").collect()[0]
+    assert z["t_stat"] is None and z["diff"] == pytest.approx(-1.0)

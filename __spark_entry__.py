@@ -3298,6 +3298,50 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test(ev, "event_type", "value", "purchase", "view")
 
 
+def q_revenue_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation coverage cut (operators/relational.take_until_share):
+    the customers whose revenue prefix reaches 3/4 of their nation's
+    total — heaviest first, custkey tie-break, the keep/drop decision in
+    exact DECIMAL arithmetic (prev_cum*4 < total*3; no float enters).
+    One shuffle shared by both windows."""
+    from bigdata_etl_customer360_spark.operators.relational import take_until_share
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d")
+    )
+    joined = rev.join(
+        F.broadcast(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+        ),
+        "o_custkey",
+    )
+    kept = take_until_share(
+        joined, ["c_nationkey"], "revenue_d", "o_custkey", share_num=3, share_den=4
+    )
+    return kept.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("revenue_d").cast("double").alias("revenue"),
+    )
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier transit coverage: each lineitem is in transit for
+    [shipdate, shipdate+14d); operators/temporal.merge_intervals unions
+    the overlapping/touching windows — one shuffle, sessionize-shaped
+    break/cumsum windows, exact timestamp comparisons."""
+    from bigdata_etl_customer360_spark.operators.temporal import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    return merge_intervals(li, ["suppkey"], "s", "e")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3325,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": q_classifier_eval,
         "pareto_frontier": q_pareto_frontier,
         "ab_test": q_ab_test,
+        "revenue_nucleus": q_revenue_nucleus,
+        "merge_intervals": q_merge_intervals,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5207,6 +5253,54 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "merge_intervals": r"""
+        -- same break/cumsum formulation: strict s > prior-max-end break
+        -- (touching half-open windows merge), (s, e) sort, exact
+        -- timestamp min/max
+        WITH iv AS (
+          SELECT l_suppkey AS suppkey, l_shipdate AS s,
+                 l_shipdate + INTERVAL 14 DAY AS e
+          FROM lineitem WHERE l_shipdate IS NOT NULL
+        ), w AS (
+          SELECT suppkey, s, e,
+                 MAX(e) OVER (PARTITION BY suppkey ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pme
+          FROM iv
+        ), b AS (
+          SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+          FROM w
+        ), g AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY suppkey ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+          FROM b
+        )
+        SELECT suppkey, MIN(s) AS merged_start, MAX(e) AS merged_end,
+               CAST(COUNT(*) AS BIGINT) AS n_source
+        FROM g GROUP BY suppkey, gid
+    """,
+    "revenue_nucleus": r"""
+        -- exact-decimal coverage cut: keep while prev_cum*4 < total*3,
+        -- heaviest first with custkey tie-break; revenue -> double via
+        -- VARCHAR (wide-decimal cast gotcha)
+        WITH rev AS (
+          SELECT c.c_nationkey AS nation, o.o_custkey AS custkey,
+                 SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revd
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2
+        ), cum AS (
+          SELECT nation, custkey, revd,
+                 COALESCE(SUM(revd) OVER (
+                   PARTITION BY nation ORDER BY revd DESC, custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pc,
+                 SUM(revd) OVER (PARTITION BY nation) AS tt
+          FROM rev
+        )
+        SELECT nation, custkey,
+               CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue
+        FROM cum WHERE pc * 4 < tt * 3
     """,
     "pareto_frontier": r"""
         -- ground truth IS the quadratic dominance definition; the

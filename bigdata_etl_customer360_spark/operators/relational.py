@@ -488,3 +488,52 @@ def pareto_frontier(
         (clean[x_col] == survivors[x_col]) & (clean[y_col] == survivors["_by"]),
         "left_semi",
     )
+
+
+def take_until_share(
+    df: DataFrame,
+    keys: Sequence[str],
+    weight_col: str,
+    order_col: str,
+    share_num: int = 9,
+    share_den: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group nucleus selection: order each group's rows by weight
+    (heaviest first, ``order_col`` breaking ties) and keep the SHORTEST
+    prefix whose weight reaches ``share_num/share_den`` of the group
+    total — "the domains that cover 90% of traffic", "the customers
+    behind 3/4 of revenue": the coverage cut a fixed top-k cannot
+    express (skewed groups need 3 rows, flat groups need 300).
+
+    A row survives iff the cumulative weight BEFORE it is still short of
+    the target: ``prev_cum * den < total * num`` — evaluated entirely in
+    exact DECIMAL/integer arithmetic (weights cast to
+    DECIMAL(18, scale); no float ever enters the decision), so the cut
+    is deterministic and engine-exact. The first row of every non-empty
+    group always survives (prev_cum = 0); rows with NULL weight are
+    excluded.
+
+    Plan: ONE shuffle on ``keys`` shared by the running-sum window and
+    the group-total window (same partitioning — Catalyst reuses the
+    exchange); no joins, no UDFs. Output: the surviving input rows.
+    """
+    dec_in = f"decimal(18,{scale})"
+    w = F.col(weight_col).cast(dec_in)
+    clean = df.filter(F.col(weight_col).isNotNull())
+    by_key = Window.partitionBy(*[F.col(k) for k in keys])
+    ordered = by_key.orderBy(F.col(weight_col).desc(), F.col(order_col).asc())
+    prev_cum = F.coalesce(
+        F.sum(w).over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast(dec_in),
+    )
+    total = F.sum(w).over(by_key)
+    return (
+        clean.withColumn("_pc", prev_cum)
+        .withColumn("_tt", total)
+        .filter(
+            F.col("_pc") * F.lit(int(share_den))
+            < F.col("_tt") * F.lit(int(share_num))
+        )
+        .drop("_pc", "_tt")
+    )

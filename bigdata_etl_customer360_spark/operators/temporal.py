@@ -742,3 +742,63 @@ def holt_smooth(
         F.col("_h.trend").alias("trend"),
         F.col("_h.forecast").alias("forecast"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key — the coverage
+    primitive (machine uptime, user on-screen time, content
+    availability windows): half-open ``[start, end)`` inputs collapse to
+    the minimal set of disjoint covering intervals, plus per-interval
+    counts. Intervals that merely TOUCH (a.end == b.start) merge — the
+    half-open union has no gap there. Zero-length intervals (start ==
+    end) are kept and merge into anything containing their point.
+
+    Algorithm (the sessionize shape — one window, no joins): order each
+    key's intervals by (start, end); an interval starts a NEW merged
+    group iff its start exceeds the running max of all PRIOR ends
+    (strictly greater — equality touches); group id = running sum of
+    break flags; one grouped aggregate emits
+    ``(keys..., merged_start = min(start), merged_end = max(end),
+    n_source = count)``.
+
+    Exactness: pure comparisons and min/max on the original values — any
+    orderable type (timestamps, epochs, integers) works unchanged, and
+    the output is engine-exact. Rows with NULL bounds or end < start are
+    rejected with a loud filter upstream contract (here: excluded).
+
+    Plan: ONE shuffle on ``keys`` shared by both windows and the final
+    groupBy (same partitioning — exchange reuse); state is O(1) per row.
+    """
+    clean = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
+    by_key = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prior_max_end = F.max(end_col).over(
+        by_key.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.when(prior_max_end.isNull(), F.lit(1))
+        .when(F.col(start_col) > prior_max_end, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    grouped = clean.withColumn("_brk", brk).withColumn(
+        "_gid", F.sum("_brk").over(by_key.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy(*[F.col(k) for k in keys], F.col("_gid"))
+        .agg(
+            F.min(start_col).alias("merged_start"),
+            F.max(end_col).alias("merged_end"),
+            F.count(F.lit(1)).alias("n_source"),
+        )
+        .drop("_gid")
+    )

@@ -2639,3 +2639,37 @@ def test_ab_test_matches_manual_welch_and_degenerates(spark):
     )
     z = ab_test(const, "grp", "value", "A", "B").collect()[0]
     assert z["t_stat"] is None and z["diff"] == pytest.approx(-1.0)
+
+
+# ------------------------------------------------------------ coverage cut
+
+
+def test_take_until_share_exact_cut_and_ties(spark):
+    """Keep the shortest heaviest prefix reaching num/den of the group
+    total; first row always survives; exact-decimal decision; NULL
+    weights excluded; weight ties break on order_col."""
+    from bigdata_etl_customer360_spark.operators.relational import take_until_share
+
+    rows = [
+        ("g1", "a", 50.0), ("g1", "b", 30.0), ("g1", "c", 15.0), ("g1", "d", 5.0),
+        ("g2", "x", 10.0), ("g2", "y", 10.0), ("g2", "z", 10.0),
+        ("g3", "q", 1.0), ("g3", "r", None),
+        # tie group at 50%: a and b tie at 5; cut after first
+        ("g4", "b", 5.0), ("g4", "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, item string, w double")
+    got = sorted(
+        (r["g"], r["item"])
+        for r in take_until_share(df, ["g"], "w", "item", 9, 10).collect()
+    )
+    assert got == [("g1", "a"), ("g1", "b"), ("g1", "c"),
+                   ("g2", "x"), ("g2", "y"), ("g2", "z"),
+                   ("g3", "q"), ("g4", "a"), ("g4", "b")]
+    half = sorted(
+        (r["g"], r["item"])
+        for r in take_until_share(df, ["g"], "w", "item", 1, 2).collect()
+    )
+    # g1: a alone reaches 50% exactly -> prev_cum(b)=50, 50*2 < 100*1 false
+    assert ("g1", "a") in half and ("g1", "b") not in half
+    # g4 tie: 'a' sorts first (order_col), reaches exactly half -> b drops
+    assert ("g4", "a") in half and ("g4", "b") not in half

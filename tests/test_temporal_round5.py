@@ -906,3 +906,18 @@ def test_holt_smooth_matches_pure_python_and_degenerates(spark):
         )
     assert got["lin"]["level"] == 9.0 and got["lin"]["trend"] == 2.0
     assert got["u3"]["level"] == 6.0 and got["u3"]["trend"] == 4.0
+
+
+def test_merge_intervals_touch_zero_len_null_invalid(spark):
+    """Touching half-open intervals merge; zero-length points absorb;
+    NULL bounds and end<start rows are excluded; disjoint keys stay
+    independent."""
+    from bigdata_etl_customer360_spark.operators.temporal import merge_intervals
+
+    rows = [("k", 1, 5), ("k", 4, 8), ("k", 8, 10), ("k", 12, 13),
+            ("k", 12, 12), ("k", 20, 21),
+            ("j", 1, 2), ("j", 3, 4), ("j", None, 5), ("j", 6, 5)]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(tuple(r) for r in merge_intervals(df, ["k"], "s", "e").collect())
+    assert got == [("j", 1, 2, 1), ("j", 3, 4, 1),
+                   ("k", 1, 10, 3), ("k", 12, 13, 2), ("k", 20, 21, 1)]

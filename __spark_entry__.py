@@ -3342,6 +3342,19 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(li, ["suppkey"], "s", "e")
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard>=0.5 pairs (operators/dedup.
+    jaccard_pairs_prefix — the Bayardo WWW'07 all-pairs prefix lemma):
+    only each set's rarest-first prefix is indexed, candidates verify
+    with pure-integer cross-multiplied comparisons. Same contract as
+    ngram_jaccard at a higher threshold; the oracle is the quadratic
+    definition."""
+    from bigdata_etl_customer360_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(docs, threshold_num=1, threshold_den=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -3371,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "revenue_nucleus": q_revenue_nucleus,
         "merge_intervals": q_merge_intervals,
+        "jaccard_prefix": q_jaccard_prefix,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5253,6 +5267,27 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "jaccard_prefix": r"""
+        -- the quadratic definition at threshold 0.5 — the prefix filter
+        -- must lose no pair (completeness lemma) and the integer verify
+        -- must keep exactly these
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
     """,
     "merge_intervals": r"""
         -- same break/cumsum formulation: strict s > prior-max-end break

@@ -2673,3 +2673,45 @@ def test_take_until_share_exact_cut_and_ties(spark):
     assert ("g1", "a") in half and ("g1", "b") not in half
     # g4 tie: 'a' sorts first (order_col), reaches exactly half -> b drops
     assert ("g4", "a") in half and ("g4", "b") not in half
+
+
+# ------------------------------------------------------------ prefix jaccard
+
+
+def test_jaccard_pairs_prefix_equals_full_index(spark):
+    """Prefix filtering loses no pair and admits no extra: output ==
+    ngram_jaccard_pairs (full inverted index) across thresholds on a
+    randomized small-vocab corpus with planted near-dups, and the
+    threshold boundary is exact (integer cross-multiplication)."""
+    import random
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 14)))
+             for _ in range(40)]
+    texts += [texts[0], texts[1] + " extra", "w0 w1 w2 w3 w4 w5",
+              "w0 w1 w2 w3 w4 w9"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for num, den in ((1, 2), (3, 10), (4, 5)):
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, threshold=num / den).collect()
+            # float-threshold twin: exclude pairs only admitted by float
+            # fuzz (none expected; the sets must agree exactly)
+        }
+        pref = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_prefix(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert pref == full, (num, den, pref ^ full)
+    with pytest.raises(ValueError):
+        jaccard_pairs_prefix(df, threshold_num=3, threshold_den=2)

@@ -537,3 +537,121 @@ def take_until_share(
         )
         .drop("_pc", "_tt")
     )
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact integer floor-div for non-negative long Columns without
+    F.expr name plumbing: the numerator is made an exact multiple of the
+    divisor first, so the double division is exact below 2^53."""
+    return ((a - a % b) / b).cast("long")
+
+
+def _ntile_from_rownum(rn: Column, n: Column, k: int) -> Column:
+    """SQL-standard NTILE(k) bucket from a 1-based global row number and
+    the partition size: the first ``n % k`` buckets get ``n div k + 1``
+    rows, the rest ``n div k`` — bit-identical to ``F.ntile``/DuckDB
+    NTILE (pinned by the unit test), but computable from a DISTRIBUTED
+    row numbering instead of a single-reducer window."""
+    kk = F.lit(int(k)).cast("long")
+    q = _int_div(n, kk)
+    r = n % kk
+    cut = r * (q + F.lit(1))
+    # q == 0 (fewer rows than buckets): cut == n >= rn, so only the
+    # first branch is ever taken and bucket == rn, matching NTILE.
+    return F.when(
+        rn <= cut, _int_div(rn - F.lit(1), q + F.lit(1)) + F.lit(1)
+    ).otherwise(r + _int_div(rn - cut - F.lit(1), q) + F.lit(1))
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    ref_ts: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the Customer-360 workhorse: per key, Recency
+    (days from the last transaction to ``ref_ts``), Frequency
+    (transaction count) and Monetary (exact DECIMAL revenue sum), each
+    scored 1..``n_bins`` by equal-population quantile (score ``n_bins``
+    = best: most recent / most frequent / highest spend), plus a pinned
+    segment label ladder (champion > at_risk > loyal > big_spender >
+    new > hibernating > regular, first match wins — at_risk outranks
+    loyal so a stale-but-frequent customer surfaces as churn risk, the
+    standard RFM playbook reading).
+
+    Determinism: recency is integer epoch-microsecond arithmetic
+    (``div``, never float); monetary is a DECIMAL(27,2) sum; quantile
+    scores are SQL-standard NTILE semantics with ties pinned by
+    (metric, key) total order — every output value is engine-exact.
+
+    Scale shape: the naive ``NTILE(k) OVER (ORDER BY metric)`` funnels
+    every customer through ONE reducer. Here each score rides the
+    distributed prefix-sum numbering (``assign_row_ids``: range
+    partition + local row_number + broadcast offsets), and the bucket is
+    recovered from (row_number, n) by the closed-form NTILE formula —
+    three range shuffles over the |keys| aggregate, no global window.
+    The group count ``n`` joins in as a 1-row broadcast (the scalar
+    broadcast pattern: BroadcastNestedLoopJoin over exactly one row).
+    """
+    amount_dec = F.col(amount_col).cast("decimal(27,2)")
+    ref_us = F.unix_micros(F.to_timestamp(F.lit(ref_ts)))
+    base = (
+        df.groupBy(key_col)
+        .agg(
+            # NTZ parquet timestamps need the TIMESTAMP route (session tz
+            # is pinned UTC, so the reinterpretation is value-preserving)
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias(
+                "_last_us"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(amount_dec).alias("_mon_dec"),
+        )
+        .select(
+            key_col,
+            _int_div(ref_us - F.col("_last_us"), F.lit(86_400_000_000)).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "_mon_dec",
+        )
+        .withColumn("_neg_rec", -F.col("recency_days"))
+    )
+    n_frame = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    scored = base.crossJoin(F.broadcast(n_frame))
+    for metric, out in (
+        ("_neg_rec", "r_score"),
+        ("frequency", "f_score"),
+        ("_mon_dec", "m_score"),
+    ):
+        scored = assign_row_ids(scored, [metric, key_col], out_col="_rn")
+        scored = scored.withColumn(
+            out, _ntile_from_rownum(F.col("_rn"), F.col("_n"), n_bins).cast("int")
+        ).drop("_rn")
+    hi = int(n_bins) - 1  # >= threshold for "top" buckets at n_bins=5 -> 4
+    lo = 2
+    segment = (
+        F.when(
+            (F.col("r_score") >= hi)
+            & (F.col("f_score") >= hi)
+            & (F.col("m_score") >= hi),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") <= lo) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when(F.col("f_score") >= hi, F.lit("loyal"))
+        .when(F.col("m_score") >= hi, F.lit("big_spender"))
+        .when((F.col("r_score") >= hi) & (F.col("f_score") <= lo), F.lit("new"))
+        .when(F.col("r_score") <= lo, F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        F.col("_mon_dec").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )

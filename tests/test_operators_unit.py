@@ -2715,3 +2715,93 @@ def test_jaccard_pairs_prefix_equals_full_index(spark):
         assert pref == full, (num, den, pref ^ full)
     with pytest.raises(ValueError):
         jaccard_pairs_prefix(df, threshold_num=3, threshold_den=2)
+
+
+def test_ntile_closed_form_matches_window_ntile(spark):
+    """_ntile_from_rownum must be bit-identical to SQL NTILE for every
+    (n, k) shape: even split, remainder buckets, n < k, n == k."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_customer360_spark.operators.relational import (
+        _ntile_from_rownum,
+    )
+
+    for n, k in [(10, 5), (13, 5), (3, 5), (5, 5), (1, 4), (17, 4), (100, 7)]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rn"), F.lit(n).cast("long").alias("n")
+        )
+        got = {
+            r["rn"]: r["b"]
+            for r in df.select(
+                "rn", _ntile_from_rownum(F.col("rn"), F.col("n"), k).alias("b")
+            ).collect()
+        }
+        w = Window.orderBy("rn")
+        want = {
+            r["rn"]: r["b"]
+            for r in df.repartition(1)
+            .select("rn", F.ntile(k).over(w).alias("b"))
+            .collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_rfm_scores_small_pinned(spark):
+    """RFM on a crafted 5-customer ledger: exact recency/frequency/
+    monetary, deterministic quantile scores, pinned segment ladder."""
+    from bigdata_etl_customer360_spark.operators.relational import rfm_scores
+
+    rows = []
+    # cust 1: recent, frequent, big spender -> champion
+    for d, amt in [("2024-01-10", 500.0), ("2024-01-11", 600.0),
+                   ("2024-01-12", 700.0), ("2024-01-13", 800.0)]:
+        rows.append((1, f"{d} 12:00:00", amt))
+    # cust 2: recent but one small order
+    rows.append((2, "2024-01-12 12:00:00", 10.0))
+    # cust 3: stale, frequent, mid spend
+    for d in ["2023-01-01", "2023-01-02", "2023-01-03"]:
+        rows.append((3, f"{d} 12:00:00", 100.0))
+    # cust 4: stale, one order
+    rows.append((4, "2023-06-01 12:00:00", 50.0))
+    # cust 5: mid recency, two orders
+    rows.append((5, "2023-11-01 12:00:00", 200.0))
+    rows.append((5, "2023-11-02 12:00:00", 200.0))
+    df = spark.createDataFrame(rows, ["custkey", "ts", "amount"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["custkey"]: r
+        for r in rfm_scores(df, "custkey", "ts", "amount",
+                            "2024-01-14 00:00:00").collect()
+    }
+    assert out[1]["recency_days"] == 0 and out[1]["frequency"] == 4
+    assert out[1]["monetary"] == 2600.0
+    assert out[1]["segment"] == "champion"
+    assert out[4]["recency_days"] == 226
+    # 5 customers, 5 bins: every score is a distinct 1..5 permutation
+    for col in ("r_score", "f_score", "m_score"):
+        assert sorted(out[c][col] for c in out) == [1, 2, 3, 4, 5]
+    # recency order: 1 (most recent) > 2 > 5 > 4 > 3
+    assert out[1]["r_score"] == 5 and out[2]["r_score"] == 4
+    assert out[5]["r_score"] == 3 and out[3]["r_score"] == 1
+    # cust 3: stale + frequent -> at_risk
+    assert out[3]["segment"] == "at_risk"
+
+
+def test_rfm_scores_partition_independent(spark):
+    """Scores must not depend on input partitioning (the distributed
+    numbering pins a total order)."""
+    from bigdata_etl_customer360_spark.operators.relational import rfm_scores
+
+    rows = [
+        (i % 37, f"2023-{1 + i % 12:02d}-15 08:00:00", float(10 + i % 90))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "amt"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    a = rfm_scores(df, "k", "ts", "amt", "2024-02-01 00:00:00")
+    b = rfm_scores(
+        df.repartition(7, "amt"), "k", "ts", "amt", "2024-02-01 00:00:00"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

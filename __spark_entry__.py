@@ -3373,6 +3373,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("o_custkey", "custkey")
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.k_core): the
+    cohesive cluster that a plain degree>=3 filter cannot find — fringe
+    support peels away in cascades (9 rounds at sf0.01). Same
+    support>=2 edge build as triangle_count/pagerank. The peel's fixed
+    point is UNIQUE (schedule-independent), so the oracle is the same
+    peel unrolled 14 rounds in SQL — extra rounds past convergence are
+    no-ops, making the unroll depth a safe upper bound, not a
+    tuning knob."""
+    from bigdata_etl_customer360_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(edges, 3, src="src", dst="dst")
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3539,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "join_stream": q_join_stream,
         "rfm_segments": q_rfm_segments,
+        "k_core": q_k_core,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -6916,6 +6942,43 @@ _ORACLES: dict[str, str] = {
     # no SQL oracle; the driver records rows-only checks, and unit tests pin
     # their behavior against the exact operators.
 }
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 14) -> str:
+    """Unrolled k-core peel: the fixed point is unique and every round
+    past convergence is a no-op, so ``rounds`` only needs to be an upper
+    bound on the peel depth (measured 9 at sf0.01, 3 at sf0.1; 14 gives
+    margin without changing the result)."""
+    # every r{i} is referenced twice (degree + filter); MATERIALIZED
+    # stops DuckDB's CTE inlining from going exponential in the round
+    # count (2^rounds base-scan copies -> "Too many open files")
+    ctes = [
+        """pairs AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )""",
+        "r0 AS MATERIALIZED "
+        "(SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT u, COUNT(*) AS c FROM r{i-1} GROUP BY u)"
+        )
+        ctes.append(f"k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k})")
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT e.u, e.v FROM r{i-1} e "
+            f"JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS id, COUNT(*) AS degree FROM r{rounds} GROUP BY u"
+    )
+
+
+_ORACLES["k_core"] = _k_core_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

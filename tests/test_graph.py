@@ -371,3 +371,56 @@ def test_hits_empty_graph_and_bad_iterations(spark):
     assert hits(empty).count() == 0
     with _pt.raises(ValueError):
         hits(empty, iterations=0)
+
+
+def test_k_core_peels_cascade(spark):
+    """K5 plus a degree-3 node whose support peels away: plain degree
+    filtering keeps node 6 (deg 3), the 3-core must not."""
+    from bigdata_etl_customer360_spark.operators.graph import k_core
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    # node 6 touches three pendant nodes (7, 8, 9): degree 3, but the
+    # pendants peel in round 1, then 6 peels in round 2
+    fringe = [(6, 7), (6, 8), (6, 9)]
+    out = {
+        r["id"]: r["degree"]
+        for r in k_core(_edges(spark, k5 + fringe), 3).collect()
+    }
+    assert out == {i: 4 for i in range(1, 6)}
+
+
+def test_k_core_in_core_degree_not_global(spark):
+    """Reported degree is the IN-CORE degree: a core member with extra
+    fringe neighbors still reports only its surviving edges."""
+    from bigdata_etl_customer360_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = {
+        r["id"]: r["degree"]
+        for r in k_core(_edges(spark, k4 + [(1, 10), (1, 11)]), 3).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_empty_and_duplicate_edges(spark):
+    from bigdata_etl_customer360_spark.operators.graph import k_core
+
+    # a triangle with duplicate + reversed + self-loop edges collapses
+    # to the plain triangle: a 2-core, not a 3-core
+    tri = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+    assert k_core(_edges(spark, tri), 3).count() == 0
+    got = {r["id"]: r["degree"] for r in k_core(_edges(spark, tri), 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.graph import k_core
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(260)]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, k_core(df, 4).collect()))
+    b = sorted(map(tuple, k_core(df.repartition(11), 4).collect()))
+    assert a == b and len(a) > 0

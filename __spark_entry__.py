@@ -3398,6 +3398,41 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, 3, src="src", dst="dst")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch certificate (operators/quality.count_min_sketch
+    / count_min_lookup): the word-bigram stream (~960 distinct values)
+    squeezed into a deliberately tiny depth-4 x width-64 sketch so hash
+    collisions are REAL, then every distinct bigram probed back —
+    overcount = est - exact is >= 0 by the one-sided CMS guarantee, and
+    every value is an exact integer from the md5 hash family, so the
+    whole sketch behavior is hash-checkable (unlike error-bound-only
+    sketches; the HLL sibling gets booleans, this gets values)."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        word_bigrams_expr,
+    )
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+    docs = _t(spark, sf_dir, "documents")
+    # the gram stream feeds BOTH the sketch build and the exact counts
+    # (a derived frame consumed twice recomputes per consumer uncached)
+    grams = scoped_cache(
+        docs.select(F.explode(word_bigrams_expr("text")).alias("gram"))
+    )
+    sk = count_min_sketch(grams, "gram", depth=4, width=64)
+    exact = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = count_min_lookup(sk, exact, "gram", depth=4, width=64)
+    return exact.join(est, "gram").select(
+        "gram",
+        "n_exact",
+        F.col("est").alias("n_est"),
+        (F.col("est") - F.col("n_exact")).alias("overcount"),
+    )
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3565,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_stream": q_join_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
+        "cms_counts": q_cms_counts,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5447,6 +5483,39 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "cms_counts": r"""
+        -- identical md5 CMS hash family ('cms<d>:' || gram, first 8 hex
+        -- chars, mod 64); the sketch is a pure function of the bigram
+        -- multiset, so exact/est/overcount are all integer-exact
+        WITH tk AS (
+          SELECT list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT UNNEST([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+                   AS gram
+          FROM tk
+        ), hashed AS MATERIALIZED (
+          SELECT gram, d,
+                 ('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                                        || gram), 1, 8))::BIGINT % 64 AS b
+          FROM grams, UNNEST([0, 1, 2, 3]) AS u(d)
+        ), sketch AS (
+          SELECT d, b, COUNT(*) AS c FROM hashed GROUP BY d, b
+        ), exact AS (
+          SELECT gram, COUNT(*) AS n_exact FROM grams GROUP BY gram
+        ), est AS (
+          SELECT h.gram, MIN(COALESCE(s.c, 0)) AS n_est
+          FROM (SELECT DISTINCT gram, d, b FROM hashed) h
+          LEFT JOIN sketch s ON h.d = s.d AND h.b = s.b
+          GROUP BY h.gram
+        )
+        SELECT e.gram AS gram, e.n_exact,
+               CAST(est.n_est AS BIGINT) AS n_est,
+               CAST(est.n_est - e.n_exact AS BIGINT) AS overcount
+        FROM exact e JOIN est ON e.gram = est.gram
     """,
     "rfm_segments": r"""
         -- NTILE over the full customer population == the closed-form

@@ -1046,3 +1046,91 @@ def ab_test(
         F.when(ok & (se2 > F.lit(0.0)), t).alias("t_stat"),
         F.when(ok & (se2 > F.lit(0.0)), wdf).alias("welch_df"),
     )
+
+
+def _cms_bucket(col: Column, d: int, width: int, salt: str) -> Column:
+    """Row-``d`` Count-Min bucket: the engine-portable md5 hash family
+    (first 8 hex chars -> int, mod width) shared with the sampling coin."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{d}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(int(width))
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    (non-null) value stream in ``col``: ``depth`` hash rows x ``width``
+    buckets, output one ``(d, b, c)`` row per non-empty cell — at most
+    depth*width rows however large the stream, the fixed-size frequency
+    summary that ships where a full group-count cannot (cross-cluster
+    merges, dashboards, joins against other sketches: cells are
+    ADDITIVE, union + re-sum merges two sketches exactly).
+
+    Determinism: buckets come from the md5 hash family (engine-portable,
+    partition-independent), counts are exact integers — the sketch is a
+    pure function of the multiset, so it is oracle-checkable, unlike
+    error-bound-only sketches (HLL). Plan: the stream explodes x depth
+    map-side, then ONE hash aggregate; map-side combine collapses each
+    task to <= depth*width partial rows, so the shuffle carries
+    kilobytes however large the corpus.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("count_min_sketch needs depth >= 1 and width >= 1")
+    v = F.col(col)
+    buckets = F.array(
+        *[_cms_bucket(v, d, width, salt) for d in range(depth)]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.posexplode(buckets).alias("d", "b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a :func:`count_min_sketch`: for every distinct probe
+    value, ``est = min over the depth rows of its bucket counts`` (an
+    absent cell is 0). The CMS guarantee is one-sided — ``est >=
+    true_count`` always, with overcounts only from hash collisions —
+    which is why the certificate query can assert ``est - exact >= 0``
+    as exact integers. ``depth/width/salt`` must match the build.
+
+    Plan: probes explode x depth, the sketch (<= depth*width rows)
+    BROADCASTS onto them, one min-aggregate back to one row per value —
+    the stream itself is never touched.
+    """
+    buckets = F.array(
+        *[_cms_bucket(F.col("_v"), d, width, salt) for d in range(depth)]
+    )
+    probed = (
+        probes.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+        .select("_v", F.posexplode(buckets).alias("d", "b"))
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .select(F.col("_v").alias(col), "est")
+    )

@@ -2805,3 +2805,58 @@ def test_rfm_scores_partition_independent(spark):
         df.repartition(7, "amt"), "k", "ts", "amt", "2024-02-01 00:00:00"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    """CMS one-sided guarantee: est >= exact for every value, exact
+    when width is collision-free; two partial sketches union+re-sum to
+    the full-stream sketch (cells are additive)."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    rows = [(f"v{i % 13}",) for i in range(400)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["tok"])
+    exact = {r["tok"]: r["n"] for r in df.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")).collect() if r["tok"] is not None}
+
+    # tiny width forces collisions; depth-4 min still never undercounts
+    sk = count_min_sketch(df, "tok", depth=4, width=4)
+    est = {r["tok"]: r["est"] for r in count_min_lookup(
+        sk, df, "tok", depth=4, width=4).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+
+    # generous width: no collisions among 13 values -> est == exact
+    skw = count_min_sketch(df, "tok", depth=4, width=4096)
+    estw = {r["tok"]: r["est"] for r in count_min_lookup(
+        skw, df, "tok", depth=4, width=4096).collect()}
+    assert estw == exact
+
+    # mergeability: sketch(A) union sketch(B) re-summed == sketch(A+B)
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        count_min_sketch(a, "tok", depth=4, width=4)
+        .unionByName(count_min_sketch(b, "tok", depth=4, width=4))
+        .groupBy("d", "b").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_count_min_absent_probe_is_bounded(spark):
+    """A value never seen still gets an estimate (collision mass only),
+    and an empty bucket row reads 0 — never NULL, never negative."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        count_min_lookup,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["tok"])
+    sk = count_min_sketch(df, "tok", depth=3, width=64)
+    probes = spark.createDataFrame([("zz",), ("a",)], ["tok"])
+    got = {r["tok"]: r["est"] for r in count_min_lookup(
+        sk, probes, "tok", depth=3, width=64).collect()}
+    assert got["a"] >= 2 and got["zz"] >= 0

@@ -3433,6 +3433,20 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, click vs view event values
+    (operators/quality.mann_whitney) — the nonparametric sibling of
+    ab_test. Ranks never become floats (2*midrank is an integer per
+    distinct value, accumulated against group counts), the below-count
+    rides the distributed prefix sum, and the z finale is one
+    fixed-shape IEEE expression over exact integers, shipped unrounded
+    (the ab_test/trend_fit contract)."""
+    from bigdata_etl_customer360_spark.operators.quality import mann_whitney
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return mann_whitney(ev, "event_type", "value", "click", "view")
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3601,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
+        "mann_whitney": q_mann_whitney,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5483,6 +5498,47 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "mann_whitney": r"""
+        -- identical midrank construction (2*rank_avg integers, HUGEINT
+        -- tie term) and the same fixed-shape double finale, unrounded
+        WITH clean AS (
+          SELECT event_type AS g, value AS v FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ), pv AS (
+          SELECT v, COUNT(*) AS cnt,
+                 COUNT(*) FILTER (WHERE g = 'click') AS ca
+          FROM clean GROUP BY v
+        ), ranked AS (
+          SELECT cnt, ca,
+                 COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+          FROM pv
+        ), m AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na_i,
+                 CAST(SUM(cnt - ca) AS BIGINT) AS nb_i,
+                 CAST(SUM(ca * (2 * below + cnt + 1)) AS BIGINT) AS r2a,
+                 SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                     * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS ties
+          FROM ranked
+        ), d AS (
+          SELECT na_i, nb_i,
+                 CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+                 CAST(na_i AS DOUBLE) + CAST(nb_i AS DOUBLE) AS nn,
+                 CAST(r2a AS DOUBLE) AS r2a_d,
+                 CAST(ties AS DOUBLE) AS ties_d
+          FROM m
+        ), u AS (
+          SELECT *, (r2a_d - na * (na + 1.0)) / 2.0 AS u_a,
+                 (na * nb / 12.0)
+                   * ((nn + 1.0) - ties_d / (nn * (nn - 1.0))) AS var
+          FROM d
+        )
+        SELECT na_i AS n_a, nb_i AS n_b, u_a, na * nb - u_a AS u_b,
+               CASE WHEN na_i > 0 AND nb_i > 0 AND var > 0.0
+                    THEN (u_a - na * nb / 2.0) / sqrt(var) END AS z
+        FROM u
     """,
     "cms_counts": r"""
         -- identical md5 CMS hash family ('cms<d>:' || gram, first 8 hex

@@ -1134,3 +1134,103 @@ def count_min_lookup(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
         .select(F.col("_v").alias(col), "est")
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two named groups — the
+    nonparametric sibling of :func:`ab_test` (no normality assumption:
+    compares distributions by rank, robust to the heavy tails that
+    break a t-test readout). Midrank (average-rank) tie handling and
+    the tie-corrected normal approximation
+
+        U_a = R_a − n_a(n_a+1)/2
+        z   = (U_a − n_a·n_b/2)
+              / sqrt(n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+
+    Exactness: ranks never materialize as floats — per distinct value,
+    ``2·rank_avg = 2·(#values below) + tie_count + 1`` is an exact
+    integer, summed against the group-a count, so ``2·R_a`` is a BIGINT
+    and U values are exact halves; the tie term Σ(t³−t) accumulates in
+    DECIMAL(38). The z finale is one fixed-shape IEEE expression over
+    those exact integers (the ab_test/trend_fit contract: identical
+    input integers + identical written order ⇒ bit-identical doubles,
+    shipped UNROUNDED). Degenerate inputs (an empty group, or all N
+    values tied — zero variance) pin z to NULL, never NaN.
+
+    Scale shape: ONE hash aggregate to per-distinct-value counts, then
+    the below-count comes from the DISTRIBUTED prefix sum
+    (``util.range_prefix_offsets``: range partition + per-partition
+    running sum + broadcast offsets — no single-reducer global window
+    over the value domain), and one final 1-row aggregate. NULL values
+    and other groups are excluded.
+
+    Output: one row — ``(n_a, n_b, u_a, u_b, z)``.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_etl_customer360_spark.operators.util import (
+        range_prefix_offsets,
+    )
+
+    cond_a = F.col(group_col) == F.lit(group_a)
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & (cond_a | (F.col(group_col) == F.lit(group_b)))
+    )
+    per_value = clean.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count(F.when(cond_a, F.lit(1))).alias("_ca"),
+    )
+    binned, off = range_prefix_offsets(
+        per_value, [F.col(value_col)], F.sum("_cnt")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    below = F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + off
+    ranked = binned.select(
+        "_cnt",
+        "_ca",
+        below.alias("_below"),
+    )
+    t = F.col("_cnt").cast("decimal(38,0)")
+    m = ranked.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum(F.col("_cnt") - F.col("_ca")).alias("_nb"),
+        F.sum(
+            F.col("_ca") * (2 * F.col("_below") + F.col("_cnt") + 1)
+        ).alias("_r2a"),
+        F.sum(t * t * t - t).alias("_ties"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = na + nb
+    u_a = (
+        F.col("_r2a").cast("double") - na * (na + F.lit(1.0))
+    ) / F.lit(2.0)
+    u_b = na * nb - u_a
+    var = (
+        na * nb / F.lit(12.0)
+    ) * (
+        (nn + F.lit(1.0))
+        - F.col("_ties").cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0) & (var > F.lit(0.0)),
+        (u_a - na * nb / F.lit(2.0)) / F.sqrt(var),
+    )
+    return m.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        z.alias("z"),
+    )

@@ -2860,3 +2860,49 @@ def test_count_min_absent_probe_is_bounded(spark):
     got = {r["tok"]: r["est"] for r in count_min_lookup(
         sk, probes, "tok", depth=3, width=64).collect()}
     assert got["a"] >= 2 and got["zz"] >= 0
+
+
+def test_mann_whitney_textbook_ties(spark):
+    """Hand-checkable sample with cross-group ties: midranks, exact U
+    halves, tie-corrected z."""
+    from bigdata_etl_customer360_spark.operators.quality import mann_whitney
+
+    a = [1.0, 2.0, 3.0, 3.0, 5.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = mann_whitney(df, "g", "v", "a", "b").first()
+    # combined sorted: 1,2,3,3,3,4,5,5,6 -> midranks 1,2,4,4,4,6,7.5,7.5,9
+    # R_a = 1+2+4+4+7.5 = 18.5 ; U_a = 18.5 - 15 = 3.5 ; U_b = 20-3.5
+    assert got["n_a"] == 5 and got["n_b"] == 4
+    assert got["u_a"] == 3.5 and got["u_b"] == 16.5
+    # z = (3.5 - 10) / sqrt(20/12 * (10 - ((27-3)+(8-2))/(9*8)))
+    import math
+    want_z = (3.5 - 10.0) / math.sqrt(20.0 / 12.0 * (10.0 - 30.0 / 72.0))
+    assert abs(got["z"] - want_z) < 1e-12
+
+
+def test_mann_whitney_degenerate_and_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.quality import mann_whitney
+
+    # all values tied -> zero variance -> z NULL, U still defined
+    tied = spark.createDataFrame(
+        [("a", 7.0)] * 3 + [("b", 7.0)] * 2, ["g", "v"]
+    )
+    r = mann_whitney(tied, "g", "v", "a", "b").first()
+    assert r["z"] is None and r["u_a"] == 3.0  # n_a*n_b/2
+
+    # empty group b
+    only_a = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    r2 = mann_whitney(only_a, "g", "v", "a", "b").first()
+    assert r2["n_b"] == 0 and r2["z"] is None
+
+    import random
+
+    rng = random.Random(3)
+    rows = [("a" if rng.random() < 0.5 else "b",
+             float(rng.randrange(50))) for _ in range(600)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    x = tuple(mann_whitney(df, "g", "v", "a", "b").first())
+    y = tuple(mann_whitney(df.repartition(13), "g", "v", "a", "b").first())
+    assert x == y

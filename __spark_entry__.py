@@ -3447,6 +3447,27 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney(ev, "event_type", "value", "click", "view")
 
 
+def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7 (operators/
+    temporal.autocorrelation over a resample_timeseries zero-filled
+    grid — ACF needs a REGULAR series, so the gap fill is part of the
+    definition, not a convenience). Exact decimal moments from one
+    window pass + one aggregate; per-lag r is an unrounded fixed-shape
+    IEEE finale (the corr_matrix contract). Oracle routes its wide
+    DECIMAL casts through VARCHAR (the DuckDB DECIMAL(38)->DOUBLE
+    rounding defect)."""
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        autocorrelation,
+        resample_timeseries,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    series = resample_timeseries(
+        orders, [], "o_orderdate", 86400, value_col="o_totalprice"
+    )
+    return autocorrelation(series, "cell", "val_sum", max_lag=7)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3616,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
         "mann_whitney": q_mann_whitney,
+        "acf_revenue": q_acf_revenue,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5498,6 +5520,88 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "acf_revenue": r"""
+        -- identical zero-filled daily grid, decimal moments, and
+        -- fixed-shape finale; decimal->double via VARCHAR (DuckDB's
+        -- direct DECIMAL(38) cast mis-rounds wide mantissas)
+        WITH cellagg AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) * 86400 AS BIGINT)
+                   AS cs,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vsum
+          FROM orders GROUP BY 1
+        ), span AS (
+          SELECT MIN(cs) AS a, MAX(cs) AS b FROM cellagg
+        ), spine AS (
+          SELECT UNNEST(generate_series(a, b, 86400)) AS cs FROM span
+        ), series AS (
+          SELECT s.cs,
+                 COALESCE(c.vsum, CAST(0 AS DECIMAL(18,2))) AS x
+          FROM spine s LEFT JOIN cellagg c USING (cs)
+        ), led AS (
+          SELECT x,
+                 LEAD(x, 1) OVER (ORDER BY cs) AS ld1,
+                 LEAD(x, 2) OVER (ORDER BY cs) AS ld2,
+                 LEAD(x, 3) OVER (ORDER BY cs) AS ld3,
+                 LEAD(x, 4) OVER (ORDER BY cs) AS ld4,
+                 LEAD(x, 5) OVER (ORDER BY cs) AS ld5,
+                 LEAD(x, 6) OVER (ORDER BY cs) AS ld6,
+                 LEAD(x, 7) OVER (ORDER BY cs) AS ld7
+          FROM series
+        ), m AS MATERIALIZED (
+          SELECT COUNT(*) AS n,
+                 SUM(x) AS s,
+                 SUM(CAST(x * x AS DECIMAL(38,4))) AS q,
+                 COUNT(ld1) AS c1, SUM(CAST(x * ld1 AS DECIMAL(38,4))) AS p1,
+                 SUM(CASE WHEN ld1 IS NOT NULL THEN x END) AS h1,
+                 SUM(ld1) AS t1,
+                 COUNT(ld2) AS c2, SUM(CAST(x * ld2 AS DECIMAL(38,4))) AS p2,
+                 SUM(CASE WHEN ld2 IS NOT NULL THEN x END) AS h2,
+                 SUM(ld2) AS t2,
+                 COUNT(ld3) AS c3, SUM(CAST(x * ld3 AS DECIMAL(38,4))) AS p3,
+                 SUM(CASE WHEN ld3 IS NOT NULL THEN x END) AS h3,
+                 SUM(ld3) AS t3,
+                 COUNT(ld4) AS c4, SUM(CAST(x * ld4 AS DECIMAL(38,4))) AS p4,
+                 SUM(CASE WHEN ld4 IS NOT NULL THEN x END) AS h4,
+                 SUM(ld4) AS t4,
+                 COUNT(ld5) AS c5, SUM(CAST(x * ld5 AS DECIMAL(38,4))) AS p5,
+                 SUM(CASE WHEN ld5 IS NOT NULL THEN x END) AS h5,
+                 SUM(ld5) AS t5,
+                 COUNT(ld6) AS c6, SUM(CAST(x * ld6 AS DECIMAL(38,4))) AS p6,
+                 SUM(CASE WHEN ld6 IS NOT NULL THEN x END) AS h6,
+                 SUM(ld6) AS t6,
+                 COUNT(ld7) AS c7, SUM(CAST(x * ld7 AS DECIMAL(38,4))) AS p7,
+                 SUM(CASE WHEN ld7 IS NOT NULL THEN x END) AS h7,
+                 SUM(ld7) AS t7
+          FROM led
+        ), d AS MATERIALIZED (
+          SELECT *,
+                 CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS mean,
+                 CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS den
+          FROM m
+        ), lags AS (
+            SELECT 1 AS lag, c1 AS c, p1 AS p, h1 AS h, t1 AS t FROM d
+            UNION ALL SELECT 2, c2, p2, h2, t2 FROM d
+            UNION ALL SELECT 3, c3, p3, h3, t3 FROM d
+            UNION ALL SELECT 4, c4, p4, h4, t4 FROM d
+            UNION ALL SELECT 5, c5, p5, h5, t5 FROM d
+            UNION ALL SELECT 6, c6, p6, h6, t6 FROM d
+            UNION ALL SELECT 7, c7, p7, h7, t7 FROM d
+        )
+        SELECT l.lag, CAST(l.c AS BIGINT) AS n_pairs,
+               CASE WHEN l.c > 0 AND d.den <> 0.0 THEN
+                 (CAST(CAST(l.p AS VARCHAR) AS DOUBLE)
+                  - d.mean * (CAST(CAST(l.h AS VARCHAR) AS DOUBLE)
+                              + CAST(CAST(l.t AS VARCHAR) AS DOUBLE))
+                  + CAST(l.c AS DOUBLE) * d.mean * d.mean) / d.den
+               END AS r
+        FROM lags l, d
     """,
     "mann_whitney": r"""
         -- identical midrank construction (2*rank_avg integers, HUGEINT

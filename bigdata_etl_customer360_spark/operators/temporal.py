@@ -802,3 +802,102 @@ def merge_intervals(
         )
         .drop("_gid")
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    group_cols: Sequence[str] = (),
+    scale: int = 2,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) at lags 1..``max_lag`` over
+    an ordered series — the seasonality / decay readout behind forecast
+    model choice (is weekly structure real? how fast does memory fade?):
+
+        r_k = sum_{t<=n-k} (x_t - mean)(x_{t+k} - mean)
+              / sum_t (x_t - mean)^2
+
+    Position-based lags over the ``order_col`` ordering (resample the
+    series upstream if calendar regularity matters; ``order_col`` must
+    be unique per group — it is the tie-free sort key).
+
+    Exactness (the linear_trend/ab_test discipline): values cast to
+    DECIMAL(18, scale); every lag's moments — pair count, sum x*lead_k,
+    head/tail sums — and the global (n, sumx, sumx2) are EXACT decimal
+    aggregates from ONE pass; the finale expands the mean-centered forms
+
+        num_k = P_k - mean*(H_k + T_k) + (n-k)*mean^2
+        den   = Q - n*mean^2
+
+    as one fixed-shape IEEE expression per lag, shipped UNROUNDED (the
+    corr_matrix contract). Degenerate series (constant: den == 0; or
+    n <= k: no pairs) pin r to NULL, never NaN.
+
+    Plan: ONE window sort per group computes every lead; ONE aggregate
+    collects all per-lag moments; a literal-size array explode emits
+    the (lag, n_pairs, r) rows. With no ``group_cols`` the window is
+    global — the bounded-domain exception, for SERIES frames (an
+    aggregate, e.g. daily totals), never fact tables.
+
+    Output: ``(*group_cols, lag, n_pairs, r)``.
+    """
+    if max_lag < 1:
+        raise ValueError("autocorrelation needs max_lag >= 1")
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    x = F.col(value_col).cast(dec_in)
+    gcols = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*gcols).orderBy(F.col(order_col).asc())
+        if group_cols
+        else Window.orderBy(F.col(order_col).asc())
+    )
+    led = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("_x"),
+        *[F.lead(x, k).over(w).alias(f"_ld{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec_prod)).alias("_q"),
+    ]
+    for k in range(1, max_lag + 1):
+        ld = F.col(f"_ld{k}")
+        aggs += [
+            F.count(ld).alias(f"_c{k}"),
+            F.sum((F.col("_x") * ld).cast(dec_prod)).alias(f"_p{k}"),
+            F.sum(F.when(ld.isNotNull(), F.col("_x"))).alias(f"_h{k}"),
+            F.sum(ld).alias(f"_t{k}"),
+        ]
+    m = led.groupBy(*gcols).agg(*aggs) if group_cols else led.agg(*aggs)
+    n_d = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n_d
+    den = F.col("_q").cast("double") - n_d * mean * mean
+    per_lag = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"_c{k}").cast("long").alias("n_pairs"),
+                F.when(
+                    (F.col(f"_c{k}") > 0) & (den != F.lit(0.0)),
+                    (
+                        F.col(f"_p{k}").cast("double")
+                        - mean
+                        * (
+                            F.col(f"_h{k}").cast("double")
+                            + F.col(f"_t{k}").cast("double")
+                        )
+                        + F.col(f"_c{k}").cast("double") * mean * mean
+                    )
+                    / den,
+                ).alias("r"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return m.select(*gcols, F.explode(per_lag).alias("_l")).select(
+        *group_cols, "_l.lag", "_l.n_pairs", "_l.r"
+    )

@@ -2906,3 +2906,57 @@ def test_mann_whitney_degenerate_and_partition_independent(spark):
     x = tuple(mann_whitney(df, "g", "v", "a", "b").first())
     y = tuple(mann_whitney(df.repartition(13), "g", "v", "a", "b").first())
     assert x == y
+
+
+def test_autocorrelation_matches_numpy_definition(spark):
+    """ACF at lags 1..4 equals the mean-centered definition computed in
+    numpy on the same values (bitwise-close; the operator is exact
+    decimal moments + one IEEE finale)."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    vals = [round(10 + 5 * math.sin(i / 2) + (i % 3), 2) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["t", "v"]
+    )
+    got = {r["lag"]: (r["n_pairs"], r["r"])
+           for r in autocorrelation(df, "t", "v", max_lag=4).collect()}
+    x = np.array(vals)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    for k in range(1, 5):
+        num = ((x[:-k] - mu) * (x[k:] - mu)).sum()
+        n_pairs, r = got[k]
+        assert n_pairs == 40 - k
+        assert abs(r - num / den) < 1e-9, k
+
+
+def test_autocorrelation_degenerate_and_groups(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    # constant series: den == 0 -> r NULL, pairs still counted
+    const = spark.createDataFrame([(i, 5.0) for i in range(6)], ["t", "v"])
+    rows = autocorrelation(const, "t", "v", max_lag=2).collect()
+    assert all(r["r"] is None for r in rows)
+    assert {r["lag"]: r["n_pairs"] for r in rows} == {1: 5, 2: 4}
+
+    # n <= lag: no pairs -> NULL r, 0 pairs
+    tiny = spark.createDataFrame([(0, 1.0), (1, 2.0)], ["t", "v"])
+    r3 = {r["lag"]: r for r in
+          autocorrelation(tiny, "t", "v", max_lag=3).collect()}
+    assert r3[2]["n_pairs"] == 0 and r3[2]["r"] is None
+    assert r3[3]["n_pairs"] == 0 and r3[3]["r"] is None
+
+    # groups are independent: an alternating and a linear series
+    rows = [("a", i, float(i % 2)) for i in range(10)]
+    rows += [("b", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = {(r["g"], r["lag"]): r["r"]
+           for r in autocorrelation(df, "t", "v", max_lag=1,
+                                    group_cols=["g"]).collect()}
+    assert out[("a", 1)] < -0.8 and out[("b", 1)] > 0.6

@@ -3468,6 +3468,38 @@ def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(series, "cell", "val_sum", max_lag=7)
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup-to-purchase curve (operators/temporal.
+    kaplan_meier): per user, duration = integer days from first event
+    to first purchase (event=1) or to the corpus horizon (censored,
+    event=0) — the time-to-convert readout that 'average days over
+    converters' gets wrong by dropping everyone still unconverted.
+    Exact integer d/n counts, in-order float-fold survival products,
+    unrounded. The horizon joins in as a 1-row broadcast scalar."""
+    from bigdata_etl_customer360_spark.operators.temporal import kaplan_meier
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("fs"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("fp"),
+    )
+    horizon = ev.agg(F.max("us").alias("h"))
+    end = F.coalesce(F.col("fp"), F.col("h"))
+    dur_us = end - F.col("fs")
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((dur_us - dur_us % F.lit(DAY)) / F.lit(DAY))
+        .cast("long")
+        .alias("dur"),
+        F.col("fp").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "dur", "ev")
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3638,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "mann_whitney": q_mann_whitney,
         "acf_revenue": q_acf_revenue,
+        "kaplan_meier": q_kaplan_meier,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5520,6 +5553,47 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "kaplan_meier": r"""
+        -- identical censoring construction, integer risk sets, and
+        -- in-order product (list_reduce with a prepended 1.0 init ==
+        -- Spark's F.aggregate fold; single-field accumulator, safe)
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(epoch_us(ts)) AS fs,
+                 MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                   AS fp
+          FROM events GROUP BY user_id
+        ), hz AS (
+          SELECT MAX(epoch_us(ts)) AS h FROM events
+        ), subj AS (
+          SELECT (COALESCE(fp, h) - fs) // 86400000000 AS dur,
+                 CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM per_user, hz
+        ), per_t AS (
+          SELECT dur AS t, COUNT(*) AS c, SUM(ev) AS d
+          FROM subj GROUP BY dur
+        ), risked AS (
+          SELECT t, d,
+                 SUM(c) OVER ()
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS n
+          FROM per_t
+        ), lst AS (
+          SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS l
+          FROM risked WHERE d >= 1
+        )
+        SELECT l[i].t AS t,
+               CAST(l[i].n AS BIGINT) AS n_risk,
+               CAST(l[i].d AS BIGINT) AS n_events,
+               list_reduce(
+                 list_prepend(
+                   CAST(1.0 AS DOUBLE),
+                   [1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)
+                    FOR e IN l[1:i]]),
+                 (a, b) -> a * b) AS survival
+        FROM lst, UNNEST(range(1, len(l) + 1)) AS r(i)
     """,
     "acf_revenue": r"""
         -- identical zero-filled daily grid, decimal moments, and

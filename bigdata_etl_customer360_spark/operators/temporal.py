@@ -901,3 +901,95 @@ def autocorrelation(
     return m.select(*gcols, F.explode(per_lag).alias("_l")).select(
         *group_cols, "_l.lag", "_l.n_pairs", "_l.r"
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier survival curve — the time-to-event readout
+    (conversion latency, churn, failure curves) under RIGHT CENSORING,
+    which a naive "average time to purchase over converters" gets
+    wrong (it silently drops everyone who has not converted YET):
+
+        S(t) = prod over event times t_i <= t of (1 - d_i / n_i)
+
+    with ``d_i`` = events at ``t_i`` and ``n_i`` = subjects still at
+    risk (duration >= t_i, events AND censored). One row per subject:
+    ``duration_col`` (any orderable numeric) + ``event_col`` (1 =
+    event observed, 0 = censored at that duration).
+
+    Exactness: d_i and n_i are exact integers (n_i = N - subjects
+    strictly before t_i, a cumulative count over the DISTINCT-duration
+    aggregate); each survival value is the IN-ORDER product
+    ``((1*f_1)*f_2)*...*f_i`` of fixed-shape factors ``1.0 - d/n`` —
+    the in-order-float-fold contract (DuckDB twin: list products over
+    slices; multiplication by the 1.0 init is IEEE-exact, so both
+    engines run the identical sequence), shipped UNROUNDED.
+
+    Plan: ONE hash aggregate to distinct durations, a cumulative-count
+    window over that aggregate, then the per-group curve folds inside
+    one collect_list row (distinct EVENT times are bounded — a curve
+    you can plot — never the subject table; the slice-fold is O(k^2)
+    multiplications JVM-side, trivial at plottable k). With no
+    ``group_cols`` the windows are global — bounded-domain exception,
+    same argument.
+
+    Output: ``(*group_cols, t, n_risk, n_events, survival)`` — one row
+    per distinct EVENT time (censor-only times shape n_risk but emit no
+    row, the standard KM product-limit convention).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    clean = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    per_t = clean.groupBy(*gcols, F.col(duration_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum((F.col(event_col) == 1).cast("long")).alias("_d"),
+    )
+    w_all = (
+        Window.partitionBy(*gcols) if group_cols else Window.partitionBy()
+    )
+    w_cum = w_all.orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = w_all.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risked = per_t.select(
+        *gcols,
+        "_t",
+        "_d",
+        (
+            F.sum("_c").over(w_tot)
+            - F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+        ).alias("_n"),
+    ).filter(F.col("_d") >= 1)
+    lst = risked.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_d", "_n"))
+        ).alias("_lst")
+    ).filter(F.size("_lst") > 0)
+    curve = F.transform(
+        F.sequence(F.lit(1), F.size("_lst")),
+        lambda i: F.struct(
+            F.element_at("_lst", i)["_t"].alias("t"),
+            F.element_at("_lst", i)["_n"].alias("n_risk"),
+            F.element_at("_lst", i)["_d"].alias("n_events"),
+            F.aggregate(
+                F.slice("_lst", F.lit(1), i),
+                F.lit(1.0),
+                lambda acc, x: acc
+                * (
+                    F.lit(1.0)
+                    - x["_d"].cast("double") / x["_n"].cast("double")
+                ),
+            ).alias("survival"),
+        ),
+    )
+    return (
+        lst.select(*gcols, F.explode(curve).alias("_e"))
+        .select(*group_cols, "_e.t", "_e.n_risk", "_e.n_events", "_e.survival")
+    )

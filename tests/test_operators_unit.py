@@ -2960,3 +2960,49 @@ def test_autocorrelation_degenerate_and_groups(spark):
            for r in autocorrelation(df, "t", "v", max_lag=1,
                                     group_cols=["g"]).collect()}
     assert out[("a", 1)] < -0.8 and out[("b", 1)] > 0.6
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Classic worked example with censoring and tied event times: the
+    product-limit values match the hand computation exactly."""
+    from bigdata_etl_customer360_spark.operators.temporal import kaplan_meier
+
+    # durations (event=1 observed, 0 censored):
+    # events at t=2 (x2), t=5; censored at t=3, t=6
+    rows = [(2, 1), (2, 1), (3, 0), (5, 1), (6, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(got) == {2, 5}  # censor-only times emit no row
+    assert got[2]["n_risk"] == 5 and got[2]["n_events"] == 2
+    assert got[2]["survival"] == 1.0 * (1.0 - 2.0 / 5.0)
+    assert got[5]["n_risk"] == 2 and got[5]["n_events"] == 1
+    assert got[5]["survival"] == (1.0 - 2.0 / 5.0) * (1.0 - 1.0 / 2.0)
+
+
+def test_kaplan_meier_groups_and_partition_independence(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import kaplan_meier
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("a" if i % 2 else "b", rng.randrange(1, 15), rng.randrange(2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    x = sorted(map(tuple, kaplan_meier(
+        df, "dur", "ev", group_cols=["g"]).collect()))
+    y = sorted(map(tuple, kaplan_meier(
+        df.repartition(9), "dur", "ev", group_cols=["g"]).collect()))
+    assert x == y and len(x) > 0
+    # survival is non-increasing within each group
+    by_g: dict = {}
+    for g, t, n, d, s in x:
+        by_g.setdefault(g, []).append((t, s))
+    for g, curve in by_g.items():
+        ss = [s for _, s in sorted(curve)]
+        assert all(a >= b for a, b in zip(ss, ss[1:]))
+
+    # all-censored group emits nothing
+    cens = spark.createDataFrame([(4, 0), (7, 0)], ["dur", "ev"])
+    assert kaplan_meier(cens, "dur", "ev").count() == 0

@@ -3500,6 +3500,20 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "dur", "ev")
 
 
+def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared token-vs-language feature selection (operators/
+    textstats.chi2_features): presence contingencies as exact
+    DECIMAL(38) integer products (numerator <= N^5), one double
+    division at the end, ranking pinned (chi2 DESC, token ASC). The
+    supervised complement of keyword_extract's unsupervised tf-idf."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        chi2_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return chi2_features(docs, "doc_id", "text", "lang", top_k=10)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3671,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "acf_revenue": q_acf_revenue,
         "kaplan_meier": q_kaplan_meier,
+        "chi2_features": q_chi2_features,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5553,6 +5568,54 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "chi2_features": r"""
+        -- identical presence contingencies; HUGEINT products mirror the
+        -- DECIMAL(38) exact arithmetic, VARCHAR-routed double casts
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents WHERE lang IS NOT NULL
+        ), dt AS (
+          SELECT DISTINCT doc_id, lang, tok
+          FROM (SELECT doc_id, lang, UNNEST(w) AS tok FROM docs)
+        ), agrid AS (
+          SELECT tok, lang, CAST(COUNT(*) AS BIGINT) AS a
+          FROM dt GROUP BY 1, 2
+        ), tt AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS ab FROM dt GROUP BY 1
+        ), lt AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS ac FROM docs GROUP BY 1
+        ), ntot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs
+        ), grid AS (
+          SELECT g.lang AS label, g.tok AS token, g.a AS n_with,
+                 CAST(g.a AS HUGEINT) AS ha,
+                 CAST(tt.ab - g.a AS HUGEINT) AS hb,
+                 CAST(lt.ac - g.a AS HUGEINT) AS hc,
+                 CAST(ntot.n - tt.ab - lt.ac + g.a AS HUGEINT) AS hd,
+                 CAST(ntot.n AS HUGEINT) AS hn
+          FROM agrid g JOIN tt USING (tok) JOIN lt USING (lang), ntot
+        ), scored AS (
+          SELECT label, token, n_with,
+                 CASE WHEN (ha + hb) * (hc + hd) * (ha + hc) * (hb + hd) > 0
+                      THEN CAST(CAST(hn * (ha * hd - hb * hc)
+                                     * (ha * hd - hb * hc) AS VARCHAR)
+                                AS DOUBLE)
+                           / CAST(CAST((ha + hb) * (hc + hd)
+                                       * (ha + hc) * (hb + hd) AS VARCHAR)
+                                  AS DOUBLE)
+                 END AS chi2
+          FROM grid
+        )
+        SELECT label, token, n_with, chi2, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY chi2 DESC NULLS LAST, token ASC) AS INT) AS rank
+          FROM scored
+        ) WHERE rank <= 10
     """,
     "kaplan_meier": r"""
         -- identical censoring construction, integer risk sets, and

@@ -3006,3 +3006,45 @@ def test_kaplan_meier_groups_and_partition_independence(spark):
     # all-censored group emits nothing
     cens = spark.createDataFrame([(4, 0), (7, 0)], ["dur", "ev"])
     assert kaplan_meier(cens, "dur", "ev").count() == 0
+
+
+def test_chi2_features_planted_discriminator(spark):
+    """A token exclusive to one label tops that label's ranking with the
+    hand-computed chi2; shared filler tokens score 0."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        chi2_features,
+    )
+
+    rows = [(i, "alpha filler one", "A") for i in range(4)]
+    rows += [(i + 10, "beta filler one", "B") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = chi2_features(df, "doc_id", "text", "lang", top_k=2).collect()
+    top = {(r["label"], r["rank"]): r for r in out}
+    assert top[("A", 1)]["token"] == "alpha"
+    assert top[("B", 1)]["token"] == "beta"
+    # a=4 b=0 c=0 d=4, N=8: chi2 = 8*(16)^2 / (4*4*4*4) = 8.0
+    assert top[("A", 1)]["chi2"] == 8.0
+    # filler appears in every doc -> (c+d) marginal is fine but
+    # b+d ... token in ALL docs: a=4 b=4 c=0 d=0 -> den has (c+d)=0 -> NULL
+    filler = [r for r in out if r["token"] == "filler"]
+    assert all(r["chi2"] is None for r in filler)
+
+
+def test_chi2_features_null_label_and_ties(spark):
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        chi2_features,
+    )
+
+    rows = [
+        (1, "x y", "A"), (2, "x z", "A"),
+        (3, "y z", "B"), (4, "y x", "B"),
+        (5, "x y z", None),  # excluded entirely
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = chi2_features(df, "doc_id", "text", "lang", top_k=3).collect()
+    assert all(r["label"] in ("A", "B") for r in out)
+    # deterministic tie-break: equal chi2 ordered by token
+    a_rows = sorted(
+        [(r["rank"], r["token"]) for r in out if r["label"] == "A"]
+    )
+    assert a_rows == sorted(a_rows)

@@ -3514,6 +3514,28 @@ def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_features(docs, "doc_id", "text", "lang", top_k=10)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction, top 100 non-edge pairs of the
+    support>=2 co-purchase graph (operators/graph.adamic_adar):
+    1/ln(deg) terms rounded 1e-8 then summed as DECIMAL(18,8), so the
+    score is order-independent; ties pinned (score, u, w) through
+    orderBy+limit."""
+    from bigdata_etl_customer360_spark.operators.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return adamic_adar(edges, src="src", dst="dst", top_k=100)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3686,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_revenue": q_acf_revenue,
         "kaplan_meier": q_kaplan_meier,
         "chi2_features": q_chi2_features,
+        "link_prediction_aa": q_link_prediction,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5568,6 +5591,39 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "link_prediction_aa": r"""
+        -- identical wedge construction; terms rounded 1e-8 then summed
+        -- as DECIMAL(18,8) (order-independent), VARCHAR-routed cast
+        WITH pairs AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), nbrs AS MATERIALIZED (
+            SELECT u AS nv, v AS nn FROM pairs
+            UNION ALL SELECT v, u FROM pairs
+        ), deg AS (
+            SELECT nv, COUNT(*) AS d FROM nbrs GROUP BY nv
+        ), hub AS MATERIALIZED (
+            SELECT n.nv, n.nn,
+                   CAST(ROUND(1.0 / ln(deg.d), 8) AS DECIMAL(18,8)) AS term
+            FROM nbrs n JOIN deg ON n.nv = deg.nv
+            WHERE deg.d >= 2
+        ), wedges AS (
+            SELECT a.nn AS wu, b.nn AS ww, a.term
+            FROM hub a JOIN hub b ON a.nv = b.nv AND a.nn < b.nn
+        ), scores AS (
+            SELECT wu, ww, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   SUM(term) AS sdec
+            FROM wedges GROUP BY wu, ww
+        )
+        SELECT s.wu AS src, s.ww AS dst, s.common_neighbors,
+               CAST(CAST(s.sdec AS VARCHAR) AS DOUBLE) AS score
+        FROM scores s LEFT JOIN pairs p ON s.wu = p.u AND s.ww = p.v
+        WHERE p.u IS NULL
+        ORDER BY s.sdec DESC, s.wu ASC, s.ww ASC
+        LIMIT 100
     """,
     "chi2_features": r"""
         -- identical presence contingencies; HUGEINT products mirror the

@@ -424,3 +424,62 @@ def test_k_core_partition_independent(spark):
     a = sorted(map(tuple, k_core(df, 4).collect()))
     b = sorted(map(tuple, k_core(df.repartition(11), 4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_adamic_adar_brute_force_parity(spark):
+    """Scores equal the quadratic definition (rounded-term decimal sum)
+    on a random graph, existing edges excluded, src < dst."""
+    import math
+    import random
+    from decimal import Decimal
+
+    from bigdata_etl_customer360_spark.operators.graph import adamic_adar
+
+    rng = random.Random(5)
+    pairs = {tuple(sorted((rng.randrange(18), rng.randrange(18))))
+             for _ in range(40)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["score"])
+           for r in adamic_adar(_edges(spark, pairs)).collect()}
+
+    nbr: dict = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if w in nbr[u]:
+                continue
+            common = nbr[u] & nbr[w]
+            if not common:
+                continue
+            s = sum(
+                Decimal(str(round(1.0 / math.log(len(nbr[v])), 8)))
+                for v in common
+            )
+            want[(u, w)] = (len(common), float(s))
+    assert got == want and len(got) > 0
+
+
+def test_adamic_adar_top_k_and_degree_cap(spark):
+    from bigdata_etl_customer360_spark.operators.graph import adamic_adar
+
+    # star around 0 (deg 6 hub) + a path 1-2-3: capping max_degree=3
+    # removes the hub's wedges entirely
+    star = [(0, i) for i in range(1, 7)]
+    path = [(1, 2), (2, 3)]
+    full = adamic_adar(_edges(spark, star + path)).collect()
+    capped = adamic_adar(
+        _edges(spark, star + path), max_degree=3
+    ).collect()
+    hub_pairs_full = [r for r in full if r["common_neighbors"] > 0]
+    assert len(capped) < len(hub_pairs_full)
+    # capped graph: only center 2 (deg 2) survives -> pair (1, 3)
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1, 3)}
+
+    top = adamic_adar(_edges(spark, star + path), top_k=3).collect()
+    assert len(top) == 3
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)

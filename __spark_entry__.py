@@ -3536,6 +3536,48 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges, src="src", dst="dst", top_k=100)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    similarity.rrf_fuse, Cormack SIGIR'09): the BM25 lexical top-100
+    for ['spark','join','window'] fused with the cosine top-100 around
+    the vec_id=0 embedding (doc_id and vec_id are aligned in the
+    synthetic corpus). Both rank lists are integer-exact (bm25 scores
+    1e-8-rounded, cosine quantized-int) so ranks match the oracle
+    bit-for-bit, and the fused score is a fixed two-term IEEE sum —
+    unrounded. Top 20 pinned (score, doc_id)."""
+    from pyspark.sql.window import Window as _W
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+        rrf_fuse,
+    )
+    from bigdata_etl_customer360_spark.operators.textstats import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    lex100 = (
+        bm25_search(docs, ["spark", "join", "window"], k1=1.2, b=0.75)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    lex = lex100.select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    vec = cosine_topk_brute(
+        emb.filter(F.col("vec_id") == 0), emb, k=100
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(_W.orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, vec], id_col="doc_id", k=60, top_k=20)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3709,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "chi2_features": q_chi2_features,
         "link_prediction_aa": q_link_prediction,
+        "hybrid_search": q_hybrid_search,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7401,6 +7444,60 @@ def _k_core_oracle(k: int = 3, rounds: int = 14) -> str:
 
 
 _ORACLES["k_core"] = _k_core_oracle()
+
+# hybrid_search composes the two already-verified retrieval oracles:
+# the bm25 SQL runs verbatim as a nested CTE (one scoring definition,
+# graded twice), the cosine side re-derives the vec_id=0 top-100 with
+# the identical quantized-int formulation as ann_cosine_topk.
+_ORACLES["hybrid_search"] = f"""
+        WITH lex_all AS (
+          {_ORACLES["bm25_search"]}
+        ), lex AS (
+          SELECT doc_id, CAST(rn AS BIGINT) AS rank_1 FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+            FROM lex_all
+          ) WHERE rn <= 100
+        ), qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ), nn AS (
+          SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz
+        ), vscored AS (
+          SELECT c.vec_id AS neighbor_id,
+            CAST(list_sum([q.e[i] * c.e[i]
+                           FOR i IN range(1, len(q.e) + 1)]) AS DOUBLE)
+              / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+              AS cosine
+          FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id = 0
+        ), vec AS (
+          SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS rank_2 FROM (
+            SELECT neighbor_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                      neighbor_id ASC) AS rn
+            FROM vscored
+          ) WHERE rn <= 100
+        ), f AS (
+          SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 l.rank_1, v.rank_2
+          FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, rank_1, rank_2,
+               CAST(CAST(rank_1 IS NOT NULL AS INT)
+                    + CAST(rank_2 IS NOT NULL AS INT) AS INT) AS n_lists,
+               (CASE WHEN rank_1 IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(rank_1 AS DOUBLE))
+                     ELSE 0.0 END)
+               + (CASE WHEN rank_2 IS NOT NULL
+                       THEN 1.0 / (60.0 + CAST(rank_2 AS DOUBLE))
+                       ELSE 0.0 END) AS rrf_score
+        FROM f
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 20
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -16,6 +16,8 @@ this is what makes an approximate-looking operator oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1074,3 +1076,69 @@ def cosine_topk_ivfpq(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists — the standard hybrid-retrieval combiner (BM25 + vector
+    top-k): scores live on incomparable scales, ranks do not, so
+
+        rrf(d) = sum over lists containing d of 1 / (k + rank_d)
+
+    with the conventional k=60 damping. Each input frame carries
+    (``id_col``, ``rank_col``) with unique ids and 1-based integer
+    ranks (rank upstream with orderBy+limit — lists are top-N by
+    definition, the bounded step).
+
+    Determinism: integer ranks in, and the score is the FIXED
+    left-assoc sum ``t_1 + t_2 + ... + t_N`` of fixed-shape terms
+    (absent list -> exact 0.0) — identical IEEE sequences across
+    engines, shipped unrounded. ``top_k`` ties pinned (score DESC, id
+    ASC) via orderBy+limit.
+
+    Plan: N-1 full-outer equi-joins over top-N-sized frames (kilobytes;
+    broadcastable), one codegen projection. Output:
+    ``(id_col, rank_1..rank_N, n_lists, rrf_score)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings, 1):
+        f = r.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"rank_{i}")
+        )
+        out = f if out is None else out.join(f, id_col, "full_outer")
+    terms = [
+        F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        for i in range(1, len(rankings) + 1)
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    present = [
+        F.col(f"rank_{i}").isNotNull().cast("int")
+        for i in range(1, len(rankings) + 1)
+    ]
+    n_lists = present[0]
+    for p in present[1:]:
+        n_lists = n_lists + p
+    out = out.select(
+        id_col,
+        *[f"rank_{i}" for i in range(1, len(rankings) + 1)],
+        n_lists.alias("n_lists"),
+        score.alias("rrf_score"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        ).limit(int(top_k))
+    return out

@@ -3048,3 +3048,39 @@ def test_chi2_features_null_label_and_ties(spark):
         [(r["rank"], r["token"]) for r in out if r["label"] == "A"]
     )
     assert a_rows == sorted(a_rows)
+
+
+def test_rrf_fuse_hand_example(spark):
+    """Two 3-item lists with partial overlap: scores equal the written
+    1/(k+rank) sums; an id in one list only gets a single term."""
+    from bigdata_etl_customer360_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"]
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (10, 2), (13, 3)], ["doc_id", "rank"]
+    )
+    got = {r["doc_id"]: r for r in
+           rrf_fuse([lex, vec], k=60).collect()}
+    assert got[10]["rrf_score"] == 1.0 / 61.0 + 1.0 / 62.0
+    assert got[11]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
+    assert got[12]["rrf_score"] == 1.0 / 63.0 + 0.0
+    assert got[13]["rank_1"] is None and got[13]["n_lists"] == 1
+    # fused order: the doubly-ranked docs beat the single-list ones
+    top = rrf_fuse([lex, vec], k=60, top_k=2).collect()
+    assert {r["doc_id"] for r in top} == {10, 11}
+
+
+def test_rrf_fuse_single_list_and_validation(spark):
+    import pytest as _pt
+
+    from bigdata_etl_customer360_spark.operators.similarity import rrf_fuse
+
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+    one = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    rows = rrf_fuse([one]).collect()
+    assert {r["doc_id"]: r["rrf_score"] for r in rows} == {
+        1: 1.0 / 61.0, 2: 1.0 / 62.0
+    }

@@ -3578,6 +3578,21 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, vec], id_col="doc_id", k=60, top_k=20)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs at 4/5 (operators/dedup.
+    containment_pairs; Broder's containment next to the resemblance the
+    Jaccard tier grades): |A∩B|/|A| finds excerpt/quote inclusion the
+    symmetric tiers structurally miss. Integer threshold decision,
+    posting-list join — the oracle is the quadratic list_intersect
+    definition."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold_num=4, threshold_den=5)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3752,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_features": q_chi2_features,
         "link_prediction_aa": q_link_prediction,
         "hybrid_search": q_hybrid_search,
+        "containment_dup": q_containment,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5634,6 +5650,28 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "containment_dup": r"""
+        -- quadratic containment definition (list_intersect) against the
+        -- posting-list join; integer threshold, n_common*5 >= |A|*4
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        )
+        SELECT id_contained, id_container, sz_contained, n_common,
+               CAST(n_common AS DOUBLE) / CAST(sz_contained AS DOUBLE)
+                 AS containment
+        FROM (
+          SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+                 CAST(len(a.sh) AS INT) AS sz_contained,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common
+          FROM t a JOIN t b ON a.doc_id <> b.doc_id
+          WHERE len(a.sh) > 0
+        ) WHERE n_common * 5 >= sz_contained * 4
     """,
     "link_prediction_aa": r"""
         -- identical wedge construction; terms rounded 1e-8 then summed

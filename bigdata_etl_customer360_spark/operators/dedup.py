@@ -918,3 +918,82 @@ def jaccard_pairs_prefix(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT asymmetric-containment pairs over distinct word n-grams:
+
+        containment(A in B) = |A ∩ B| / |A|  >=  threshold
+
+    — the quote/excerpt/boilerplate-inclusion detector the SYMMETRIC
+    ladder tiers structurally miss: a 50-shingle doc fully embedded in a
+    5000-shingle doc has Jaccard 0.01 (:func:`ngram_jaccard_pairs`
+    never fires at any sane threshold) but containment 1.0. Broder's
+    original resemblance/containment split (SEQUENCES'97); the
+    deduplication policy is usually "drop the contained side".
+
+    Same inverted-index discipline as the Jaccard tier: posting-list
+    self-join on the shingle hash (no cross product; ``max_df`` drops
+    boilerplate postings — denominators still use FULL set sizes), one
+    pair aggregate, then the threshold as EXACT integer arithmetic
+    (``n_common * den >= |A| * num`` — no float enters the decision).
+    Emits one row per DIRECTED containment (small-in-big and big-in-
+    small are different statements; both can hold, e.g. exact dups).
+
+    Output: ``(id_contained, id_container, sz_contained, n_common,
+    containment)`` with the float ratio attached for reporting only.
+    """
+    sh = with_shingles(fan_out(df), text_col, n).select(
+        F.col(id_col).alias("_id"), F.col("shingles")
+    )
+    sized = sh.withColumn("_sz", F.size("shingles"))
+    posts = scoped_cache(
+        sized.select("_id", "_sz", F.explode("shingles").alias("_s"))
+        .select("_id", "_sz", F.xxhash64("_s").alias("_sh"))
+    )
+    if max_df is not None:
+        keep = (
+            posts.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        posts = posts.join(keep, on="_sh")
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_contained"),
+            F.col("b._id").alias("id_container"),
+            F.col("a._sz").alias("sz_contained"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.filter(
+            F.col("n_common") * F.lit(int(threshold_den))
+            >= F.col("sz_contained") * F.lit(int(threshold_num))
+        )
+        .select(
+            "id_contained",
+            "id_container",
+            "sz_contained",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.col("sz_contained").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -3084,3 +3084,49 @@ def test_rrf_fuse_single_list_and_validation(spark):
     assert {r["doc_id"]: r["rrf_score"] for r in rows} == {
         1: 1.0 / 61.0, 2: 1.0 / 62.0
     }
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    one direction only, while symmetric Jaccard stays tiny."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in containment_pairs(df, threshold_num=4,
+                                   threshold_den=5).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: only small-in-big
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_exact_threshold_and_max_df(spark):
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # doc 1 has 5 shingles ("a b c d e f g" -> 5 trigrams), doc 2 shares
+    # exactly 4 of them -> containment(1 in 2) = 4/5: >= at num/den=4/5,
+    # dropped at 5/6
+    d1 = "a b c d e f g"
+    d2 = "a b c d e f zz"  # shares trigrams abc bcd cde def (4 of 5)
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    at45 = containment_pairs(df, threshold_num=4, threshold_den=5).collect()
+    assert {(r["id_contained"], r["id_container"], r["n_common"])
+            for r in at45} == {(1, 2, 4), (2, 1, 4)}
+    at56 = containment_pairs(df, threshold_num=5, threshold_den=6).collect()
+    assert at56 == []
+
+    # max_df=1 drops every shared shingle from the index -> no pairs,
+    # but the operator still runs (denominators from full sizes)
+    assert containment_pairs(df, threshold_num=1, threshold_den=5,
+                             max_df=1).count() == 0

@@ -3593,6 +3593,19 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold_num=4, threshold_den=5)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value (operators/
+    quality.bootstrap_ci; Chamandy et al. 2012 — the distributed
+    bootstrap: per-(row, replicate) Poisson(1) weights from the md5
+    coin against hardcoded CDF cutoffs replace global with-replacement
+    resampling). 200 replicates, exact decimal replicate sums,
+    order-statistic bounds at pinned ranks — every value engine-exact."""
+    from bigdata_etl_customer360_spark.operators.quality import bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return bootstrap_ci(orders, "o_orderkey", "o_totalprice", n_boot=200)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3768,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_aa": q_link_prediction,
         "hybrid_search": q_hybrid_search,
         "containment_dup": q_containment,
+        "bootstrap_ci": q_bootstrap_ci,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5650,6 +5664,54 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "bootstrap_ci": r"""
+        -- identical md5 Poisson(1) coin (hardcoded 2^32-scale CDF
+        -- cutoffs), exact decimal replicate sums, pinned order-statistic
+        -- ranks lo = floor(0.025*B)+1, hi = B-lo+1
+        WITH base AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS x
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        ), ov AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM base
+        ), repl AS (
+          SELECT id, x, b FROM base, UNNEST(range(0, 200)) AS r(b)
+        ), wts AS (
+          SELECT x, b,
+                 CASE WHEN u < 1580030168 THEN 0
+                      WHEN u < 3160060337 THEN 1
+                      WHEN u < 3950075421 THEN 2
+                      WHEN u < 4213413783 THEN 3
+                      WHEN u < 4279248373 THEN 4
+                      WHEN u < 4292415291 THEN 5
+                      WHEN u < 4294609777 THEN 6
+                      WHEN u < 4294923276 THEN 7
+                      ELSE 8 END AS w
+          FROM (SELECT x, b,
+                       ('0x' || substring(md5('boot' || CAST(b AS VARCHAR)
+                                               || ':' || id), 1, 8))::BIGINT
+                         AS u
+                FROM repl)
+        ), means AS (
+          SELECT CAST(CAST(SUM(w * x) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE) AS m
+          FROM wts GROUP BY b HAVING SUM(w) > 0
+        ), lst AS (
+          SELECT list(m ORDER BY m) AS l, COUNT(*) AS nb FROM means
+        )
+        SELECT ov.n, ov.mean,
+               l[CAST(floor(0.025 * CAST(nb AS DOUBLE)) AS INT) + 1]
+                 AS boot_lo,
+               l[CAST(nb AS INT)
+                 - CAST(floor(0.025 * CAST(nb AS DOUBLE)) AS INT)]
+                 AS boot_hi,
+               CAST(nb AS BIGINT) AS n_boot
+        FROM lst, ov
     """,
     "containment_dup": r"""
         -- quadratic containment definition (list_intersect) against the

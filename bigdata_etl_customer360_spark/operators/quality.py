@@ -1234,3 +1234,115 @@ def mann_whitney(
         u_b.alias("u_b"),
         z.alias("z"),
     )
+
+
+# Poisson(1) CDF at 2^32 scale, 50-digit-Decimal-derived integer literals
+# (hardcoded so the operator and every SQL twin share EXACTLY the same
+# cutoffs — libm exp() could differ by an ulp between codegen runs).
+# P(X<=k) for k=0..7; u >= the last cutoff draws weight 8.
+_POISSON1_CUTS = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    scale: int = 2,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Oza/Russell online bagging; Chamandy et al.,
+    Google 2012 "Estimating Uncertainty for Massive Data Streams") —
+    the distributed bootstrap: classical resampling needs n draws WITH
+    replacement from the whole dataset per replicate (a global
+    operation), but Poisson(1) weights per (row, replicate) are
+    embarrassingly parallel and agree with multinomial resampling to
+    O(1/sqrt(n)).
+
+    Determinism: the weight is the Poisson(1) inverse CDF of the
+    engine-portable md5 coin ``u32(md5(salt||b||':'||id))`` against
+    hardcoded integer cutoffs; per-replicate sums are exact
+    DECIMAL/integer aggregates; replicate means are fixed-shape
+    doubles; the CI bounds are ORDER STATISTICS of the sorted replicate
+    means at pinned ranks (lo = floor(alpha/2*B)+1, hi = B-lo+1,
+    computed from the surviving replicate count on both engines).
+
+    Plan: rows explode x ``n_boot`` map-side (the honest bootstrap
+    cost — tune B, not correctness), ONE hash agg to B replicate rows
+    (map-side combine bounds the shuffle at B rows per task), B-sized
+    collect into one sorted list. Rows with NULL id or value are
+    excluded. Output: one row —
+    ``(n, mean, boot_lo, boot_hi, n_boot)``.
+    """
+    if n_boot < 2:
+        raise ValueError("bootstrap_ci needs n_boot >= 2")
+    dec_in = f"decimal(18,{scale})"
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast(dec_in).alias("_x"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+    repl = base.select(
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("_b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("_b").cast("string"),
+                    F.lit(":"),
+                    F.col("_id"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(8)
+    for k in range(len(_POISSON1_CUTS) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUTS[k]), F.lit(k)).otherwise(w)
+    means = (
+        repl.withColumn("_w", w)
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_sx"),
+            F.sum("_w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            (F.col("_sx").cast("double") / F.col("_sw").cast("double")).alias(
+                "_m"
+            )
+        )
+    )
+    lst = means.agg(F.sort_array(F.collect_list("_m")).alias("_lst"))
+    nb = F.size("_lst")
+    lo_idx = (
+        F.floor(F.lit(float(alpha) / 2.0) * nb.cast("double")).cast("int")
+        + F.lit(1)
+    )
+    hi_idx = nb - lo_idx + F.lit(1)
+    return overall.crossJoin(F.broadcast(lst)).select(
+        "n",
+        "mean",
+        F.element_at("_lst", lo_idx).alias("boot_lo"),
+        F.element_at("_lst", hi_idx).alias("boot_hi"),
+        nb.cast("long").alias("n_boot"),
+    )

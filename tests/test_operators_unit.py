@@ -3130,3 +3130,45 @@ def test_containment_exact_threshold_and_max_df(spark):
     # but the operator still runs (denominators from full sizes)
     assert containment_pairs(df, threshold_num=1, threshold_den=5,
                              max_df=1).count() == 0
+
+
+def test_bootstrap_ci_brackets_mean_and_deterministic(spark):
+    from bigdata_etl_customer360_spark.operators.quality import bootstrap_ci
+
+    rows = [(i, float(50 + (i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    r = bootstrap_ci(df, "id", "v", n_boot=100).first()
+    assert r["n"] == 2000 and r["n_boot"] == 100
+    # CI must bracket the sample mean and be tight at n=2000
+    assert r["boot_lo"] < r["mean"] < r["boot_hi"]
+    assert (r["boot_hi"] - r["boot_lo"]) < 10.0
+    # partition-independent, bit-exact
+    r2 = bootstrap_ci(df.repartition(17), "id", "v", n_boot=100).first()
+    assert tuple(r) == tuple(r2)
+
+
+def test_bootstrap_ci_weight_distribution_is_poisson1(spark):
+    """The md5-coin weights must draw approximately Poisson(1): mean
+    weight ~ 1 and ~36.8% zeros (exactness of the CUTOFFS, not the
+    RNG, is the contract — this is a sanity check of the ladder)."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        _POISSON1_CUTS,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot0:"), F.col("id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("bigint").alias("u")
+    )
+    w = F.lit(8)
+    for k in range(len(_POISSON1_CUTS) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POISSON1_CUTS[k]), F.lit(k)).otherwise(w)
+    stats = df.select(w.alias("w")).agg(
+        F.avg("w").alias("m"),
+        F.avg((F.col("w") == 0).cast("double")).alias("z"),
+    ).first()
+    assert abs(stats["m"] - 1.0) < 0.03
+    assert abs(stats["z"] - 0.3679) < 0.02

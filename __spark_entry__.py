@@ -3606,6 +3606,46 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci(orders, "o_orderkey", "o_totalprice", n_boot=200)
 
 
+def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market segments ranked by purchase-conversion Wilson lower bound
+    (operators/quality.wilson_lower_bound): the sample-size-aware
+    ranking where a 3/3 segment must not outrank a 95/100 one. Exact
+    distinct-user counts, one fixed-shape IEEE closed form with the
+    hardcoded z; customer dim broadcasts."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        wilson_lower_bound,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    per_seg = j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("user_id").alias("trials"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("successes"),
+    )
+    return per_seg.select(
+        "segment",
+        "successes",
+        "trials",
+        wilson_lower_bound(F.col("successes"), F.col("trials")).alias(
+            "wilson_lb"
+        ),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier summary via median/MAD (operators/
+    quality.mad_outliers): the skew-proof alternative to standardize's
+    z-scores — exact interpolated medians (the percentiles parity
+    contract), one fixed-shape threshold, integer counts."""
+    from bigdata_etl_customer360_spark.operators.quality import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outliers(ev, "value", group_cols=["event_type"])
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3782,6 +3822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "containment_dup": q_containment,
         "bootstrap_ci": q_bootstrap_ci,
+        "wilson_ranking": q_wilson_ranking,
+        "mad_outliers": q_mad_outliers,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5664,6 +5706,66 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "wilson_ranking": r"""
+        -- identical z literal and formula shape
+        WITH per_seg AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS trials,
+                 CAST(COUNT(DISTINCT e.user_id)
+                      FILTER (WHERE e.event_type = 'purchase') AS BIGINT)
+                   AS successes
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1
+        )
+        , c AS (
+          -- bare float literals parse as DECIMAL in DuckDB (the bare-1.0
+          -- recursive-CTE gotcha class): z*z would fold in decimal
+          -- arithmetic and drift an ulp. Pin every constant to DOUBLE.
+          SELECT CAST(1.959963984540054 AS DOUBLE) AS z,
+                 CAST(1.0 AS DOUBLE) AS one,
+                 CAST(2.0 AS DOUBLE) AS two,
+                 CAST(4.0 AS DOUBLE) AS four
+        )
+        SELECT segment, successes, trials,
+               CASE WHEN trials > 0 THEN
+                 (CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE)
+                  + (z * z) / (two * CAST(trials AS DOUBLE))
+                  - z * sqrt((CAST(successes AS DOUBLE)
+                                / CAST(trials AS DOUBLE)
+                              * (one - CAST(successes AS DOUBLE)
+                                       / CAST(trials AS DOUBLE))
+                              + (z * z) / (four * CAST(trials AS DOUBLE)))
+                             / CAST(trials AS DOUBLE)))
+                 / (one + (z * z) / CAST(trials AS DOUBLE))
+               END AS wilson_lb
+        FROM per_seg, c
+    """,
+    "mad_outliers": r"""
+        -- exact interpolated medians (quantile_cont == F.percentile),
+        -- fixed-shape 3*1.4826*MAD threshold, integer outlier counts
+        WITH clean AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+          WHERE value IS NOT NULL
+        ), med AS (
+          SELECT event_type, quantile_cont(v, 0.5) AS m
+          FROM clean GROUP BY 1
+        ), dev AS (
+          SELECT c.event_type, ABS(c.v - med.m) AS adev, med.m
+          FROM clean c JOIN med USING (event_type)
+        ), madt AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(d.m) AS median,
+               MIN(madt.mad) AS mad,
+               MIN(3.0 * 1.4826 * madt.mad) AS threshold,
+               CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * madt.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN madt USING (event_type)
+        GROUP BY d.event_type
     """,
     "bootstrap_ci": r"""
         -- identical md5 Poisson(1) coin (hardcoded 2^32-scale CDF

@@ -1346,3 +1346,108 @@ def bootstrap_ci(
         F.element_at("_lst", hi_idx).alias("boot_hi"),
         nb.cast("long").alias("n_boot"),
     )
+
+
+def wilson_lower_bound(
+    successes, trials, z: float = 1.959963984540054
+):
+    """Wilson score interval lower bound for a binomial proportion —
+    the "how to rank by rating" fix (a 3/3 item must NOT outrank a
+    95/100 one; the raw rate says it does, the Wilson bound says the
+    opposite because it prices in sample size):
+
+        (p + z²/2n − z·sqrt((p(1−p) + z²/4n) / n)) / (1 + z²/n)
+
+    One fixed-shape IEEE expression over exact integer (successes,
+    trials) Columns — deterministic, engine-exact, NULL when trials is
+    0. Default z is the double nearest the exact 97.5% normal quantile
+    (hardcoded; never recompute via a stats library, which could drift
+    an ulp between engines' codegen). Expression helper: compose it
+    inside any aggregate/projection.
+    """
+    s = successes.cast("double")
+    n = trials.cast("double")
+    zz = F.lit(float(z))
+    z2 = zz * zz
+    p = s / n
+    return F.when(
+        trials > 0,
+        (
+            p
+            + z2 / (F.lit(2.0) * n)
+            - zz
+            * F.sqrt(
+                (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n
+            )
+        )
+        / (F.lit(1.0) + z2 / n),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier summary via the Median Absolute Deviation — the
+    skew-proof alternative to z-scores (:func:`standardize` flags
+    nothing in heavy-tailed data because outliers inflate the stddev
+    that defines them; the median/MAD pair has a 50% breakdown point):
+
+        outlier(x)  ⟺  |x − median| > k · consistency · MAD
+        MAD = median(|x − median|)
+
+    with the conventional consistency 1.4826 (≈ 1/Φ⁻¹(3/4); makes
+    k·MAD comparable to k·σ under normality) and k=3.
+
+    Exactness: both medians are exact sort-based linear-interpolated
+    percentiles (the engine-parity contract of the `percentiles`
+    query); the threshold is one fixed-shape double product; the
+    comparison runs on those identical doubles — counts are integers.
+
+    Plan: per-group median [one agg], broadcast back, per-group MAD of
+    the absolute deviations [second agg over the same shuffle key],
+    broadcast back, ONE counting aggregate. The exact per-group
+    percentile buffers a group's values; at 100 TB swap
+    ``approx_percentile`` in upstream (same note as the percentiles
+    query) — the operator contract is the summary schema.
+
+    Output: ``(*group_cols, n, median, mad, threshold, n_outliers)``.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    clean = df.filter(F.col(value_col).isNotNull())
+    med = clean.groupBy(*gcols).agg(
+        F.percentile(value_col, 0.5).alias("_med")
+    )
+    j1 = (
+        clean.join(F.broadcast(med), list(group_cols))
+        if group_cols
+        else clean.crossJoin(F.broadcast(med))
+    )
+    dev = j1.withColumn(
+        "_adev", F.abs(F.col(value_col).cast("double") - F.col("_med"))
+    )
+    mad = dev.groupBy(*gcols).agg(
+        F.percentile("_adev", 0.5).alias("_mad")
+    )
+    j2 = (
+        dev.join(F.broadcast(mad), list(group_cols))
+        if group_cols
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    thr = F.lit(float(k)) * F.lit(float(consistency)) * F.col("_mad")
+    return (
+        j2.withColumn("_thr", thr)
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
+            F.first("_thr").alias("threshold"),
+            F.sum((F.col("_adev") > F.col("_thr")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -3172,3 +3172,46 @@ def test_bootstrap_ci_weight_distribution_is_poisson1(spark):
     ).first()
     assert abs(stats["m"] - 1.0) < 0.03
     assert abs(stats["z"] - 0.3679) < 0.02
+
+
+def test_wilson_lower_bound_ranks_by_evidence(spark):
+    """3/3 must NOT outrank 95/100; hand formula parity; 0 trials NULL."""
+    import math
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        wilson_lower_bound,
+    )
+
+    df = spark.createDataFrame(
+        [("tiny", 3, 3), ("big", 95, 100), ("none", 0, 0)],
+        ["g", "s", "n"],
+    )
+    got = {r["g"]: r["w"] for r in df.select(
+        "g", wilson_lower_bound(F.col("s"), F.col("n")).alias("w")
+    ).collect()}
+    assert got["none"] is None
+    assert got["big"] > got["tiny"]
+    z = 1.959963984540054
+    p, n = 0.95, 100.0
+    want = (p + z * z / (2 * n)
+            - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) \
+        / (1 + z * z / n)
+    assert abs(got["big"] - want) < 1e-15
+
+
+def test_mad_outliers_heavy_tail_vs_zscore(spark):
+    """A planted 1000x spike is a MAD outlier even though it drags the
+    stddev enough to hide itself from a 3-sigma rule at small n."""
+    from bigdata_etl_customer360_spark.operators.quality import mad_outliers
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    r = mad_outliers(df, "v").first()
+    assert r["n"] == 8 and r["n_outliers"] == 1
+    assert 9.0 <= r["median"] <= 11.0
+    # grouped: each group independent
+    rows = [("a", v) for v in vals] + [("b", 5.0), ("b", 5.1), ("b", 4.9)]
+    out = {r["g"]: r["n_outliers"] for r in mad_outliers(
+        spark.createDataFrame(rows, ["g", "v"]), "v",
+        group_cols=["g"]).collect()}
+    assert out == {"a": 1, "b": 0}

@@ -3646,6 +3646,37 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, "value", group_cols=["event_type"])
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point over the zero-filled daily revenue series
+    (operators/temporal.cusum_changepoint): the level-shift locator.
+    The argmax decision runs entirely in BIGINT cents (T_t = n*cumsum -
+    t*total — no float enters), earliest-t tie pin; only the reported
+    magnitude becomes a double."""
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        cusum_changepoint,
+        resample_timeseries,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    series = resample_timeseries(
+        orders, [], "o_orderdate", 86400, value_col="o_totalprice"
+    )
+    return cusum_changepoint(series, "cell", "val_sum")
+
+
+def q_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the en and zh token
+    distributions (operators/textstats.token_jsd): exact integer
+    counts, three in-order entropy folds over the token-sorted
+    vocabulary (the char_entropy contract), 1e-8-rounded outputs —
+    the symmetric bounded drift readout KL cannot give on
+    partially-disjoint vocabularies."""
+    from bigdata_etl_customer360_spark.operators.textstats import token_jsd
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return token_jsd(docs, "lang", "text", "en", "zh")
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3824,6 +3855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "wilson_ranking": q_wilson_ranking,
         "mad_outliers": q_mad_outliers,
+        "cusum_changepoint": q_cusum_changepoint,
+        "token_jsd": q_token_jsd,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5706,6 +5739,94 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "token_jsd": r"""
+        -- identical token grid; three in-order folds over the
+        -- token-sorted list (list_aggregate 'sum'), p=0 CASE-guarded,
+        -- DOUBLE-pinned constants, ROUND 8
+        WITH tk AS (
+          SELECT lang,
+                 list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+'),
+                             t -> t <> '') AS w
+          FROM documents WHERE lang IN ('en', 'zh')
+        ), t AS (
+          SELECT lang, UNNEST(w) AS tok FROM tk
+        ), grid AS (
+          SELECT tok,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM t GROUP BY tok
+        ), tot AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb
+          FROM grid
+        ), folds AS (
+          SELECT
+            list(CASE WHEN ca > 0
+                      THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                           * ln(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                      ELSE CAST(0.0 AS DOUBLE) END ORDER BY tok) AS la,
+            list(CASE WHEN cb > 0
+                      THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                           * ln(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      ELSE CAST(0.0 AS DOUBLE) END ORDER BY tok) AS lb,
+            list(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                  / CAST(2.0 AS DOUBLE))
+                 * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / CAST(2.0 AS DOUBLE)) ORDER BY tok) AS lm
+          FROM grid, tot
+        )
+        SELECT tot.na AS n_tokens_a, tot.nb AS n_tokens_b,
+               ROUND(-(list_aggregate(la, 'sum')), 8) AS h_a,
+               ROUND(-(list_aggregate(lb, 'sum')), 8) AS h_b,
+               ROUND(-(list_aggregate(lm, 'sum')), 8) AS h_m,
+               ROUND(-(list_aggregate(lm, 'sum'))
+                     - (-(list_aggregate(la, 'sum'))
+                        + -(list_aggregate(lb, 'sum')))
+                       / CAST(2.0 AS DOUBLE), 8) AS jsd
+        FROM folds, tot
+    """,
+    "cusum_changepoint": r"""
+        -- all-integer argmax: T_t = n*cumsum_cents - t*total_cents,
+        -- earliest-t tie pin; magnitude double only at the end
+        WITH cellagg AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) * 86400 AS BIGINT)
+                   AS cs,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS vsum
+          FROM orders GROUP BY 1
+        ), span AS (
+          SELECT MIN(cs) AS a, MAX(cs) AS b FROM cellagg
+        ), spine AS (
+          SELECT UNNEST(generate_series(a, b, 86400)) AS cs FROM span
+        ), series AS (
+          SELECT s.cs,
+                 CAST(COALESCE(c.vsum, CAST(0 AS DECIMAL(18,2))) * 100
+                      AS BIGINT) AS cents
+          FROM spine s LEFT JOIN cellagg c USING (cs)
+        ), staged AS (
+          SELECT cs,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cs) AS BIGINT) AS t,
+                 SUM(cents) OVER (ORDER BY cs
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 SUM(cents) OVER () AS s,
+                 COUNT(*) OVER () AS n
+          FROM series
+        ), ranked AS (
+          SELECT cs, t, ABS(n * c - t * s) AS a, n,
+                 ROW_NUMBER() OVER (ORDER BY ABS(n * c - t * s) DESC,
+                                    t ASC) AS rk
+          FROM staged
+        )
+        SELECT make_timestamp(cs * 1000000) AS split_at,
+               CAST(t AS INT) AS t,
+               CAST(a AS DOUBLE) / (CAST(n AS DOUBLE)
+                                    * CAST(100 AS DOUBLE)) AS max_cusum
+        FROM ranked WHERE rk = 1
     """,
     "wilson_ranking": r"""
         -- identical z literal and formula shape

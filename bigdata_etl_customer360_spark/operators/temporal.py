@@ -993,3 +993,76 @@ def kaplan_meier(
         lst.select(*gcols, F.explode(curve).alias("_e"))
         .select(*group_cols, "_e.t", "_e.n_risk", "_e.n_events", "_e.survival")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = 2,
+) -> DataFrame:
+    """Single change-point detection via the CUSUM statistic: the split
+    position maximizing the cumulative deviation from the global mean,
+
+        C_t = sum_{i<=t} (x_i - mean),   split at argmax_t |C_t|
+
+    — "when did the level shift?" over a series (a regime change in
+    daily revenue, a deploy that moved a metric). Equivalent to the
+    max-|T| form used here with NO floats in the decision:
+
+        T_t = n * cumsum_t - t * total        (value units x n)
+
+    computed in exact integer sub-units (values scaled by 10^scale into
+    BIGINT cents; |T| compared as integers, argmax ties pinned to the
+    EARLIEST t). Only the reported magnitude becomes a double at the
+    end (|T| / (n * 10^scale), one fixed shape). Overflow bound:
+    n * |total_cents| must fit int64 — at larger scales lift the same
+    arithmetic to DECIMAL(38).
+
+    Plan: one window pass over the ordered series (cumsum + position +
+    total share a sort), one rank to pick the argmax row. Series
+    frames only (an aggregate — the ACF bounded-domain contract); with
+    ``group_cols`` every window partitions by group.
+
+    Output: ``(*group_cols, split_at, t, max_cusum)`` — ``split_at``
+    is the LAST ``order_col`` value of the left segment, ``t`` its
+    1-based position, ``max_cusum`` the peak |C_t| in value units.
+    """
+    mult = 10 ** int(scale)
+    cents = F.round(
+        F.col(value_col).cast(f"decimal(18,{scale})") * F.lit(mult)
+    ).cast("long")
+    gcols = [F.col(c) for c in group_cols]
+    base = (
+        Window.partitionBy(*gcols) if group_cols else Window.partitionBy()
+    )
+    w_ord = base.orderBy(F.col(order_col).asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.col(order_col).alias("split_at"),
+        F.row_number().over(w_ord).alias("t"),
+        F.sum(cents).over(w_cum).alias("_c"),
+        F.sum(cents).over(w_all).alias("_s"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    t_stat = F.col("_n") * F.col("_c") - F.col("t") * F.col("_s")
+    ranked = staged.withColumn("_abs", F.abs(t_stat)).withColumn(
+        "_rk",
+        F.row_number().over(
+            base.orderBy(F.col("_abs").desc(), F.col("t").asc())
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        *group_cols,
+        "split_at",
+        "t",
+        (
+            F.col("_abs").cast("double")
+            / (F.col("_n").cast("double") * F.lit(float(mult)))
+        ).alias("max_cusum"),
+    )

@@ -1723,3 +1723,92 @@ def chi2_features(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(top_k))
     )
+
+
+def token_jsd(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's token
+    distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
+    readout (train-vs-crawl shift, en-vs-zh vocabulary distance) that
+    KL cannot provide (KL blows up on any token present in one corpus
+    only; JSD's mixture M = (P+Q)/2 never has a zero where P or Q has
+    mass):
+
+        JSD(P, Q) = H(M) - (H(P) + H(Q)) / 2
+
+    Exactness: token counts and totals are exact integers; each entropy
+    is an IN-ORDER float fold over the token-sorted distinct-token list
+    (the bm25/char_entropy contract — sort_array(collect_list) +
+    F.aggregate == DuckDB list(expr ORDER BY token) + list_aggregate
+    'sum'), with -p*ln(p) terms CASE-guarded at p=0 (absent tokens
+    contribute 0, never NaN); outputs rounded 1e-8 to absorb final-ulp
+    ln divergence.
+
+    Plan: one explode + hash agg to the distinct-token grid, ONE
+    single-row aggregate carrying the sorted fold list and both totals
+    (the token universe is a vocabulary — bounded), three folds in one
+    projection. Output: one row —
+    ``(n_tokens_a, n_tokens_b, h_a, h_b, h_m, jsd)``.
+    """
+    cond_a = F.col(group_col) == F.lit(group_a)
+    cond_b = F.col(group_col) == F.lit(group_b)
+    toks = df.filter(cond_a | cond_b).select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens_expr(text_col)).alias("_t"),
+    )
+    per_tok = toks.groupBy("_t").agg(
+        F.sum((F.col("_g") == F.lit(group_a)).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == F.lit(group_b)).cast("long")).alias("_cb"),
+    )
+    row = per_tok.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_ca", "_cb"))
+        ).alias("_lst"),
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+    )
+
+    def _h(term):
+        return -F.aggregate(
+            F.col("_lst"), F.lit(0.0), lambda acc, x: acc + term(x)
+        )
+
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+
+    def pa(x):
+        return x["_ca"].cast("double") / na
+
+    def pb(x):
+        return x["_cb"].cast("double") / nb
+
+    def guarded(p_expr, x_count):
+        def term(x):
+            p = p_expr(x)
+            return F.when(x_count(x) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+        return term
+
+    h_a = _h(guarded(pa, lambda x: x["_ca"]))
+    h_b = _h(guarded(pb, lambda x: x["_cb"]))
+
+    def m_term(x):
+        pm = (pa(x) + pb(x)) / F.lit(2.0)
+        return pm * F.log(pm)
+
+    h_m = -F.aggregate(
+        F.col("_lst"), F.lit(0.0), lambda acc, x: acc + m_term(x)
+    )
+    return row.select(
+        F.col("_na").alias("n_tokens_a"),
+        F.col("_nb").alias("n_tokens_b"),
+        F.round(h_a, 8).alias("h_a"),
+        F.round(h_b, 8).alias("h_b"),
+        F.round(h_m, 8).alias("h_m"),
+        F.round(h_m - (h_a + h_b) / F.lit(2.0), 8).alias("jsd"),
+    )

@@ -3215,3 +3215,70 @@ def test_mad_outliers_heavy_tail_vs_zscore(spark):
         spark.createDataFrame(rows, ["g", "v"]), "v",
         group_cols=["g"]).collect()}
     assert out == {"a": 1, "b": 0}
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    vals = [10.0, 10.0, 10.0, 20.0, 20.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["t_idx", "v"]
+    )
+    r = cusum_changepoint(df, "t_idx", "v").first()
+    # C_t - t*mean = -4, -8, -12, -6, 0 -> peak |12| at position 3
+    assert r["t"] == 3 and r["split_at"] == 2
+    assert r["max_cusum"] == 12.0
+
+
+def test_cusum_ties_groups_and_partition_independence(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    # symmetric V-shape: |T| ties at t=1 and t=2 -> earliest wins
+    sym = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 0.0), (4, 10.0)], ["t_idx", "v"]
+    )
+    r = cusum_changepoint(sym, "t_idx", "v").first()
+    assert r["t"] == 1  # |T| = 20, 0, 20, 0 (x n-units): first peak pinned
+
+    rows = [("a", i, 1.0 if i < 30 else 2.0) for i in range(60)]
+    rows += [("b", i, float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["g", "t_idx", "v"])
+    x = sorted(map(tuple, cusum_changepoint(
+        df, "t_idx", "v", group_cols=["g"]).collect()))
+    y = sorted(map(tuple, cusum_changepoint(
+        df.repartition(7), "t_idx", "v", group_cols=["g"]).collect()))
+    assert x == y
+    a = [r for r in x if r[0] == "a"][0]
+    assert a[2] == 30  # the shift point
+
+
+def test_token_jsd_bounds_and_symmetry(spark):
+    import math
+
+    from bigdata_etl_customer360_spark.operators.textstats import token_jsd
+
+    # identical corpora -> JSD == 0
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], ["g", "text"]
+    )
+    assert token_jsd(same, "g", "text", "a", "b").first()["jsd"] == 0.0
+
+    # fully disjoint vocabularies, uniform -> JSD == ln 2
+    disj = spark.createDataFrame(
+        [("a", "p q"), ("b", "r s")], ["g", "text"]
+    )
+    r = token_jsd(disj, "g", "text", "a", "b").first()
+    assert abs(r["jsd"] - math.log(2.0)) < 1e-8
+    assert r["n_tokens_a"] == 2 and r["n_tokens_b"] == 2
+
+    # symmetric in its arguments
+    mixed = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x y y z")], ["g", "text"]
+    )
+    j1 = token_jsd(mixed, "g", "text", "a", "b").first()["jsd"]
+    j2 = token_jsd(mixed, "g", "text", "b", "a").first()["jsd"]
+    assert abs(j1 - j2) < 1e-8 and 0.0 < j1 < math.log(2.0)

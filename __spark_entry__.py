@@ -3677,6 +3677,23 @@ def q_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jsd(docs, "lang", "text", "en", "zh")
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equal-frequency) binning of order value (operators/
+    quality.quantile_bins) — the skew-proof discretization equal-width
+    histogram bins lack; summarized per bin. Exact interpolated cut
+    points (the percentiles parity contract), ties-fall-left pinned
+    assignment."""
+    from bigdata_etl_customer360_spark.operators.quality import quantile_bins
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    binned = quantile_bins(orders, "o_totalprice", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("o_totalprice").cast("double")).alias("min_v"),
+        F.max(F.col("o_totalprice").cast("double")).alias("max_v"),
+    )
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3857,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "cusum_changepoint": q_cusum_changepoint,
         "token_jsd": q_token_jsd,
+        "quantile_bins": q_quantile_bins,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5739,6 +5757,24 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "quantile_bins": r"""
+        -- identical interpolated cut points and ties-fall-left
+        -- assignment (1 + count of cuts strictly below x)
+        WITH cuts AS (
+          SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                               [0.1, 0.2, 0.3, 0.4, 0.5,
+                                0.6, 0.7, 0.8, 0.9]) AS c
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), b AS (
+          SELECT CAST(1 + len(list_filter(c,
+                   x -> CAST(o_totalprice AS DOUBLE) > x)) AS INT) AS bin,
+                 CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders, cuts WHERE o_totalprice IS NOT NULL
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM b GROUP BY bin
     """,
     "token_jsd": r"""
         -- identical token grid; three in-order folds over the

@@ -1451,3 +1451,59 @@ def mad_outliers(
             ),
         )
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) discretization — the feature-binning
+    step in front of drift reports and naive-Bayes-style models, where
+    equal-WIDTH bins (:func:`histogram`) collapse under skew (one hot
+    bin, everything else empty):
+
+        boundaries b_i = exact percentile(i / n_bins),  i = 1..n_bins-1
+        bin(x)     = 1 + count of boundaries STRICTLY below-or-equal x
+                     (x > b_i), so ties at a boundary fall LEFT — a
+                     pinned, engine-exact rule (both engines compare
+                     the identical interpolated doubles).
+
+    Populations are equal only when the value distribution is
+    continuous; heavy ties shift mass left rather than splitting a tie
+    group across bins (determinism over prettiness — the NTILE row-
+    split alternative is :func:`rfm_scores`' numbering, which needs a
+    unique tiebreaker).
+
+    Plan: ONE exact-percentile aggregate (all cut points in one pass)
+    broadcast back as a literal-sized array; the assignment is a
+    codegen'd aggregate over the array — no window, no shuffle beyond
+    the percentile's. At 100 TB swap approx_percentile upstream (the
+    percentiles-query note). Rows with NULL keep NULL bins.
+
+    Output: the input columns plus ``out_col`` (1..n_bins, int).
+    """
+    if n_bins < 2:
+        raise ValueError("quantile_bins needs n_bins >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile(value_col, probs).alias("_cuts")
+    )
+    x = F.col(value_col).cast("double")
+    bin_expr = F.when(
+        F.col(value_col).isNotNull(),
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_cuts"),
+                F.lit(0),
+                lambda acc, b: acc + (x > b).cast("int"),
+            )
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, bin_expr)
+        .drop("_cuts")
+    )

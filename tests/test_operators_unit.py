@@ -3282,3 +3282,30 @@ def test_token_jsd_bounds_and_symmetry(spark):
     j1 = token_jsd(mixed, "g", "text", "a", "b").first()["jsd"]
     j2 = token_jsd(mixed, "g", "text", "b", "a").first()["jsd"]
     assert abs(j1 - j2) < 1e-8 and 0.0 < j1 < math.log(2.0)
+
+
+def test_quantile_bins_equal_population_and_ties(spark):
+    from bigdata_etl_customer360_spark.operators.quality import quantile_bins
+
+    # 100 distinct values, 4 bins -> exactly 25 per bin
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = quantile_bins(df, "v", n_bins=4)
+    counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+
+    # heavy ties at one value fall LEFT together (never split)
+    tied = spark.createDataFrame(
+        [(1.0,)] * 50 + [(2.0,)] * 5 + [(None,)], ["v"]
+    )
+    out2 = quantile_bins(tied, "v", n_bins=2).collect()
+    by_v = {}
+    for r in out2:
+        by_v.setdefault(r["v"], set()).add(r["bin"])
+    assert by_v[1.0] == {1} and by_v[2.0] == {2}
+    assert by_v[None] == {None}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quantile_bins(df, "v", n_bins=1)

@@ -3694,6 +3694,84 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_STREAM_DIRS: dict[str, str] = {}
+
+
+def q_hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequent-items maintenance graded end-to-end
+    (streaming/windows.stream_heavy_hitters): the documents token
+    stream lands as three ordered id-range batches, each folding its
+    Misra-Gries summary into a MAINTAINED bounded snapshot (the
+    mergeable-summaries invariants keep the candidate rule
+    false-negative-free across merges); the readout verifies the
+    bounded candidate set against the accumulated lake with exact
+    counts. Result == batch heavy_hitters == the plain group-count SQL
+    — the SAME oracle string as the batch query (one ground truth, two
+    execution models, like join_stream/interval_join). Scratch dirs
+    session-scoped: bench re-runs drain zero new files and re-read the
+    converged lake+summary. Capacity 64 > denom 30 keeps the
+    no-false-negative guarantee while the 31-token vocab forces real
+    decrements per batch."""
+    import os
+
+    tune_session(spark)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        word_tokens_expr,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        heavy_hitters_from_lake,
+        stream_from_parquet,
+        stream_heavy_hitters,
+    )
+
+    if sf_dir not in _HH_STREAM_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_hh_stream_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        hi = int(docs.agg(F.max("doc_id")).first()[0] or 0)
+        cut = (hi + 3) // 3
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            docs.filter(
+                (F.col("doc_id") >= b * cut)
+                & (F.col("doc_id") < (b + 1) * cut)
+            ).select(
+                F.explode(word_tokens_expr("text")).alias("token")
+            ).coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b,) * 2)
+        _HH_STREAM_DIRS[sf_dir] = root
+
+    root = _HH_STREAM_DIRS[sf_dir]
+    schema = StructType([StructField("token", StringType())])
+    lake = os.path.join(root, "lake")
+    summary = os.path.join(root, "summary")
+    stream_heavy_hitters(
+        stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        ),
+        lake,
+        summary,
+        os.path.join(root, "ckpt"),
+        col="token",
+        capacity=64,
+        query_name="hh_stream_graded",
+    )
+    return heavy_hitters_from_lake(spark, lake, summary, "token", denom=30)
+
+
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
@@ -3875,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "token_jsd": q_token_jsd,
         "quantile_bins": q_quantile_bins,
+        "hh_stream": q_hh_stream,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -7803,6 +7882,10 @@ def _k_core_oracle(k: int = 3, rounds: int = 14) -> str:
 
 
 _ORACLES["k_core"] = _k_core_oracle()
+
+# the streaming maintainer must equal the batch sketch must equal the
+# plain group-count: one ground truth, three execution models
+_ORACLES["hh_stream"] = _ORACLES["heavy_hitters"]
 
 # hybrid_search composes the two already-verified retrieval oracles:
 # the bm25 SQL runs verbatim as a nested CTE (one scoring definition,

@@ -767,50 +767,10 @@ def heavy_hitters(
             f"guarantee (got capacity={capacity!r}, denom={denom!r})"
         )
 
-    from pyspark.sql.types import LongType, StructField, StructType
-
     from bigdata_etl_customer360_spark.operators.util import scoped_cache
 
     clean = df.select(col).filter(F.col(col).isNotNull())
-    # nullable=True explicitly: `clean` carries a not-null constraint from
-    # the filter, but the summary's sentinel row IS the null slot.
-    schema = StructType(
-        [
-            StructField(col, clean.schema[col].dataType, True),
-            StructField("_est", LongType(), False),
-            StructField("_slack", LongType(), False),
-        ]
-    )
-    cap = int(capacity)
-
-    def _mg(batches):
-        import pandas as pd
-
-        counters: "pd.Series | None" = None
-        slack = 0
-        n_rows = 0
-        for pdf in batches:
-            vals = pdf[col]
-            n_rows += int(vals.size)
-            vc = vals.value_counts()
-            counters = vc if counters is None else counters.add(vc, fill_value=0)
-            if len(counters) > cap:
-                thresh = int(counters.nlargest(cap + 1).iloc[-1])
-                counters = counters.astype("int64") - thresh
-                counters = counters[counters > 0]
-                slack += thresh
-        if counters is None:
-            counters = pd.Series(dtype="int64")
-        out = pd.DataFrame(
-            {
-                col: list(counters.index) + [None],
-                "_est": list(counters.astype("int64")) + [n_rows],
-                "_slack": [0] * len(counters) + [slack],
-            }
-        )
-        yield out
-
-    summ = scoped_cache(clean.mapInPandas(_mg, schema))
+    summ = scoped_cache(mg_summary(clean, col, capacity))
     sent = summ.filter(F.col(col).isNull()).agg(
         F.sum("_est").alias("_N"), F.sum("_slack").alias("_D")
     )
@@ -1507,3 +1467,58 @@ def quantile_bins(
         .withColumn(out_col, bin_expr)
         .drop("_cuts")
     )
+
+
+def mg_summary(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """One Misra-Gries sketch pass (the mergeable-summaries fold shared
+    by :func:`heavy_hitters` and the streaming maintainer
+    ``streaming.windows.stream_heavy_hitters``): each task folds its
+    partition into a weighted MG summary of ``capacity`` counters;
+    output is (col, _est, _slack) rows plus one NULL-sentinel row per
+    task carrying (row_count, total_decrement). Invariants:
+    ``est(v) <= true(v)`` and ``true(v) - est_sum(v) <= slack_sum`` —
+    summaries from different passes/batches MERGE by summation (Agarwal
+    et al., PODS'12), which is what makes incremental maintenance
+    sound."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    clean = df.select(col).filter(F.col(col).isNotNull())
+    # nullable=True explicitly: `clean` carries a not-null constraint from
+    # the filter, but the summary's sentinel row IS the null slot.
+    schema = StructType(
+        [
+            StructField(col, clean.schema[col].dataType, True),
+            StructField("_est", LongType(), False),
+            StructField("_slack", LongType(), False),
+        ]
+    )
+    cap = int(capacity)
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: "pd.Series | None" = None
+        slack = 0
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf[col]
+            n_rows += int(vals.size)
+            vc = vals.value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                thresh = int(counters.nlargest(cap + 1).iloc[-1])
+                counters = counters.astype("int64") - thresh
+                counters = counters[counters > 0]
+                slack += thresh
+        if counters is None:
+            counters = pd.Series(dtype="int64")
+        out = pd.DataFrame(
+            {
+                col: list(counters.index) + [None],
+                "_est": list(counters.astype("int64")) + [n_rows],
+                "_slack": [0] * len(counters) + [slack],
+            }
+        )
+        yield out
+
+    return clean.mapInPandas(_mg, schema)

@@ -236,6 +236,52 @@ def stream_upsert_to_table(
     return q
 
 
+def _ensure_lake_owner(
+    checkpoint_dir: str, lake_path: str, sibling_state: str
+) -> None:
+    """Stamp/verify a batch-dir lake's owning streaming query (shared by
+    :func:`stream_dedup_incremental` and :func:`stream_heavy_hitters`).
+
+    A ``_SUCCESS`` first-write-wins guard on ``lake_path/batch=<id>`` is
+    only sound when the directory was written by THIS query lineage: if
+    the checkpoint is deleted to reprocess (batch ids restart at 0)
+    while the lake keeps old batch dirs, silently keeping them would
+    poison the lake AND fold their stale derivatives into fresh state.
+    Streaming checkpoints carry a stable query id
+    (``checkpoint_dir/metadata``, preserved across restarts of the same
+    checkpoint, regenerated when it is recreated) — stamp it into the
+    lake (``_QUERY_ID``) and refuse a mismatch loudly.
+    ``sibling_state`` names the state path(s) that must be cleared
+    together with the lake in the error message.
+    """
+    import json
+    import os
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.isfile(meta):
+        return  # checkpoint not yet initialized (first-ever batch)
+    with open(meta) as fh:
+        qid = json.load(fh)["id"]
+    marker = os.path.join(lake_path, "_QUERY_ID")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            owner = fh.read().strip()
+        if owner != qid:
+            raise RuntimeError(
+                f"{lake_path!r} belongs to streaming query {owner!r} but "
+                f"this checkpoint is {qid!r} — the checkpoint was "
+                "recreated while old batch dirs remain. Clear the lake "
+                f"and {sibling_state} together with the checkpoint (they "
+                "form one exactly-once unit), or point this query at "
+                "fresh paths."
+            )
+    else:
+        os.makedirs(lake_path, exist_ok=True)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(qid)
+        os.replace(marker + ".tmp", marker)
+
+
 def _merge_into_snapshot(spark, snapshot_path, merge_fn, first_batch_df):
     """Crash-safe read-merge-swap shared by the snapshot maintainers
     (:func:`stream_upsert_to_table`, :func:`stream_maintain_rollup`).
@@ -345,41 +391,7 @@ def stream_dedup_incremental(
     spark = stream_df.sparkSession
 
     def _check_owner() -> None:
-        # The _SUCCESS first-write-wins guard is only sound when a
-        # batch=<id> directory was written by THIS query lineage.  If the
-        # checkpoint was deleted to reprocess (batch ids restart at 0)
-        # while survivors_path kept old batch dirs, silently keeping them
-        # would poison the lake AND fold their stale fingerprints into a
-        # fresh seen snapshot.  Streaming checkpoints carry a stable query
-        # id (checkpoint_dir/metadata, preserved across restarts of the
-        # same checkpoint, regenerated when it is recreated) — stamp it
-        # into the lake and refuse a mismatch loudly.
-        import json
-
-        meta = os.path.join(checkpoint_dir, "metadata")
-        if not os.path.isfile(meta):
-            return  # checkpoint not yet initialized (first-ever batch)
-        with open(meta) as fh:
-            qid = json.load(fh)["id"]
-        marker = os.path.join(survivors_path, "_QUERY_ID")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                owner = fh.read().strip()
-            if owner != qid:
-                raise RuntimeError(
-                    "survivors_path belongs to streaming query "
-                    f"{owner!r} but this checkpoint is {qid!r} — the "
-                    "checkpoint was recreated while old survivor batch "
-                    "dirs remain. Clear survivors_path and seen_path "
-                    "together with the checkpoint (they form one "
-                    "exactly-once unit), or point this query at fresh "
-                    "paths."
-                )
-        else:
-            os.makedirs(survivors_path, exist_ok=True)
-            with open(marker + ".tmp", "w") as fh:
-                fh.write(qid)
-            os.replace(marker + ".tmp", marker)
+        _ensure_lake_owner(checkpoint_dir, survivors_path, "seen_path")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -491,3 +503,139 @@ def stream_maintain_rollup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    lake_path: str,
+    summary_path: str,
+    checkpoint_dir: str,
+    col: str,
+    capacity: int = 64,
+    query_name: str = "heavy_hitters_stream",
+):
+    """Streaming frequent-items maintenance — the incremental closure of
+    ``operators.quality.heavy_hitters``: each micro-batch of values (1)
+    appends to a bronze lake and (2) folds its Misra-Gries summary into
+    a MAINTAINED bounded summary snapshot (<= capacity+1 counter rows +
+    one sentinel, whatever the history size). MG summaries are
+    MERGEABLE (Agarwal et al., PODS'12): merged-then-decremented
+    summaries keep both invariants (est <= true; true - est <= slack),
+    so the candidate rule over the maintained summary has no false
+    negatives at ANY point in the stream — the expensive sketch pass
+    over history never re-runs, only the final bounded-candidate
+    verification scan does (:func:`heavy_hitters_from_lake`).
+
+    Delivery contract (the maintainer trio's rules combined):
+    batch dirs are first-write-wins under the ``_QUERY_ID`` ownership
+    stamp (redelivery cannot double-append the lake), and the summary
+    fold is guarded by ``_last_batch_id`` inside the snapshot
+    (count merges are NOT idempotent — a redelivered id is a no-op),
+    with the ``._old`` swap rotation making the crash window narrow.
+    Single-writer, as for the other maintainers.
+
+    The driver-side merge touches only summary rows (bounded by
+    capacity x task count for one batch) — a documented bounded
+    collect, like pagerank's convergence sums.
+    """
+    import os
+
+    from bigdata_etl_customer360_spark.operators.quality import mg_summary
+
+    spark = stream_df.sparkSession
+    cap = int(capacity)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _ensure_lake_owner(checkpoint_dir, lake_path, "summary_path")
+        batch_dir = os.path.join(lake_path, f"batch={int(batch_id)}")
+        if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
+            batch_df.select(col).filter(
+                F.col(col).isNotNull()
+            ).write.mode("overwrite").parquet(batch_dir)
+        # summarize from the JUST-WRITTEN files (redelivery recomputes
+        # the identical summary from the identical committed rows)
+        delta = mg_summary(
+            spark.read.parquet(batch_dir), col, cap
+        ).withColumn("_last_batch_id", F.lit(int(batch_id)))
+
+        def _merge(snap: DataFrame) -> DataFrame:
+            done = snap.agg(F.max("_last_batch_id")).first()[0]
+            if done is not None and int(done) >= int(batch_id):
+                return snap  # redelivered batch already folded: no-op
+            import pandas as pd
+
+            both = snap.drop("_last_batch_id").unionByName(
+                delta.drop("_last_batch_id")
+            ).toPandas()
+            sent = both[both[col].isna()]
+            counters = (
+                both[both[col].notna()].groupby(col)["_est"].sum()
+            )
+            slack = int(sent["_slack"].sum())
+            if len(counters) > cap:
+                thresh = int(counters.nlargest(cap + 1).iloc[-1])
+                counters = counters.astype("int64") - thresh
+                counters = counters[counters > 0]
+                slack += thresh
+            out = pd.DataFrame(
+                {
+                    col: list(counters.index) + [None],
+                    "_est": list(counters.astype("int64"))
+                    + [int(sent["_est"].sum())],
+                    "_slack": [0] * len(counters) + [slack],
+                }
+            )
+            return spark.createDataFrame(
+                out, schema=delta.drop("_last_batch_id").schema
+            ).withColumn("_last_batch_id", F.lit(int(batch_id)))
+
+        _merge_into_snapshot(spark, summary_path, _merge, delta)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def heavy_hitters_from_lake(
+    spark,
+    lake_path: str,
+    summary_path: str,
+    col: str,
+    denom: int,
+) -> DataFrame:
+    """Query-time readout for :func:`stream_heavy_hitters`: candidates
+    from the MAINTAINED summary ((est + slack) * denom > N — no false
+    negatives by the mergeable-summaries invariants), exact counts from
+    ONE verification scan of the lake restricted to the bounded
+    candidate set, final integer threshold. Output equals batch
+    ``heavy_hitters`` over the concatenated history EXACTLY (the
+    sketch only prunes; the verification decides)."""
+    summ = spark.read.parquet(summary_path)
+    sent = summ.filter(F.col(col).isNull()).agg(
+        F.sum("_est").alias("_N"), F.sum("_slack").alias("_D")
+    )
+    cand = (
+        summ.filter(F.col(col).isNotNull())
+        .join(F.broadcast(sent))
+        .filter(
+            (F.col("_est") + F.col("_D")) * F.lit(int(denom)) > F.col("_N")
+        )
+        .select(col)
+    )
+    lake = spark.read.parquet(lake_path)
+    return (
+        lake.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(sent))
+        .filter(F.col("n_occurrences") * F.lit(int(denom)) > F.col("_N"))
+        .select(col, "n_occurrences")
+    )

@@ -1093,3 +1093,65 @@ def test_stream_dedup_incremental_refuses_foreign_survivor_lake(
         r["doc_id"] for r in spark.read.parquet(ok_surv).collect()
     )
     assert got == [1, 2]
+
+
+def _write_tokens(path: str, toks: list[str]) -> None:
+    pq.write_table(pa.table({"token": toks}), path)
+
+
+def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
+    """Three maintained micro-batches == one batch heavy_hitters over the
+    concatenated history: the maintained MG summary stays bounded, the
+    verification scan decides, and a re-merged batch id is a no-op."""
+    from bigdata_etl_customer360_spark.operators.quality import heavy_hitters
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        heavy_hitters_from_lake,
+        stream_from_parquet,
+        stream_heavy_hitters,
+    )
+
+    # skewed stream: 'hot' is heavy overall, 'warm' only in batch 3,
+    # 60 singletons force MG decrements at capacity 16
+    b1 = ["hot"] * 40 + [f"a{i}" for i in range(20)]
+    b2 = ["hot"] * 30 + ["warm"] * 5 + [f"b{i}" for i in range(20)]
+    b3 = ["warm"] * 45 + [f"c{i}" for i in range(20)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, b in enumerate([b1, b2, b3]):
+        p = str(src / f"batch{i}.parquet")
+        _write_tokens(p, b)
+        os.utime(p, (1_700_000_000 + 10 * i,) * 2)
+
+    schema = StructType([StructField("token", StringType())])
+    lake = str(tmp_path / "lake")
+    summary = str(tmp_path / "summary")
+    ckpt = str(tmp_path / "ckpt")
+    stream_heavy_hitters(
+        stream_from_parquet(spark, str(src), schema, max_files_per_trigger=1),
+        lake, summary, ckpt, col="token", capacity=16,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters_from_lake(
+            spark, lake, summary, "token", denom=10
+        ).collect()
+    )
+    all_toks = spark.createDataFrame(
+        [(t,) for t in b1 + b2 + b3], ["token"]
+    )
+    want = sorted(
+        tuple(r)
+        for r in heavy_hitters(all_toks, "token", denom=10,
+                               capacity=16).collect()
+    )
+    assert got == want and len(got) >= 2  # hot + warm both found
+
+    # maintained summary stays bounded and carries the batch-id guard
+    summ = spark.read.parquet(summary)
+    assert summ.count() <= 16 + 2  # counters + sentinel (+ guard col)
+    assert summ.agg(F.max("_last_batch_id")).first()[0] == 2
+
+    # re-running the drained stream folds nothing new (no files left),
+    # and the lake row count equals the token stream exactly once
+    assert spark.read.parquet(lake).count() == len(b1 + b2 + b3)

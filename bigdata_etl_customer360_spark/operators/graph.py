@@ -891,35 +891,105 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    alive = both
-    n_prev = alive.count()
-    with _graph_shuffle_conf(spark, n_prev):
-        for _ in range(int(max_rounds)):
-            survivors = (
-                alive.groupBy("_u")
-                .agg(F.count(F.lit(1)).alias("_deg"))
-                .filter(F.col("_deg") >= int(k))
-                .select("_u")
-            )
-            new_alive = (
-                alive.join(survivors, "_u", "left_semi")
-                .join(
-                    survivors.withColumnRenamed("_u", "_v"), "_v", "left_semi"
-                )
-                .localCheckpoint(eager=True)
-            )
-            n_cur = new_alive.count()
-            alive = new_alive
-            if n_cur == n_prev:
-                break
-            n_prev = n_cur
-        else:
-            raise RuntimeError(
-                f"k_core did not converge within {max_rounds} rounds"
-            )
+    with _graph_shuffle_conf(spark, both.count()):
+        alive = _peel(both, k, max_rounds)
     return alive.groupBy("_u").agg(
         F.count(F.lit(1)).alias(out_deg)
     ).select(F.col("_u").alias(out_id), out_deg)
+
+
+def _peel(alive: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Inner peel loop shared by :func:`k_core` and :func:`core_numbers`:
+    iterate degree-filter + two semi-joins over a symmetrized
+    checkpointed directed-edge frame until the alive edge count is
+    stable (the unique k-core), checkpointing each round."""
+    n_prev = alive.count()
+    for _ in range(int(max_rounds)):
+        survivors = (
+            alive.groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= int(k))
+            .select("_u")
+        )
+        new_alive = (
+            alive.join(survivors, "_u", "left_semi")
+            .join(
+                survivors.withColumnRenamed("_u", "_v"), "_v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_cur = new_alive.count()
+        alive = new_alive
+        if n_cur == n_prev:
+            return alive
+        n_prev = n_cur
+    raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_core: int = 4,
+    out_id: str = "id",
+    out_core: str = "core",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Bounded core decomposition: every node's core number — the
+    largest k for which it survives the k-core peel — CAPPED at
+    ``max_core`` (a node still in the ``max_core``-core reports
+    ``max_core``). The graph's full cohesion profile in one frame,
+    where :func:`k_core` answers only one membership question; the cap
+    is the honest 100-TB contract (peel depth grows with the densest
+    tier, and past the tier you act on the exact number is not worth
+    the rounds — same philosophy as bounded-hop :func:`bfs_distances`).
+
+    Batagelj & Zaversnik peeling, monotone in k ((k+1)-core ⊆ k-core):
+    peel the CURRENT alive edge set at k=2..max_core, assigning k-1 to
+    the nodes each stage strips — every stage starts from the previous
+    stage's (smaller) fixed point, never from scratch. Each level's
+    fixed point is unique, so the whole bounded decomposition is
+    oracle-checkable by unrolled per-level peels in SQL.
+
+    Output: ``(out_id, out_core)`` for every node with at least one
+    (non-self-loop) edge; core numbers in [1, max_core].
+    """
+    if max_core < 1:
+        raise ValueError("core_numbers needs max_core >= 1")
+    spark = edges.sparkSession
+    both = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned: list[DataFrame] = []
+    alive = both
+    with _graph_shuffle_conf(spark, both.count()):
+        for k in range(2, int(max_core) + 1):
+            nodes_before = alive.select("_u").distinct()
+            core_k = _peel(alive, k, max_rounds)
+            nodes_after = core_k.select("_u").distinct()
+            dropped = nodes_before.join(nodes_after, "_u", "left_anti")
+            assigned.append(
+                dropped.select(
+                    "_u", F.lit(k - 1).cast("int").alias(out_core)
+                ).localCheckpoint(eager=True)
+            )
+            alive = core_k
+            if alive.isEmpty():
+                break
+        remaining = alive.select("_u").distinct().select(
+            "_u", F.lit(int(max_core)).cast("int").alias(out_core)
+        )
+        assigned.append(remaining)
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.unionByName(a)
+    return out.select(F.col("_u").alias(out_id), out_core)
 
 
 def adamic_adar(

@@ -483,3 +483,44 @@ def test_adamic_adar_top_k_and_degree_cap(spark):
     assert len(top) == 3
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_core_numbers_nested_structure(spark):
+    """K5 (core 4), an attached triangle (core 2), a chain tail (core 1)
+    — the full profile in one frame, vs repeated k_core memberships."""
+    from bigdata_etl_customer360_spark.operators.graph import (
+        core_numbers,
+        k_core,
+    )
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    tri = [(5, 10), (10, 11), (11, 5)]   # triangle sharing node 5
+    chain = [(11, 20), (20, 21)]
+    edges = _edges(spark, k5 + tri + chain)
+    got = {r["id"]: r["core"] for r in core_numbers(edges, max_core=4).collect()}
+    assert {got[i] for i in range(1, 6)} == {4}
+    assert got[10] == 2 and got[11] == 2
+    assert got[20] == 1 and got[21] == 1
+    # consistency with k_core membership at every level
+    for k in (2, 3, 4):
+        members = {r["id"] for r in k_core(edges, k).collect()}
+        assert members == {v for v, c in got.items() if c >= k}, k
+
+
+def test_core_numbers_cap_and_degenerates(spark):
+    from bigdata_etl_customer360_spark.operators.graph import core_numbers
+
+    # K8: true core 7, capped at 4
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    got = {r["id"]: r["core"] for r in core_numbers(
+        _edges(spark, k8), max_core=4).collect()}
+    assert set(got.values()) == {4} and len(got) == 8
+
+    # single edge, max_core=1: both nodes core 1
+    one = core_numbers(_edges(spark, [(1, 2)]), max_core=1).collect()
+    assert {(r["id"], r["core"]) for r in one} == {(1, 1), (2, 1)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        core_numbers(_edges(spark, [(1, 2)]), max_core=0)

@@ -3717,6 +3717,32 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(edges, src="src", dst="dst", max_core=4)
 
 
+def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent of the co-purchase degree distribution
+    (operators/quality.powerlaw_alpha; CSN09 MLE, not the log-log
+    regression the paper debunks): the heavy-tail readout behind the
+    engine's salt-vs-broadcast skew decisions. In-value-order ln fold,
+    exact tail counts, 1e-8-rounded alpha."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        powerlaw_alpha,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    deg = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return powerlaw_alpha(deg, "degree", xmin=2)
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 
@@ -3978,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "hh_stream": q_hh_stream,
         "core_numbers": q_core_numbers,
+        "powerlaw_fit": q_powerlaw_fit,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5860,6 +5887,37 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "powerlaw_fit": r"""
+        -- identical degree build and in-value-order ln fold; constants
+        -- DOUBLE-pinned (bare literals parse DECIMAL in DuckDB)
+        WITH pairs AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), nodes AS (
+            SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+        ), deg AS (
+            SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node
+        ), tail AS (
+            SELECT CAST(degree AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS c
+            FROM deg WHERE degree >= 2 GROUP BY degree
+        ), folded AS (
+            SELECT list(CAST(c AS DOUBLE)
+                        * ln(CAST(x AS DOUBLE) / CAST(1.5 AS DOUBLE))
+                        ORDER BY x) AS terms,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM tail
+        )
+        SELECT CAST(2 AS INT) AS xmin,
+               COALESCE(n, 0) AS n_tail,
+               CASE WHEN n > 0 THEN
+                 ROUND(CAST(1.0 AS DOUBLE)
+                       + CAST(n AS DOUBLE) / list_aggregate(terms, 'sum'),
+                       8)
+               END AS alpha
+        FROM folded
     """,
     "quantile_bins": r"""
         -- identical interpolated cut points and ties-fall-left

@@ -1522,3 +1522,64 @@ def mg_summary(df: DataFrame, col: str, capacity: int) -> DataFrame:
         yield out
 
     return clean.mapInPandas(_mg, schema)
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    value_col: str,
+    xmin: int = 2,
+) -> DataFrame:
+    """Power-law tail exponent by maximum likelihood (Clauset, Shalizi &
+    Newman 2009, eq. 3.7 — the discrete continuous-approximation MLE):
+
+        alpha = 1 + n / sum over tail of ln(x / (xmin - 0.5))
+
+    over the tail ``x >= xmin`` — the heavy-tail readout behind every
+    skew decision in this engine (does the degree/frequency
+    distribution have a finite-variance tail, or must joins salt?).
+    Fitting by regression on a log-log histogram is the textbook WRONG
+    method (CSN09 §3); the MLE is the right one and is one aggregate.
+
+    ``xmin`` is a pinned parameter (the KS-minimizing scan of CSN09 is
+    a model-selection loop on top — out of scope; pick the knee).
+
+    Determinism: the tail collapses to (distinct value, count) — a
+    bounded frame for integer-valued data — and the log-likelihood
+    term sum folds IN VALUE ORDER (cnt * ln(x / (xmin-0.5)) per
+    distinct value, the float-fold contract); n is exact; alpha is one
+    fixed-shape finale rounded 1e-8. NULL/below-xmin rows excluded;
+    an empty tail yields NULL alpha.
+
+    Output: one row — ``(xmin, n_tail, alpha)``.
+    """
+    if xmin < 1:
+        raise ValueError("powerlaw_alpha needs xmin >= 1")
+    tail = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(value_col) >= int(xmin))
+        .groupBy(F.col(value_col).cast("long").alias("_x"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    row = tail.agg(
+        F.sort_array(F.collect_list(F.struct("_x", "_c"))).alias("_lst"),
+        F.sum("_c").alias("_n"),
+    )
+    shift = F.lit(float(int(xmin) - 0.5))
+    ll = F.aggregate(
+        F.col("_lst"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["_c"].cast("double")
+        * F.log(e["_x"].cast("double") / shift),
+    )
+    alpha = F.when(
+        F.col("_n") > 0,
+        F.round(
+            F.lit(1.0) + F.col("_n").cast("double") / ll, 8
+        ),
+    )
+    return row.select(
+        F.lit(int(xmin)).alias("xmin"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_tail"),
+        alpha.alias("alpha"),
+    )

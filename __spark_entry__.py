@@ -3743,6 +3743,23 @@ def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return powerlaw_alpha(deg, "degree", xmin=2)
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of purchase rate vs event-value bucket
+    (operators/quality.isotonic_fit): PAVA over the bounded bucket
+    frame with EXACT integer cross-product pooling decisions; one
+    double division per pooled block, rounded 1e-8 JVM-side. Oracle is
+    the quadratic minimax characterization (fitted_i = max over j<=i of
+    min over k>=i of mean(j..k)) — a different algorithm, the same
+    unique L2 solution."""
+    from bigdata_etl_customer360_spark.operators.quality import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("purchased"),
+    )
+    return isotonic_fit(ev, "bucket", "purchased", scale=0)
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 
@@ -4005,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_stream": q_hh_stream,
         "core_numbers": q_core_numbers,
         "powerlaw_fit": q_powerlaw_fit,
+        "isotonic_calibration": q_isotonic_calibration,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5887,6 +5905,37 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "isotonic_calibration": r"""
+        -- the minimax characterization of PAVA: fitted_i =
+        -- max_{j<=i} min_{k>=i} mean(y over positions j..k) — a
+        -- different algorithm than the operator's pooling stack, the
+        -- same unique L2-optimal monotone fit; positions are bounded
+        -- so the triple join is ~50^3
+        WITH pts AS MATERIALIZED (
+          SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS w,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM events GROUP BY 1
+        ), ord AS MATERIALIZED (
+          SELECT bucket, w, s,
+                 SUM(w) OVER (ORDER BY bucket) AS cw,
+                 SUM(s) OVER (ORDER BY bucket) AS cs
+          FROM pts
+        ), m1 AS (
+          SELECT i.bucket AS bi, j.bucket AS bj,
+                 MIN(CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+                     / CAST(k.cw - (j.cw - j.w) AS DOUBLE)) AS inner_min
+          FROM ord i
+          JOIN ord j ON j.bucket <= i.bucket
+          JOIN ord k ON k.bucket >= i.bucket
+          GROUP BY i.bucket, j.bucket
+        ), fit AS (
+          SELECT bi AS bucket, MAX(inner_min) AS fu FROM m1 GROUP BY bi
+        )
+        SELECT p.bucket, p.w AS n, ROUND(fit.fu, 8) AS fitted
+        FROM pts p JOIN fit USING (bucket)
     """,
     "powerlaw_fit": r"""
         -- identical degree build and in-value-order ln fold; constants

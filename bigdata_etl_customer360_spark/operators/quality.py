@@ -1632,3 +1632,112 @@ def powerlaw_alpha(
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_tail"),
         alpha.alias("alpha"),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = 0,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression by Pool-Adjacent-
+    Violators — the model-calibration primitive (click-rate vs score
+    must not wiggle; PAVA is the L2-optimal monotone fit and what
+    sklearn's CalibratedClassifier does), plus dose-response / quantile
+    monotonization.
+
+    The input collapses to per-(group, x) positions first — count w and
+    y-sum s in exact integer sub-units (y scaled by 10^scale) — so PAVA
+    runs over the BOUNDED distinct-x frame, never the fact table; bucket
+    x upstream if it is continuous. Pooling decisions compare block
+    means as EXACT integer cross-products (S_prev * W_cur > S_cur *
+    W_prev — no float ever decides a merge), so the fit is deterministic
+    under any partitioning; each fitted value is ONE double division of
+    the pooled integers, rounded 1e-8 (the minimax-formula oracle
+    computes the same winning block's division; ulp-order min/max ties
+    are absorbed by the rounding).
+
+    Plan: one hash aggregate to positions, one Arrow-batched
+    applyInPandas per group (the PAVA stack is O(|positions|)), output
+    one row per position. NULL x/y rows are excluded.
+
+    Output: ``(*group_cols, x_col, n, fitted)`` with ``fitted``
+    non-decreasing in x within each group.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mult = 10 ** int(scale)
+    gcols = list(group_cols)
+    pts = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*gcols, F.col(x_col).alias("_x"))
+        .agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.sum(
+                (F.col(y_col).cast(f"decimal(18,{scale})") * F.lit(mult))
+                .cast("decimal(28,0)")
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+    )
+    out_fields = [pts.schema[c] for c in gcols] + [
+        StructField("_x", pts.schema["_x"].dataType, True),
+        StructField("n", LongType(), False),
+        StructField("fitted", DoubleType(), True),
+    ]
+    out_schema = StructType(out_fields)
+    mult_f = float(mult)
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_x").reset_index(drop=True)
+        # blocks: [x_list, W, S] with exact python ints
+        blocks: list[list] = []
+        for _, row in pdf.iterrows():
+            blocks.append([[row["_x"]], int(row["_w"]), int(row["_s"])])
+            # merge while the previous block's mean EXCEEDS the last's
+            # (exact integer cross-products decide)
+            while (
+                len(blocks) >= 2
+                and blocks[-2][2] * blocks[-1][1]
+                > blocks[-1][2] * blocks[-2][1]
+            ):
+                xs, w1, s1 = blocks.pop()
+                blocks[-1][0] += xs
+                blocks[-1][1] += w1
+                blocks[-1][2] += s1
+        recs = []
+        gvals = [pdf.iloc[0][c] for c in gcols]
+        wmap = dict(zip(pdf["_x"], pdf["_w"]))
+        for xs, w_blk, s_blk in blocks:
+            # raw division only — the 1e-8 rounding happens JVM-side
+            # (F.round is HALF_UP like DuckDB ROUND; Python round is
+            # banker's and could flip a .5e-8 boundary)
+            fitted = float(s_blk) / float(w_blk) / mult_f
+            for x in xs:
+                recs.append(gvals + [x, int(wmap[x]), fitted])
+        return pd.DataFrame(
+            recs, columns=gcols + ["_x", "n", "fitted"]
+        )
+
+    if gcols:
+        grouped = pts.groupBy(*gcols)
+    else:
+        # applyInPandas needs a real grouping COLUMN (a lit() expression
+        # leaves an unresolved ordinal in the plan)
+        grouped = pts.withColumn("_grp", F.lit(0)).groupBy("_grp")
+    out = grouped.applyInPandas(_pava, out_schema)
+    return out.select(
+        *gcols,
+        F.col("_x").alias(x_col),
+        "n",
+        F.round(F.col("fitted"), 8).alias("fitted"),
+    )

@@ -3363,3 +3363,49 @@ def test_poisson_hex_ladder_equals_integer_ladder(spark):
                 s < F.lit(_POISSON1_CUTS_HEX[k]), F.lit(k)
             ).otherwise(wh)
         assert df.filter(wi != wh).count() == 0, j
+
+
+def test_isotonic_fit_textbook_pava(spark):
+    """Classic PAVA example: violators pool to the block mean; already-
+    monotone prefixes stay untouched; output non-decreasing."""
+    from bigdata_etl_customer360_spark.operators.quality import isotonic_fit
+
+    # y at x=1..6: 1, 3, 2, 4, 6, 5  -> pools (3,2)->2.5 and (6,5)->5.5
+    rows = [(1, 1.0), (2, 3.0), (3, 2.0), (4, 4.0), (5, 6.0), (6, 5.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {r["x"]: r["fitted"] for r in isotonic_fit(
+        df, "x", "y", scale=2).collect()}
+    assert got == {1: 1.0, 2: 2.5, 3: 2.5, 4: 4.0, 5: 5.5, 6: 5.5}
+
+    # cascade: 5, 1, 1 pools ALL THREE (5,1 -> 3; 3 > 1 -> 7/3)
+    rows2 = [(1, 5.0), (2, 1.0), (3, 1.0)]
+    got2 = {r["x"]: r["fitted"] for r in isotonic_fit(
+        spark.createDataFrame(rows2, ["x", "y"]), "x", "y",
+        scale=2).collect()}
+    want = round(7.0 / 3.0, 8)
+    assert all(abs(v - want) < 1e-9 for v in got2.values())
+
+
+def test_isotonic_fit_weighted_groups_partition_independent(spark):
+    from bigdata_etl_customer360_spark.operators.quality import isotonic_fit
+
+    import random
+
+    rng = random.Random(23)
+    rows = [("g%d" % (i % 3), rng.randrange(12), float(rng.randrange(2)))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    a = sorted(map(tuple, isotonic_fit(
+        df, "x", "y", group_cols=["g"]).collect()))
+    b = sorted(map(tuple, isotonic_fit(
+        df.repartition(13), "x", "y", group_cols=["g"]).collect()))
+    assert a == b
+    # non-decreasing within each group, n sums to rows per group
+    by_g: dict = {}
+    for g, x, n, f in a:
+        by_g.setdefault(g, []).append((x, n, f))
+    for g, pts in by_g.items():
+        pts.sort()
+        fs = [f for _, _, f in pts]
+        assert all(p <= q for p, q in zip(fs, fs[1:]))
+        assert sum(n for _, n, _ in pts) == 200

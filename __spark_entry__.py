@@ -3760,6 +3760,39 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_fit(ev, "bucket", "purchased", scale=0)
 
 
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue (operators/quality.
+    gini_coefficient): the one-number Lorenz summary next to
+    revenue_nucleus's coverage cut. Ranks ride the distributed
+    prefix-sum numbering; ties cannot move the statistic; exact decimal
+    sums, one unrounded fixed-shape finale."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return gini_coefficient(per_cust, "revenue")
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order prices (operators/quality.
+    benford_digits): leading digits from the integer-cent string (no
+    float log of the value), exact counts, 1e-8-rounded shares and
+    chi2 contributions — the fabricated-numbers / unit-mixing data-
+    quality probe."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        benford_digits,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_digits(orders, "o_totalprice")
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 
@@ -4023,6 +4056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "powerlaw_fit": q_powerlaw_fit,
         "isotonic_calibration": q_isotonic_calibration,
+        "gini_revenue": q_gini_revenue,
+        "benford_prices": q_benford_prices,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5905,6 +5940,74 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "gini_revenue": r"""
+        -- same ascending-rank formula; tie-order cannot move the
+        -- statistic; VARCHAR-routed wide-decimal cast
+        WITH per_cust AS (
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS VARCHAR) AS DOUBLE) AS revenue
+          FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT CAST(revenue AS DECIMAL(18,2)) AS x,
+                 ROW_NUMBER() OVER (ORDER BY revenue) AS i
+          FROM per_cust
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS t,
+                 SUM(CAST(i AS DECIMAL(20,0)) * x) AS ix
+          FROM ranked
+        )
+        SELECT n,
+               CAST(CAST(t AS VARCHAR) AS DOUBLE) AS total,
+               CASE WHEN n > 0 AND t > 0 THEN
+                 (CAST(2.0 AS DOUBLE) * CAST(CAST(ix AS VARCHAR) AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    * CAST(CAST(t AS VARCHAR) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(CAST(t AS VARCHAR) AS DOUBLE))
+               END AS gini
+        FROM m
+    """,
+    "benford_prices": r"""
+        -- leading digit from the integer-cent string; DOUBLE-pinned
+        -- constants; ROUND 8 absorbs libm log10 ulps
+        WITH cents AS (
+          SELECT ABS(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS c
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), obs AS (
+          SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM cents WHERE c > 0 GROUP BY 1
+        ), full_d AS (
+          SELECT d.digit, COALESCE(obs.n_obs, 0) AS n_obs
+          FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+          LEFT JOIN obs ON d.digit = CAST(obs.digit AS BIGINT)
+        ), tot AS (
+          SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM full_d
+        )
+        SELECT CAST(digit AS INT) AS digit, n_obs,
+               ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 8)
+                 AS p_observed,
+               ROUND(log10(CAST(1.0 AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 8)
+                 AS p_benford,
+               ROUND((CAST(n_obs AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * log10(CAST(1.0 AS DOUBLE)
+                                + CAST(1.0 AS DOUBLE)
+                                  / CAST(digit AS DOUBLE)))
+                     * (CAST(n_obs AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                          * log10(CAST(1.0 AS DOUBLE)
+                                  + CAST(1.0 AS DOUBLE)
+                                    / CAST(digit AS DOUBLE)))
+                     / (CAST(n AS DOUBLE)
+                        * log10(CAST(1.0 AS DOUBLE)
+                                + CAST(1.0 AS DOUBLE)
+                                  / CAST(digit AS DOUBLE))), 8)
+                 AS chi2_part
+        FROM full_d, tot
     """,
     "isotonic_calibration": r"""
         -- the minimax characterization of PAVA: fitted_i =

@@ -1741,3 +1741,127 @@ def isotonic_fit(
         "n",
         F.round(F.col("fitted"), 8).alias("fitted"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Gini concentration coefficient over non-negative values — the
+    inequality readout behind "10% of customers are 90% of revenue"
+    (:func:`~..relational.take_until_share` CUTS at a coverage target;
+    Gini SUMMARIZES the whole Lorenz curve in one number):
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with ranks i from the ASCENDING value sort. Rank ties broken
+    arbitrarily do not change the statistic (equal x makes sum(i*x)
+    permutation-invariant within the tie group), but ranks are pinned
+    anyway (value, then input order hash-free via the numbering's total
+    order requirement — pass unique ids upstream when you need
+    reproducible per-row ranks).
+
+    Exactness: values in DECIMAL(18, scale); i*x_i accumulates in
+    DECIMAL(38); ranks ride the DISTRIBUTED prefix-sum numbering
+    (``assign_row_ids`` — no single-reducer sort); the finale is one
+    fixed-shape double division, unrounded (exact-decimal inputs, the
+    corr_matrix contract). NULL and negative rows are excluded (Gini is
+    undefined below zero); an all-zero total pins NULL.
+
+    Output: one row — ``(n, total, gini)``.
+    """
+    from bigdata_etl_customer360_spark.operators.relational import (
+        assign_row_ids,
+    )
+
+    dec_in = f"decimal(18,{scale})"
+    clean = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(F.col(value_col).cast(dec_in).alias("_x"))
+    ranked = assign_row_ids(clean, ["_x"], out_col="_i")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_t"),
+        F.sum(
+            (F.col("_i").cast("decimal(20,0)") * F.col("_x")).cast(
+                "decimal(38,6)"
+            )
+        ).alias("_ix"),
+    )
+    n_d = F.col("_n").cast("double")
+    t_d = F.col("_t").cast("double")
+    gini = F.when(
+        (F.col("_n") > 0) & (F.col("_t") > 0),
+        (
+            F.lit(2.0) * F.col("_ix").cast("double")
+            - (n_d + F.lit(1.0)) * t_d
+        )
+        / (n_d * t_d),
+    )
+    return m.select(
+        F.col("_n").alias("n"),
+        t_d.alias("total"),
+        gini.alias("gini"),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """First-significant-digit profile against Benford's law — the
+    classic fabricated-numbers / unit-mixing screen for financial
+    columns (organic multiplicative amounts lead with 1 about 30.1% of
+    the time; uniform or hand-typed data does not):
+
+        p_benford(d) = log10(1 + 1/d),   d = 1..9
+
+    The digit comes from the INTEGER sub-unit representation (value
+    scaled by 10^scale to a BIGINT, first character of its decimal
+    string — engine-portable; no float log10 of the value, whose
+    boundary cases differ in the last ulp). Counts are exact; observed
+    shares and the per-digit chi2 contribution ((o-e)^2/e) are
+    fixed-shape doubles rounded 1e-8 (log10 constants differ by at most
+    an ulp between engines' libm). Zero/NULL values are excluded (no
+    leading digit).
+
+    Output: 9 rows — ``(digit, n_obs, p_observed, p_benford, chi2_part)``.
+    """
+    mult = 10 ** int(scale)
+    cents = F.abs(
+        F.round(
+            F.col(value_col).cast(f"decimal(18,{scale})") * F.lit(mult)
+        ).cast("long")
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")
+    )
+    tot = full.agg(F.sum("n_obs").alias("_n"))
+    d_d = F.col("digit").cast("double")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / d_d)
+    n_d = F.col("_n").cast("double")
+    o_d = F.col("n_obs").cast("double")
+    e_d = n_d * p_ben
+    return full.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(o_d / n_d, 8).alias("p_observed"),
+        F.round(p_ben, 8).alias("p_benford"),
+        F.round((o_d - e_d) * (o_d - e_d) / e_d, 8).alias("chi2_part"),
+    )

@@ -3409,3 +3409,57 @@ def test_isotonic_fit_weighted_groups_partition_independent(spark):
         fs = [f for _, _, f in pts]
         assert all(p <= q for p, q in zip(fs, fs[1:]))
         assert sum(n for _, n, _ in pts) == 200
+
+
+def test_gini_coefficient_bounds_and_ties(spark):
+    from bigdata_etl_customer360_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(10.0,)] * 8, ["v"])
+    assert gini_coefficient(eq, "v").first()["gini"] == 0.0
+
+    # single holder of everything -> (n-1)/n
+    n = 10
+    one = spark.createDataFrame([(0.0,)] * (n - 1) + [(100.0,)], ["v"])
+    r = gini_coefficient(one, "v").first()
+    assert abs(r["gini"] - (n - 1) / n) < 1e-12
+
+    # hand case [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    hand = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], ["v"])
+    assert gini_coefficient(hand, "v").first()["gini"] == 0.25
+
+    # ties + partitioning never change the statistic
+    import random
+    rng = random.Random(31)
+    rows = [(float(rng.randrange(5)),) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["v"])
+    a = gini_coefficient(df, "v").first()
+    b = gini_coefficient(df.repartition(11), "v").first()
+    assert tuple(a) == tuple(b)
+    # negatives excluded, all-zero pins NULL
+    z = spark.createDataFrame([(0.0,), (0.0,), (-5.0,)], ["v"])
+    rz = gini_coefficient(z, "v").first()
+    assert rz["n"] == 2 and rz["gini"] is None
+
+
+def test_benford_digits_profile(spark):
+    import math
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        benford_digits,
+    )
+
+    # exact geometric sample: value 10^(k/9) sweeps leading digits
+    rows = [(round(10 ** (k / 90.0), 2),) for k in range(1, 181)]
+    rows += [(0.0,), (None,)]  # excluded
+    df = spark.createDataFrame(rows, ["v"])
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r["n_obs"] for r in out.values()) == 180
+    # log-uniform data follows Benford closely: digit 1 ~ 30%
+    assert abs(out[1]["p_observed"] - math.log10(2)) < 0.03
+    assert out[1]["p_benford"] == round(math.log10(2), 8)
+    # chi2 parts are small for conforming data
+    assert sum(r["chi2_part"] for r in out.values()) < 5.0

@@ -3793,6 +3793,34 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(orders, "o_totalprice")
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of document source vs is-English
+    (operators/quality.target_encode, m=10): the m-estimate shrinkage
+    that keeps rare categories from memorizing their targets — the
+    fit-on-train categorical encoder in front of nb_classify-style
+    models. Exact decimal sums, fixed-shape unrounded finale."""
+    from bigdata_etl_customer360_spark.operators.quality import target_encode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    return target_encode(docs, "source", "is_en", m=10.0, scale=0)
+
+
+def q_seasonal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of order revenue (operators/
+    temporal.seasonal_index): weekday from INTEGER epoch-day mod 7
+    (never an engine dayofweek(), whose numbering differs), daily
+    totals as exact decimals, index = one fixed-shape ratio — the
+    factor set that deseasonalizes before holt/ewma forecasting."""
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        seasonal_index,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return seasonal_index(orders, "o_orderdate", "o_totalprice")
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 
@@ -4058,6 +4086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "gini_revenue": q_gini_revenue,
         "benford_prices": q_benford_prices,
+        "target_encoding": q_target_encoding,
+        "seasonal_revenue": q_seasonal_revenue,
         "dedup_stream": q_dedup_stream,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
@@ -5940,6 +5970,57 @@ _ORACLES: dict[str, str] = {
         FROM t, tot
         GROUP BY token, tot.n
         HAVING COUNT(*) * 30 > tot.n
+    """,
+    "target_encoding": r"""
+        -- identical shrinkage shape, DOUBLE-pinned constants,
+        -- VARCHAR-routed decimal casts
+        WITH c AS (
+          SELECT CAST(10.0 AS DOUBLE) AS m
+        ), clean AS (
+          SELECT source AS cat,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                      AS DECIMAL(18,0)) AS y
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        ), gl AS (
+          SELECT CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS gmean
+          FROM clean
+        ), per_cat AS (
+          SELECT cat, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+          FROM clean GROUP BY cat
+        )
+        SELECT cat AS source, n,
+               CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS cat_mean,
+               (CAST(CAST(s AS VARCHAR) AS DOUBLE) + c.m * gl.gmean)
+                 / (CAST(n AS DOUBLE) + c.m) AS encoded
+        FROM per_cat, gl, c
+    """,
+    "seasonal_revenue": r"""
+        -- identical integer epoch-day weekday and ratio shapes
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ), staged AS (
+          SELECT d % 7 AS day_idx, t FROM daily
+        ), gl AS (
+          SELECT CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS gmean
+          FROM staged
+        ), per_dow AS (
+          SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(t) AS s
+          FROM staged GROUP BY day_idx
+        )
+        SELECT day_idx, n_days,
+               CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 AS day_mean,
+               CASE WHEN gl.gmean <> CAST(0.0 AS DOUBLE) THEN
+                 (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                  / CAST(n_days AS DOUBLE)) / gl.gmean
+               END AS seasonal_index
+        FROM per_dow, gl
     """,
     "gini_revenue": r"""
         -- same ascending-rank formula; tie-order cannot move the

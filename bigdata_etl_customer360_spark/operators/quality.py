@@ -1865,3 +1865,62 @@ def benford_digits(
         F.round(p_ben, 8).alias("p_benford"),
         F.round((o_d - e_d) * (o_d - e_d) / e_d, 8).alias("chi2_part"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Smoothed target (mean) encoding — the categorical-feature staple
+    (m-estimate / empirical-Bayes shrinkage, Micci-Barreca 2001): a
+    category's encoding pulls toward the GLOBAL mean in proportion to
+    how little evidence it has,
+
+        enc(c) = (sum_c + m * global_mean) / (n_c + m)
+
+    so a 2-row category cannot memorize its targets (the raw per-
+    category mean is a leak amplifier). This is the fit-on-train
+    encoder — compute it on the training split and JOIN it onto
+    serving data; leave-one-out variants subtract the own-row target
+    upstream if needed.
+
+    Exactness: per-category and global sums are exact DECIMAL(18,
+    scale) aggregates; the encoding is one fixed-shape double
+    expression over them (identical inputs + identical shape ⇒
+    bit-identical, unrounded — the ab_test contract). NULL categories
+    and NULL targets are excluded.
+
+    Plan: ONE hash aggregate to categories + a 1-row broadcast of the
+    global moments; output is |categories| rows (broadcast it back
+    onto facts at serving time). Output:
+    ``(cat_col, n, cat_mean, encoded)``.
+    """
+    dec_in = f"decimal(18,{scale})"
+    clean = df.filter(
+        F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select(
+        F.col(cat_col).alias("_c"),
+        F.col(target_col).cast(dec_in).alias("_y"),
+    )
+    glob = clean.agg(
+        (
+            F.sum("_y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_gmean")
+    )
+    per_cat = clean.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("_s")
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("_s").cast("double")
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        F.col("_c").alias(cat_col),
+        "n",
+        (s_d / n_d).alias("cat_mean"),
+        (
+            (s_d + F.lit(float(m)) * F.col("_gmean"))
+            / (n_d + F.lit(float(m)))
+        ).alias("encoded"),
+    )

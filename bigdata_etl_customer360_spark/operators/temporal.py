@@ -1066,3 +1066,59 @@ def cusum_changepoint(
             / (F.col("_n").cast("double") * F.lit(float(mult)))
         ).alias("max_cusum"),
     )
+
+
+def seasonal_index(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    value_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Multiplicative day-of-week seasonal indices over a daily series —
+    the seasonality quantifier that turns :func:`autocorrelation`'s
+    "lag-7 is real" into usable factors (deseasonalize before
+    :func:`holt_smooth`, or staff by them):
+
+        index(d) = mean(daily totals on weekday d) / mean(all days)
+
+    Weekday is INTEGER epoch-day arithmetic ``(epoch_s div 86400) % 7``
+    (0 = Thursday, the 1970-01-01 anchor — labeled ``day_idx``; never
+    an engine dayofweek(), whose numbering conventions differ). Input
+    rows aggregate to exact DECIMAL daily totals first; every mean is
+    a ratio of exact decimal sums, and the index is one fixed-shape
+    double expression, unrounded. Days with no rows count as zero-total
+    days only if the input grid says so — feed a
+    :func:`resample_timeseries` zero-filled grid when absent days are
+    real zeros.
+
+    Output: 7 rows (for a series spanning all weekdays) —
+    ``(day_idx, n_days, day_mean, seasonal_index)``.
+    """
+    day = (_epoch_s(ts_col) - (_epoch_s(ts_col) % F.lit(86400))) / F.lit(
+        86400
+    )
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.cast("long").alias("_day"))
+        .agg(F.sum(F.col(value_col).cast(value_decimal)).alias("_t"))
+    )
+    staged = daily.select(
+        (F.col("_day") % F.lit(7)).alias("day_idx"), "_t"
+    )
+    glob = staged.agg(
+        (
+            F.sum("_t").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_gmean")
+    )
+    per_dow = staged.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("_t").alias("_s")
+    )
+    mean_d = F.col("_s").cast("double") / F.col("n_days").cast("double")
+    return per_dow.crossJoin(F.broadcast(glob)).select(
+        "day_idx",
+        "n_days",
+        mean_d.alias("day_mean"),
+        F.when(
+            F.col("_gmean") != F.lit(0.0), mean_d / F.col("_gmean")
+        ).alias("seasonal_index"),
+    )

@@ -3463,3 +3463,46 @@ def test_benford_digits_profile(spark):
     assert out[1]["p_benford"] == round(math.log10(2), 8)
     # chi2 parts are small for conforming data
     assert sum(r["chi2_part"] for r in out.values()) < 5.0
+
+
+def test_target_encode_shrinkage(spark):
+    from bigdata_etl_customer360_spark.operators.quality import target_encode
+
+    # global mean = 0.5; rare category with extreme targets shrinks hard
+    rows = [("common", float(i % 2)) for i in range(100)]
+    rows += [("rare", 1.0), ("rare", 1.0)]
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    got = {r["cat"]: r for r in target_encode(df, "cat", "y", m=10.0).collect()}
+    gmean = (50 + 2) / 102.0
+    assert abs(got["common"]["cat_mean"] - 0.5) < 1e-12
+    want_rare = (2.0 + 10.0 * gmean) / (2.0 + 10.0)
+    assert abs(got["rare"]["encoded"] - want_rare) < 1e-12
+    # rare encoding sits between global mean and raw mean
+    assert gmean < got["rare"]["encoded"] < 1.0
+    # nulls excluded
+    dfn = spark.createDataFrame(rows + [(None, 1.0), ("x", None)], ["cat", "y"])
+    assert {r["cat"] for r in target_encode(dfn, "cat", "y").collect()} == {
+        "common", "rare"
+    }
+
+
+def test_seasonal_index_planted_weekly_pattern(spark):
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        seasonal_index,
+    )
+
+    # 70 consecutive days; day_idx 3 always 2x the base
+    rows = []
+    for d in range(70):
+        v = 200.0 if d % 7 == 3 else 100.0
+        rows.append((d * 86400, v))
+    df = spark.createDataFrame(rows, ["sec", "v"]).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {r["day_idx"]: r for r in seasonal_index(df, "ts", "v").collect()}
+    assert set(got) == set(range(7))
+    overall = (200.0 + 6 * 100.0) / 7.0
+    assert abs(got[3]["seasonal_index"] - 200.0 / overall) < 1e-12
+    for d in set(range(7)) - {3}:
+        assert abs(got[d]["seasonal_index"] - 100.0 / overall) < 1e-12
+        assert got[d]["n_days"] == 10

@@ -577,6 +577,100 @@ def q_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_certificate(
+    ann_df: DataFrame,
+    self_df: DataFrame,
+    brute_df: DataFrame,
+    qids: DataFrame,
+    floor_num: int,
+) -> DataFrame:
+    """Shared shape of the PQ/IVFPQ recall certificates (the
+    minhash_recall pattern adapted to a quantized index whose recall is
+    deterministic but < 1): per query-id,
+
+      self_found      — 1 iff the exclude_self=False run returned the
+                        query itself (cosine 1.0, the max possible — a
+                        quantized index that cannot retrieve an exact
+                        duplicate is broken);
+      recall_ge_floor — 1 iff |ann ∩ brute| over all queries reaches
+                        ``floor_num`` pairs (a conservative floor well
+                        under the measured recall; a silently degraded
+                        ADC gate lands near rerank/N ~ 0.08 and
+                        hash-mismatches loudly).
+
+    Both claims are deterministic (pinned sample fits, int64 encode/ADC,
+    id tie-breaks), so the oracle is the all-ones frame over the query
+    ids."""
+    selfhit = self_df.filter(
+        F.col("query_id") == F.col("neighbor_id")
+    ).select("query_id", F.lit(1).cast("long").alias("_sf"))
+    hits = (
+        ann_df.join(
+            brute_df.select("query_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"],
+            how="left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select(
+            F.when(F.col("_hits") >= F.lit(floor_num), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_ge_floor")
+        )
+    )
+    return (
+        qids.join(selfhit, on="query_id", how="left")
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "query_id",
+            F.coalesce(F.col("_sf"), F.lit(0).cast("long")).alias("self_found"),
+            "recall_ge_floor",
+        )
+    )
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality certificate, oracle-checked (VERDICT r8 task 3 — the
+    FAISS-tier must not silently degrade): 50 queries over the
+    embeddings corpus assert (a) self-retrieval under exclude_self=False
+    and (b) recall@5 of the GRADED ann_cosine_pq config (rerank=40) vs
+    brute force >= 0.5 (125/250 pairs; measured 159 at sf0.001, 175 at
+    sf0.01 — the floor has ~25% margin, while a broken ADC gate scores
+    ~rerank/N = 0.08)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    return _recall_certificate(
+        cosine_topk_pq(q, emb, k=5, rerank=40),
+        cosine_topk_pq(q, emb, k=5, rerank=40, exclude_self=False),
+        cosine_topk_brute(q, emb, k=5),
+        qids,
+        floor_num=125,
+    )
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ quality certificate, oracle-checked (the q_pq_recall
+    pattern at the graded ann_cosine_ivfpq config: 16 cells, nprobe=8,
+    rerank=40): self-retrieval (a query's own cell is by definition its
+    nearest coarse centroid, so it is always probed at nprobe >= 1) and
+    recall@5 vs brute >= 0.4 (100/250 pairs; measured 154 at sf0.001,
+    138 at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    ivfpq = lambda **kw: cosine_topk_ivfpq(
+        q, emb, k=5, num_centroids=16, nprobe=8, rerank=40, **kw
+    )
+    return _recall_certificate(
+        ivfpq(),
+        ivfpq(exclude_self=False),
+        cosine_topk_brute(q, emb, k=5),
+        qids,
+        floor_num=100,
+    )
+
+
 def q_ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ ANN (operators/similarity.cosine_topk_ivfpq, the FAISS
     IVFPQ composition) — rows-only: cell assignment and residual codes
@@ -3124,10 +3218,15 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over the customer->part purchase bipartite graph (operators/
-    graph.hits, 8 rounds): top-20 part authorities + top-20 customer
-    hubs, scores rounded 1e-8 BEFORE the ordering (id tie-break) — the
-    pagerank bounded-top-k float contract. Part ids ride a +1e6 offset
-    so the two key spaces never collide inside the generic operator."""
+    graph.hits, 6 rounds — measured identical top-20 vs 8 on this graph,
+    ~1s cheaper): top-20 part authorities + top-20 customer hubs, scores
+    rounded 1e-8 BEFORE the ordering (id tie-break) — the pagerank
+    bounded-top-k float contract. The two key spaces are disambiguated
+    with STRING role tags ('c:'/'p:'), never an arithmetic offset: at
+    sf>=5 l_partkey reaches the old +1e6 offset space and would silently
+    merge nodes (ADVICE r8); the tagged key is collision-free at any
+    scale factor. The oracle works in the native key spaces and needs no
+    tag."""
     from bigdata_etl_customer360_spark.operators.graph import hits
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -3135,30 +3234,29 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
         )
         .distinct()
     )
-    res = hits(edges, iterations=8)
-    score_a = F.round(F.col("authority"), 8)
-    score_h = F.round(F.col("hub"), 8)
+    res = hits(edges, iterations=6)
+    node_id = F.substring(F.col("id"), 3, 30).cast("long")
     parts = (
-        res.filter(F.col("id") >= 1000000)
+        res.filter(F.col("id").startswith("p:"))
         .select(
             F.lit("authority").alias("role"),
-            (F.col("id") - F.lit(1000000)).alias("node_id"),
-            score_a.alias("score"),
+            node_id.alias("node_id"),
+            F.round(F.col("authority"), 8).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("node_id"))
         .limit(20)
     )
     hubs = (
-        res.filter(F.col("id") < 1000000)
+        res.filter(F.col("id").startswith("c:"))
         .select(
             F.lit("hub").alias("role"),
-            F.col("id").alias("node_id"),
-            score_h.alias("score"),
+            node_id.alias("node_id"),
+            F.round(F.col("hub"), 8).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("node_id"))
         .limit(20)
@@ -4038,14 +4136,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries.  Every query is covered by the identical local
     # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
     # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
-    # Round-8 window: the 12 queries added in the second half of round 8
-    # (ewma_value .. classifier_eval — never driver-verified) + the 12
-    # round-8 first-half additions + bpe_encode/multimodal_tar/pagerank
-    # (certification-pending since r7) + as many of the r5-stale cohort as
-    # fit.  The r5-stale remainder now leads the positions-50+ block and
-    # should head the r9 rotation, followed by the r6 cohort.
+    # The order is derived MECHANICALLY each round by scripts/staleness.py
+    # (never-verified first, then ascending last-green round): run
+    # `python scripts/staleness.py` and rewrite the head to its recommended
+    # window.  Hand-rotation drifted in round 8 (VERDICT r8 item 2).
     return {
-        # --- driver window: never-verified + r5-stale cohort ---
+        # --- driver window (mechanically derived: scripts/staleness.py) ---
+        # r9 rotation: 8 never-verified (incl. the new pq/ivfpq recall
+        # certificates) + pagerank (r5 rows-only) + 41 r5-stale oracle queries.
+        "pq_full_rerank": q_pq_full_rerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ivfpq_full": q_ivfpq_full,
+        "pq_recall": q_pq_recall,
+        "ivfpq_recall": q_ivfpq_recall,
+        "bpe_encode": q_bpe_encode,
+        "multimodal_tar": q_multimodal_tar,
+        "pagerank": q_pagerank,
+        "min_cost_supplier": q_min_cost_supplier,
+        "supplier_cnt": q_supplier_cnt,
+        "supplier_wait": q_supplier_wait,
+        "grouping_sets": q_grouping_sets,
+        "cust_without_orders": q_cust_without_orders,
+        "priority_orders": q_priority_orders,
+        "returnflag_priority": q_returnflag_priority,
+        "promo_revenue": q_promo_revenue,
+        "forecast_revenue": q_forecast_revenue,
+        "cust_order_dist": q_cust_order_dist,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "returned_revenue": q_returned_revenue,
+        "important_stock": q_important_stock,
+        "excess_suppliers": q_excess_suppliers,
+        "merge_upsert": q_merge_upsert,
+        "count_distinct": q_count_distinct,
+        "percentiles": q_percentiles,
+        "approx_count_distinct": q_approx_count_distinct,
+        "scd2_history": q_scd2_history,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "keyword_extract": q_keyword_extract,
+        "data_profile": q_data_profile,
+        "data_quality": q_data_quality,
+        "skew_profile": q_skew_profile,
+        "build_vocab": q_build_vocab,
+        "strip_boilerplate": q_strip_boilerplate,
+        "repeated_ngrams": q_repeated_ngrams,
+        "weighted_sample": q_weighted_sample,
+        "tokenize_corpus": q_tokenize_corpus,
+        "lang_id_chargram": q_lang_id_chargram,
+        "dedup_lines": q_dedup_lines,
+        "minhash_recall": q_minhash_recall,
+        "ivf_full_probe": q_ivf_full_probe,
+        "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
+        "rolling_revenue": q_rolling_revenue,
+        "shipment_concurrency": q_shipment_concurrency,
+        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
+        "click_attribution": q_click_attribution,
+        "adaptive_join": q_adaptive_join,
         "ewma_value": q_ewma_value,
         "heavy_hitters": q_heavy_hitters,
         "fuzzy_pairs": q_fuzzy_pairs,
@@ -4096,58 +4247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "cap_per_group": q_cap_per_group,
         "ann_cosine_pq": q_ann_cosine_pq,
-        "pq_full_rerank": q_pq_full_rerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
-        "ivfpq_full": q_ivfpq_full,
-        "bpe_encode": q_bpe_encode,
-        "multimodal_tar": q_multimodal_tar,
-        "pagerank": q_pagerank,
-        "min_cost_supplier": q_min_cost_supplier,
-        "supplier_cnt": q_supplier_cnt,
-        "supplier_wait": q_supplier_wait,
-        "grouping_sets": q_grouping_sets,
-        "cust_without_orders": q_cust_without_orders,
-        "priority_orders": q_priority_orders,
-        "returnflag_priority": q_returnflag_priority,
-        "promo_revenue": q_promo_revenue,
-        "forecast_revenue": q_forecast_revenue,
-        "cust_order_dist": q_cust_order_dist,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "returned_revenue": q_returned_revenue,
-        "important_stock": q_important_stock,
-        "excess_suppliers": q_excess_suppliers,
-        "merge_upsert": q_merge_upsert,
-        "count_distinct": q_count_distinct,
-        "percentiles": q_percentiles,
-        "approx_count_distinct": q_approx_count_distinct,
-        "scd2_history": q_scd2_history,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "keyword_extract": q_keyword_extract,
-        "data_profile": q_data_profile,
-        "data_quality": q_data_quality,
-        "skew_profile": q_skew_profile,
-        "build_vocab": q_build_vocab,
-        "strip_boilerplate": q_strip_boilerplate,
-        "repeated_ngrams": q_repeated_ngrams,
-        "weighted_sample": q_weighted_sample,
-        "tokenize_corpus": q_tokenize_corpus,
-        "lang_id_chargram": q_lang_id_chargram,
-        # --- positions 50+: first out of the window, lead the r9 rotation ---
-        "dedup_lines": q_dedup_lines,
-        "minhash_recall": q_minhash_recall,
-        "ivf_full_probe": q_ivf_full_probe,
-        "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
-        "rolling_revenue": q_rolling_revenue,
-        "shipment_concurrency": q_shipment_concurrency,
-        "click_attribution": q_click_attribution,
-        # --- driver-verified in round 6 (outside the window) ---
-        "adaptive_join": q_adaptive_join,
         "asof_join_forward": q_asof_join_forward,
         "assign_row_ids": q_assign_row_ids,
         "bfs_distances": q_bfs_distances,
@@ -4197,7 +4296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "large_orders": q_large_orders,
         "nation_volume": q_nation_volume,
-        # --- driver-verified in round 7 ---
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -4594,6 +4692,26 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "pq_recall": """
+        -- the certificate's claims are deterministic (pinned sample
+        -- fit, int64 encode/ADC, id tie-breaks): every query retrieves
+        -- itself under exclude_self=False, and graded-config recall@5
+        -- clears the 0.5 floor (measured 0.64-0.70) — so the oracle is
+        -- the all-ones frame over the query ids; any silent PQ
+        -- degradation hash-mismatches (see q_pq_recall).
+        SELECT vec_id AS query_id,
+               CAST(1 AS BIGINT) AS self_found,
+               CAST(1 AS BIGINT) AS recall_ge_floor
+        FROM embeddings WHERE vec_id < 50
+    """,
+    "ivfpq_recall": """
+        -- all-ones certificate frame (see q_ivfpq_recall: self-cell is
+        -- always probed; recall floor 0.4 vs measured 0.55-0.62).
+        SELECT vec_id AS query_id,
+               CAST(1 AS BIGINT) AS self_found,
+               CAST(1 AS BIGINT) AS recall_ge_floor
+        FROM embeddings WHERE vec_id < 50
     """,
     "ivfpq_full": """
         -- identical to the ann_cosine_topk oracle: IVFPQ probing every
@@ -5789,7 +5907,7 @@ _ORACLES: dict[str, str] = {
         FROM m
     """,
     "hits_bipartite": r"""
-        -- recursive-CTE twin of the fixed-8-round HITS mutual recursion:
+        -- recursive-CTE twin of the fixed-6-round HITS mutual recursion:
         -- state is the hub vector over customers (authorities derive
         -- from it each round); SUM() OVER () is the per-iteration L1
         -- mass (the working table holds exactly one iteration); the
@@ -5814,7 +5932,7 @@ _ORACLES: dict[str, str] = {
               FROM (
                 SELECT pp.it, e.p, SUM(pp.h) AS raw
                 FROM hs pp JOIN edges e ON e.c = pp.id
-                WHERE pp.it < 8
+                WHERE pp.it < 6
                 GROUP BY pp.it, e.p
               ) ar
             ) av
@@ -5822,22 +5940,22 @@ _ORACLES: dict[str, str] = {
             GROUP BY av.it, e2.c
           ) t
         ),
-        a8 AS (
+        a6 AS (
           SELECT ar.p, ar.raw / SUM(ar.raw) OVER () AS a
           FROM (
             SELECT e.p, SUM(h.h) AS raw
             FROM hs h JOIN edges e ON e.c = h.id
-            WHERE h.it = 7 GROUP BY e.p
+            WHERE h.it = 5 GROUP BY e.p
           ) ar
         )
         SELECT * FROM (
           SELECT 'authority' AS role, p AS node_id, ROUND(a, 8) AS score
-          FROM a8 ORDER BY ROUND(a, 8) DESC, p LIMIT 20
+          FROM a6 ORDER BY ROUND(a, 8) DESC, p LIMIT 20
         )
         UNION ALL
         SELECT * FROM (
           SELECT 'hub' AS role, id AS node_id, ROUND(h, 8) AS score
-          FROM hs WHERE it = 8 ORDER BY ROUND(h, 8) DESC, id LIMIT 20
+          FROM hs WHERE it = 6 ORDER BY ROUND(h, 8) DESC, id LIMIT 20
         )
     """,
     "trend_fit": r"""
@@ -6003,7 +6121,8 @@ _ORACLES: dict[str, str] = {
                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
         ), staged AS (
-          SELECT d % 7 AS day_idx, t FROM daily
+          -- pmod, not %: non-negative weekday for pre-1970 days too
+          SELECT ((d % 7) + 7) % 7 AS day_idx, t FROM daily
         ), gl AS (
           SELECT CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS gmean

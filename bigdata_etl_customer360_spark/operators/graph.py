@@ -825,7 +825,12 @@ def hits(
             # ignore them); the final select completes with COALESCE 0
             a = _half(h, "_h", "_s", "_d", "_a", ckpt=True)
             h = _half(a, "_a", "_d", "_s", "_h", ckpt=True)
-    out = (
+    # Checkpoint the completion join BEFORE releasing the caches: `out`
+    # is lazy, so unpersisting first would re-derive the node-set union
+    # and edge scan from source lineage on every downstream action
+    # (ADVICE r8) — the same per-round checkpoint discipline applied to
+    # the final frame.
+    out = _ckpt(
         nodes.join(h, "id", "left")
         .join(a, "id", "left")
         .select(

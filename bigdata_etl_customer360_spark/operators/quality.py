@@ -842,6 +842,8 @@ def linear_trend(
         F.sum(y).alias("_sy"),
         F.sum((x * x).cast(dec_prod)).alias("_sxx"),
         F.sum((x * y).cast(dec_prod)).alias("_sxy"),
+        F.min(x).alias("_xmin"),
+        F.max(x).alias("_xmax"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
@@ -850,11 +852,20 @@ def linear_trend(
     sxy = F.col("_sxy").cast("double")
     den = n * sxx - sx * sx
     slope = (n * sxy - sx * sy) / den
+    # Degeneracy is decided EXACTLY: den == n·Σx² − (Σx)² is zero iff all
+    # x are equal (Cauchy–Schwarz), i.e. iff min(x) == max(x) — an exact
+    # DECIMAL comparison with no overflow. The double `den > 0` alone can
+    # round a true zero to a tiny positive for non-integer decimal x
+    # (e.g. all x = 0.07), emitting garbage slopes instead of the NULL
+    # pin (ADVICE r8). Both guards are kept: exact min<max catches
+    # true-zero variance; double den>0 catches catastrophic cancellation
+    # (huge x, tiny true variance) where the double den underflows to <=0.
+    nondeg = (F.col("_xmin") < F.col("_xmax")) & (den > F.lit(0.0))
     return g.select(
         *keys,
         F.col("_n").alias("n_points"),
-        F.when(den > F.lit(0.0), slope).alias("slope"),
-        F.when(den > F.lit(0.0), (sy - slope * sx) / n).alias("intercept"),
+        F.when(nondeg, slope).alias("slope"),
+        F.when(nondeg, (sy - slope * sx) / n).alias("intercept"),
     )
 
 
@@ -975,6 +986,8 @@ def ab_test(
             F.count(F.when(cond, F.lit(1))).alias(f"_n{tag}"),
             F.sum(F.when(cond, v)).alias(f"_s{tag}"),
             F.sum(F.when(cond, (v * v).cast(dec_prod))).alias(f"_q{tag}"),
+            F.min(F.when(cond, v)).alias(f"_min{tag}"),
+            F.max(F.when(cond, v)).alias(f"_max{tag}"),
         ]
 
     m = clean.agg(*side("a", group_a), *side("b", group_b))
@@ -995,6 +1008,14 @@ def ab_test(
     t = (mean_a - mean_b) / F.sqrt(se2)
     wdf = (se2 * se2) / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0)))
     ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2)
+    # Zero pooled SE is decided EXACTLY: se2 == 0 iff BOTH groups are
+    # constant, i.e. min == max in each (exact DECIMAL compare). The
+    # double `se2 > 0` alone can round a true zero to a tiny positive
+    # (the linear_trend pattern, ADVICE r8); it is kept as the second
+    # guard for catastrophic-cancellation underflow the other way.
+    nondeg = (
+        (F.col("_mina") < F.col("_maxa")) | (F.col("_minb") < F.col("_maxb"))
+    ) & (se2 > F.lit(0.0))
     return m.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
@@ -1003,8 +1024,8 @@ def ab_test(
         F.when((F.col("_na") >= 1) & (F.col("_nb") >= 1), mean_a - mean_b).alias(
             "diff"
         ),
-        F.when(ok & (se2 > F.lit(0.0)), t).alias("t_stat"),
-        F.when(ok & (se2 > F.lit(0.0)), wdf).alias("welch_df"),
+        F.when(ok & nondeg, t).alias("t_stat"),
+        F.when(ok & nondeg, wdf).alias("welch_df"),
     )
 
 

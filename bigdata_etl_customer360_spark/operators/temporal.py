@@ -1081,9 +1081,13 @@ def seasonal_index(
 
         index(d) = mean(daily totals on weekday d) / mean(all days)
 
-    Weekday is INTEGER epoch-day arithmetic ``(epoch_s div 86400) % 7``
-    (0 = Thursday, the 1970-01-01 anchor — labeled ``day_idx``; never
-    an engine dayofweek(), whose numbering conventions differ). Input
+    Weekday is INTEGER epoch-day arithmetic ``pmod(floor(epoch_s /
+    86400), 7)`` (0 = Thursday, the 1970-01-01 anchor — labeled
+    ``day_idx``; never an engine dayofweek(), whose numbering
+    conventions differ). FLOOR division + pmod — not truncation + `%`,
+    whose sign follows the dividend — so pre-1970 timestamps (negative
+    epoch seconds) land on the correct weekday with day_idx in [0, 7)
+    (ADVICE r8). Input
     rows aggregate to exact DECIMAL daily totals first; every mean is
     a ratio of exact decimal sums, and the index is one fixed-shape
     double expression, unrounded. Days with no rows count as zero-total
@@ -1094,16 +1098,14 @@ def seasonal_index(
     Output: 7 rows (for a series spanning all weekdays) —
     ``(day_idx, n_days, day_mean, seasonal_index)``.
     """
-    day = (_epoch_s(ts_col) - (_epoch_s(ts_col) % F.lit(86400))) / F.lit(
-        86400
-    )
+    day = F.floor(_epoch_s(ts_col) / F.lit(86400))
     daily = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(day.cast("long").alias("_day"))
         .agg(F.sum(F.col(value_col).cast(value_decimal)).alias("_t"))
     )
     staged = daily.select(
-        (F.col("_day") % F.lit(7)).alias("day_idx"), "_t"
+        F.pmod(F.col("_day"), F.lit(7)).alias("day_idx"), "_t"
     )
     glob = staged.agg(
         (

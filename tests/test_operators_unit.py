@@ -2385,6 +2385,35 @@ def test_linear_trend_exact_and_degenerate(spark):
     assert out["k4"]["intercept"] == pytest.approx(1.0)
 
 
+def test_linear_trend_fractional_constant_x_pins_null(spark):
+    """All x equal at a NON-INTEGER decimal (0.07): the exact den is 0
+    but the double n*sxx - sx*sx can round to a tiny positive — the
+    guard must decide on the exact decimals and pin NULL, never emit a
+    garbage slope (ADVICE r8)."""
+    from bigdata_etl_customer360_spark.operators.quality import linear_trend
+
+    df = spark.createDataFrame(
+        [("k", 0.07, float(i)) for i in range(7)], "k string, x double, y double"
+    )
+    out = linear_trend(df, ["k"], "x", "y").collect()[0]
+    assert out["n_points"] == 7
+    assert out["slope"] is None and out["intercept"] is None
+
+
+def test_ab_test_fractional_constant_groups_pin_null(spark):
+    """Both groups constant at non-integer decimals: exact se2 == 0 even
+    if the double rounds to a tiny positive — t/df pin NULL (ADVICE r8,
+    the linear_trend pattern)."""
+    from bigdata_etl_customer360_spark.operators.quality import ab_test
+
+    df = spark.createDataFrame(
+        [("A", 0.07)] * 5 + [("B", 0.03)] * 4, "grp string, value double"
+    )
+    got = ab_test(df, "grp", "value", "A", "B").collect()[0]
+    assert got["t_stat"] is None and got["welch_df"] is None
+    assert got["diff"] == pytest.approx(0.04)
+
+
 def test_linear_trend_matches_numpy_polyfit(spark):
     """Against numpy lstsq on a noisy series (values exactly representable
     at scale=2 so the decimal casts are lossless)."""
@@ -3506,3 +3535,27 @@ def test_seasonal_index_planted_weekly_pattern(spark):
     for d in set(range(7)) - {3}:
         assert abs(got[d]["seasonal_index"] - 100.0 / overall) < 1e-12
         assert got[d]["n_days"] == 10
+
+
+def test_seasonal_index_pre_1970_floor_semantics(spark):
+    """Negative epoch seconds: epoch-day must be FLOOR division (not
+    truncation, which rounds toward zero) and day_idx pmod (not %, whose
+    sign follows the dividend) — pre-1970 timestamps land on the correct
+    weekday with day_idx in [0, 7) (ADVICE r8). 1969-12-31 is epoch day
+    -1 -> day_idx 6 (Wednesday, one before the Thursday anchor)."""
+    from bigdata_etl_customer360_spark.operators.temporal import seasonal_index
+
+    rows = []
+    for d in range(-14, 14):  # 4 weeks straddling the epoch
+        v = 200.0 if d % 7 == 3 else 100.0  # Python % is already pmod
+        rows.append((d * 86400 + 3600, v))  # 01:00, exercises the floor
+    df = spark.createDataFrame(rows, ["sec", "v"]).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {r["day_idx"]: r for r in seasonal_index(df, "ts", "v").collect()}
+    assert set(got) == set(range(7))
+    overall = (200.0 + 6 * 100.0) / 7.0
+    assert abs(got[3]["seasonal_index"] - 200.0 / overall) < 1e-12
+    for d in set(range(7)) - {3}:
+        assert got[d]["n_days"] == 4
+        assert abs(got[d]["seasonal_index"] - 100.0 / overall) < 1e-12

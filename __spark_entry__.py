@@ -3216,6 +3216,63 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(xy, ["o_custkey"], "x_day", "y")
 
 
+def _tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared feature frame for the CART queries: integer-exact lineitem
+    features (quantity, discount/tax in cents — the quantize-first rule)
+    and the returnflag label."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+_TREE_MODELS: dict[str, list] = {}
+
+
+def _tree_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once-per-sf cache (the _unigram_model precedent): the bench
+    runs tree_train and tree_eval in one session; eval must not pay a
+    second fit."""
+    from bigdata_etl_customer360_spark.operators.ml import tree_fit
+
+    if sf_dir not in _TREE_MODELS:
+        model = tree_fit(
+            _tree_features(spark, sf_dir), ["qty", "disc", "tax"], "flag",
+            max_depth=2,
+        )
+        _TREE_MODELS[sf_dir] = model.collect()
+    return spark.createDataFrame(
+        _TREE_MODELS[sf_dir],
+        "node_id long, depth int, n long, split_feature string, "
+        "split_value double, prediction string",
+    )
+
+
+def q_tree_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART on lineitem (operators/ml.tree_fit): histogram split
+    finder with exact-integer gini argmax — the model frame itself is
+    the graded output, hash-checked against a full SQL re-derivation of
+    both levels (every count, threshold, and tie-break must agree)."""
+    return _tree_model(spark, sf_dir)
+
+
+def q_tree_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tree_apply end-to-end: route every training row through the
+    fitted tree and emit the (true label x prediction) confusion counts
+    — grades the CASE-compilation/routing path against the oracle's
+    join-based routing."""
+    from bigdata_etl_customer360_spark.operators.ml import tree_apply
+
+    feats = _tree_features(spark, sf_dir)
+    pred = tree_apply(feats, _tree_model(spark, sf_dir))
+    return pred.groupBy(
+        F.col("flag").alias("true_label"), "prediction"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over the customer->part purchase bipartite graph (operators/
     graph.hits, 6 rounds — measured identical top-20 vs 8 on this graph,
@@ -4150,6 +4207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_full": q_ivfpq_full,
         "pq_recall": q_pq_recall,
         "ivfpq_recall": q_ivfpq_recall,
+        "tree_train": q_tree_train,
+        "tree_eval": q_tree_eval,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -8379,6 +8438,141 @@ def _core_numbers_oracle(max_core: int = 4, rounds: int = 14) -> str:
 
 
 _ORACLES["core_numbers"] = _core_numbers_oracle()
+
+
+def _cart_level_block(L: int, src: str) -> str:
+    """One CART level of the tree_train oracle: find the best
+    gini split per node of assignment table ``src`` (operators/ml.
+    _gini_split_scores re-derived in SQL). Counts are exact BIGINTs,
+    every product is HUGEINT (int128 — the DECIMAL(38) discipline), the
+    ranking double is ONE division of exact integers routed through
+    VARCHAR (DuckDB's decimal->double cast is not correctly rounded),
+    and the split-vs-leaf gain decision stays fully integral. Labels
+    A/N/R are the fixed TPC-H returnflag domain; purity and
+    single-value nodes fall out of the gain filter naturally (a pure
+    node's every candidate has exactly zero gain)."""
+    return f"""
+    m{L} AS (
+      SELECT node, 'disc' AS f, disc AS v, lab FROM {src}
+      UNION ALL SELECT node, 'qty', qty, lab FROM {src}
+      UNION ALL SELECT node, 'tax', tax, lab FROM {src}
+    ),
+    g{L} AS (
+      SELECT node, f, v,
+        CAST(COUNT(*) FILTER (WHERE lab = 'A') AS BIGINT) AS c0,
+        CAST(COUNT(*) FILTER (WHERE lab = 'N') AS BIGINT) AS c1,
+        CAST(COUNT(*) FILTER (WHERE lab = 'R') AS BIGINT) AS c2
+      FROM m{L} GROUP BY 1, 2, 3
+    ),
+    p{L} AS (
+      SELECT node, f, v,
+        CAST(SUM(c0) OVER wp AS BIGINT) AS l0,
+        CAST(SUM(c1) OVER wp AS BIGINT) AS l1,
+        CAST(SUM(c2) OVER wp AS BIGINT) AS l2,
+        CAST(SUM(c0) OVER wt AS BIGINT) AS t0,
+        CAST(SUM(c1) OVER wt AS BIGINT) AS t1,
+        CAST(SUM(c2) OVER wt AS BIGINT) AS t2,
+        MAX(v) OVER wt AS vmax
+      FROM g{L}
+      WINDOW wp AS (PARTITION BY node, f ORDER BY v ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY node, f)
+    ),
+    s{L} AS (
+      SELECT node, f, v,
+        (l0 + l1 + l2) AS nl,
+        (t0 + t1 + t2) - (l0 + l1 + l2) AS nr,
+        (t0 + t1 + t2) AS n,
+        CAST(l0 AS HUGEINT)*l0 + CAST(l1 AS HUGEINT)*l1
+          + CAST(l2 AS HUGEINT)*l2 AS suml2,
+        CAST(t0 - l0 AS HUGEINT)*(t0 - l0) + CAST(t1 - l1 AS HUGEINT)*(t1 - l1)
+          + CAST(t2 - l2 AS HUGEINT)*(t2 - l2) AS sumr2,
+        CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
+          + CAST(t2 AS HUGEINT)*t2 AS sumt2
+      FROM p{L} WHERE v < vmax
+    ),
+    b{L} AS (
+      SELECT node, f, v FROM (
+        SELECT node, f, v,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY
+            CAST(CAST(CAST(nr AS HUGEINT)*suml2
+                      + CAST(nl AS HUGEINT)*sumr2 AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(CAST(nl AS HUGEINT)*nr AS VARCHAR) AS DOUBLE) DESC,
+            f ASC, v ASC) AS rn
+        FROM s{L}
+        WHERE (CAST(nr AS HUGEINT)*suml2 + CAST(nl AS HUGEINT)*sumr2) * n
+              > sumt2 * (CAST(nl AS HUGEINT)*nr)
+      ) WHERE rn = 1
+    )"""
+
+
+def _cart_advance(dst: str, src: str, b: str) -> str:
+    return f"""
+    {dst} AS (
+      SELECT {src}.qty, {src}.disc, {src}.tax, {src}.lab,
+        2*{src}.node + CASE WHEN (CASE {b}.f WHEN 'qty' THEN {src}.qty
+                                  WHEN 'disc' THEN {src}.disc
+                                  ELSE {src}.tax END) > {b}.v
+                            THEN 1 ELSE 0 END AS node
+      FROM {src} JOIN {b} ON {b}.node = {src}.node
+    )"""
+
+
+_CART_CTES = f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax,
+             l_returnflag AS lab
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    a0 AS (SELECT qty, disc, tax, lab, CAST(1 AS BIGINT) AS node FROM base),
+    {_cart_level_block(0, "a0")},
+    {_cart_advance("a1", "a0", "b0")},
+    {_cart_level_block(1, "a1")},
+    {_cart_advance("a2", "a1", "b1")},
+    lvl2 AS (
+      SELECT node, lab, CAST(COUNT(*) AS BIGINT) AS c FROM a2 GROUP BY 1, 2
+    ),
+    leaf AS (
+      SELECT node, n, lab AS prediction FROM (
+        SELECT node, lab, c,
+          CAST(SUM(c) OVER (PARTITION BY node) AS BIGINT) AS n,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        FROM lvl2
+      ) WHERE rn = 1
+    )"""
+
+# the oracle assumes the verified depth-2 shape on TPC-H lineitem (root
+# and both children split; leaves at depth 2) — true at every tested sf;
+# the general early-leaf semantics are pinned by tests/test_ml.py's
+# brute-force parity instead.
+_ORACLES["tree_train"] = f"""
+    {_CART_CTES}
+    SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS INT) AS depth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n,
+           f AS split_feature, CAST(v AS DOUBLE) AS split_value,
+           CAST(NULL AS VARCHAR) AS prediction
+    FROM b0
+    UNION ALL
+    SELECT b1.node, CAST(1 AS INT), n1.n, b1.f, CAST(b1.v AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM b1 JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM a1 GROUP BY 1) n1 ON n1.node = b1.node
+    UNION ALL
+    SELECT node, CAST(2 AS INT), n, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), prediction
+    FROM leaf
+"""
+
+_ORACLES["tree_eval"] = f"""
+    {_CART_CTES}
+    SELECT a2.lab AS true_label, lf.prediction,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM a2 JOIN leaf lf ON lf.node = a2.node
+    GROUP BY 1, 2
+"""
 
 # hybrid_search composes the two already-verified retrieval oracles:
 # the bm25 SQL runs verbatim as a nested CTE (one scoring definition,

@@ -3216,6 +3216,55 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(xy, ["o_custkey"], "x_day", "y")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery over documents (operators/curation.
+    gopher_rules, arXiv:2112.11446 §A1.1): seven heuristics + combined
+    verdict from exact integer ratios, one map-only pass (two inline
+    generators — words and lines each split ONCE)."""
+    from bigdata_etl_customer360_spark.operators.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha",
+        "symbol_ratio",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "stop_hits",
+        "passes",
+    )
+
+
+def q_gbt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient-boosted regression stumps on lineitem
+    (operators/ml.gbt_stumps): qty/disc/tax -> extendedprice cents,
+    exact integer residuals via round-half-up leaf means, exact-integer
+    variance-reduction argmax."""
+    from bigdata_etl_customer360_spark.operators.ml import gbt_stumps
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    return gbt_stumps(feats, ["qty", "disc", "tax"], "price_c", rounds=2)
+
+
+def q_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of daily order revenue
+    (operators/temporal.decompose_daily): centered 7-day MA trend,
+    weekday seasonal from exact scaled decimals, in-order-fold
+    centering, NULL-pinned edges."""
+    from bigdata_etl_customer360_spark.operators.temporal import decompose_daily
+
+    return decompose_daily(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
 def _tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared feature frame for the CART queries: integer-exact lineitem
     features (quantity, discount/tax in cents — the quantize-first rule)
@@ -4199,8 +4248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.  Hand-rotation drifted in round 8 (VERDICT r8 item 2).
     return {
         # --- driver window (mechanically derived: scripts/staleness.py) ---
-        # r9 rotation: 8 never-verified (incl. the new pq/ivfpq recall
-        # certificates) + pagerank (r5 rows-only) + 41 r5-stale oracle queries.
+        # r9 rotation: 13 never-verified (new r9 operators + the pq/ivfpq
+        # certificates) + pagerank (r5 rows-only) + 36 r5-stale oracle queries.
         "pq_full_rerank": q_pq_full_rerank,
         "pagerank_personalized": q_pagerank_personalized,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
@@ -4209,6 +4258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": q_ivfpq_recall,
         "tree_train": q_tree_train,
         "tree_eval": q_tree_eval,
+        "decompose_revenue": q_decompose_revenue,
+        "gopher_quality": q_gopher_quality,
+        "gbt_train": q_gbt_train,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -4248,12 +4300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_corpus": q_tokenize_corpus,
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
+        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
-        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "click_attribution": q_click_attribution,
         "adaptive_join": q_adaptive_join,
         "ewma_value": q_ewma_value,
@@ -8438,6 +8490,222 @@ def _core_numbers_oracle(max_core: int = 4, rounds: int = 14) -> str:
 
 
 _ORACLES["core_numbers"] = _core_numbers_oracle()
+
+
+
+_ORACLES["decompose_revenue"] = """
+    -- twin of operators/temporal.decompose_daily: exact decimal daily
+    -- totals, scaled detrended (7*y - wsum) stays decimal, ONE double
+    -- division per seasonal mean (VARCHAR-routed casts), in-order fold
+    -- for the centering, CAST(7 AS DOUBLE) pinned (bare literals parse
+    -- DECIMAL in DuckDB).
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    ma AS (
+      SELECT day, ((day % 7) + 7) % 7 AS day_idx, y,
+             SUM(y) OVER wr AS wsum,
+             CAST(COUNT(*) OVER wr AS BIGINT) AS wcnt
+      FROM daily
+      WINDOW wr AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    fullf AS (
+      SELECT *, CASE WHEN wcnt = 7 THEN 7 * y - wsum END AS dsc FROM ma
+    ),
+    per_dow AS (
+      SELECT day_idx, SUM(dsc) AS s, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM fullf WHERE dsc IS NOT NULL GROUP BY 1
+    ),
+    raw AS (
+      SELECT day_idx,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE)
+               / (CAST(7 AS DOUBLE) * CAST(nd AS DOUBLE)) AS sraw
+      FROM per_dow
+    ),
+    sbar AS (
+      SELECT list_aggregate(list(sraw ORDER BY day_idx), 'sum')
+               / CAST(COUNT(*) AS DOUBLE) AS sbar
+      FROM raw
+    ),
+    seas AS (SELECT day_idx, sraw - sbar.sbar AS seasonal FROM raw, sbar)
+    SELECT f.day, f.day_idx,
+      CAST(CAST(f.y AS VARCHAR) AS DOUBLE) AS y,
+      CASE WHEN f.wcnt = 7
+           THEN CAST(CAST(f.wsum AS VARCHAR) AS DOUBLE) / CAST(7 AS DOUBLE)
+      END AS trend,
+      s.seasonal,
+      CAST(CAST(f.y AS VARCHAR) AS DOUBLE)
+        - (CASE WHEN f.wcnt = 7
+                THEN CAST(CAST(f.wsum AS VARCHAR) AS DOUBLE) / CAST(7 AS DOUBLE)
+           END)
+        - s.seasonal AS resid
+    FROM fullf f LEFT JOIN seas s ON s.day_idx = f.day_idx
+"""
+
+
+
+_ORACLES["gopher_quality"] = r"""
+    -- twin of operators/curation.gopher_rules: identical whitespace
+    -- word split, chr(10) line split, non-overlapping regex counts,
+    -- integer ratios with ONE double division each; thresholds pinned
+    -- CAST(x AS DOUBLE) (bare literals parse DECIMAL in DuckDB).
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             string_split(text, chr(10)) AS lns
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+             AS BIGINT) AS sum_len,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['the','be','to','of','and','that','have','with'], x)))
+             AS BIGINT) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\.\.\.'))
+             + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym,
+        CAST(len(lns) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lns, s -> ltrim(s) LIKE '- %'
+          OR ltrim(s) LIKE '* %' OR ltrim(s) LIKE '•%')) AS BIGINT)
+          AS n_bullet,
+        CAST(len(list_filter(lns, s -> rtrim(s) LIKE '%...'
+          OR rtrim(s) LIKE '%…')) AS BIGINT) AS n_ell
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, text, n_words, stop_hits,
+        CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha,
+        CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+        CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          AS frac_bullet_lines,
+        CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          AS frac_ellipsis_lines
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio,
+           frac_bullet_lines, frac_ellipsis_lines, stop_hits,
+           CAST(CASE WHEN text IS NULL THEN 0
+                WHEN n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= CAST(3.0 AS DOUBLE)
+                 AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                 AND symbol_ratio < CAST(0.1 AS DOUBLE)
+                 AND frac_bullet_lines < CAST(0.9 AS DOUBLE)
+                 AND frac_ellipsis_lines < CAST(0.3 AS DOUBLE)
+                 AND frac_alpha >= CAST(0.8 AS DOUBLE)
+                 AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM r
+"""
+
+
+
+
+def _fdiv(m: str, d: str) -> str:
+    """Exact FLOOR division for the gbt oracle: DuckDB's // truncates
+    toward zero on negatives, so route through pmod — (m - pmod(m, d))
+    is an exact multiple of d and truncation == floor there."""
+    return f"(({m}) - (((({m}) % ({d})) + ({d})) % ({d}))) // ({d})"
+
+
+def _gbt_stump_block(t: int, src: str) -> str:
+    """One boosting round of the gbt_train oracle: per-(feature, value)
+    residual sums, prefix windows, exact variance-reduction gain filter,
+    VARCHAR-routed double ranking, round-half-up leaf gammas from the
+    winning prefix row (left sums at the chosen threshold ARE the side
+    sums)."""
+    rhu_l = _fdiv("2*sl + nl", "2*nl")
+    rhu_r = _fdiv("2*(st - sl) + (nt - nl)", "2*(nt - nl)")
+    return f"""
+    m{t} AS (
+      SELECT 'disc' AS f, disc AS v, r FROM {src}
+      UNION ALL SELECT 'qty', qty, r FROM {src}
+      UNION ALL SELECT 'tax', tax, r FROM {src}
+    ),
+    g{t} AS (
+      SELECT f, v, CAST(SUM(r) AS HUGEINT) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS cv
+      FROM m{t} GROUP BY 1, 2
+    ),
+    p{t} AS (
+      SELECT f, v,
+        CAST(SUM(sv) OVER wp AS HUGEINT) AS sl,
+        CAST(SUM(cv) OVER wp AS BIGINT) AS nl,
+        CAST(SUM(sv) OVER wt AS HUGEINT) AS st,
+        CAST(SUM(cv) OVER wt AS BIGINT) AS nt,
+        MAX(v) OVER wt AS vmax
+      FROM g{t}
+      WINDOW wp AS (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY f)
+    ),
+    b{t} AS (
+      SELECT f, v, sl, nl, st, nt FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST(sl*sl*(nt - nl) + (st - sl)*(st - sl)*nl AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(nl AS HUGEINT)*(nt - nl) AS VARCHAR) AS DOUBLE) DESC,
+          f ASC, v ASC) AS rn
+        FROM p{t}
+        WHERE v < vmax
+          AND (sl*sl*(nt - nl) + (st - sl)*(st - sl)*nl) * nt
+              > st*st*(CAST(nl AS HUGEINT)*(nt - nl))
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT f, v, nl AS n_left, (nt - nl) AS n_right,
+             CAST({rhu_l} AS BIGINT) AS gl,
+             CAST({rhu_r} AS BIGINT) AS gr
+      FROM b{t}
+    )"""
+
+
+_GBT_F0 = _fdiv("2*s + n", "2*n")
+_ORACLES["gbt_train"] = f"""
+    -- twin of operators/ml.gbt_stumps at rounds=2 (q_gbt_train):
+    -- exact HUGEINT residual arithmetic, floor-division round-half-up
+    -- (// truncates on negatives — pmod-routed), the verified
+    -- both-rounds-split shape on TPC-H lineitem.
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    hd AS (SELECT CAST(SUM(y) AS HUGEINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           FROM base),
+    f0 AS (SELECT CAST({_GBT_F0} AS BIGINT) AS g0, n FROM hd),
+    r1 AS (SELECT b.qty, b.disc, b.tax, b.y - f.g0 AS r FROM base b, f0 f),
+    {_gbt_stump_block(1, "r1")},
+    r2 AS (
+      SELECT r1.qty, r1.disc, r1.tax,
+             r1.r - CASE WHEN (CASE c1.f WHEN 'qty' THEN r1.qty
+                               WHEN 'disc' THEN r1.disc
+                               ELSE r1.tax END) <= c1.v
+                         THEN c1.gl ELSE c1.gr END AS r
+      FROM r1, c1
+    ),
+    {_gbt_stump_block(2, "r2")}
+    SELECT CAST(0 AS INT) AS round, CAST(NULL AS VARCHAR) AS split_feature,
+           CAST(NULL AS DOUBLE) AS split_value, g0 AS gamma_left,
+           CAST(NULL AS BIGINT) AS gamma_right, n AS n_left,
+           CAST(NULL AS BIGINT) AS n_right
+    FROM f0
+    UNION ALL
+    SELECT CAST(1 AS INT), f, CAST(v AS DOUBLE), gl, gr, n_left, n_right
+    FROM c1
+    UNION ALL
+    SELECT CAST(2 AS INT), f, CAST(v AS DOUBLE), gl, gr, n_left, n_right
+    FROM c2
+"""
+
 
 
 def _cart_level_block(L: int, src: str) -> str:

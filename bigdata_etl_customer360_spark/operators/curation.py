@@ -922,3 +922,139 @@ def normalize_text(
         .otherwise(F.lit(0))
         .cast("long"),
     )
+
+
+GOPHER_STOPWORDS: Sequence[str] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al., arXiv:2112.11446
+    §A1.1) as ONE map-only pass: per document, the seven repetition-free
+    heuristics that gate web text before anything expensive —
+
+        word count in [min_words, max_words]
+        mean word length in [min_mean_word_len, max_mean_word_len]
+        (#'#' + #'...' + #'…') / words       <  max_symbol_ratio
+        lines starting with a bullet, frac   <  max_bullet_frac
+        lines ending in an ellipsis, frac    <  max_ellipsis_frac
+        words containing >= 1 [a-zA-Z], frac >= min_alpha_frac
+        occurrences of the 8 Gopher stopwords >= min_stop_hits
+
+    — plus the combined ``passes`` verdict. The repetition rules
+    (duplicate-line / repeated-ngram mass) live in
+    :func:`repeated_ngram_stats` / :func:`dedup_lines_within`; compose
+    for the full Gopher gate.
+
+    Determinism: every metric is a ratio of exact integers (one double
+    division, identical across engines); words are the repo-standard
+    whitespace split, lines a '\\n' split, both evaluated ONCE via the
+    ``inline1`` generator (projection collapse would re-split per
+    metric). NULL text yields NULL metrics and ``passes = 0``.
+
+    Output: ``(*, n_words, mean_word_len, frac_alpha, symbol_ratio,
+    frac_bullet_lines, frac_ellipsis_lines, stop_hits, passes)``.
+    """
+    sw = F.array(*[F.lit(w) for w in stopwords])
+
+    def word_feats(tk: Column) -> Column:
+        n = F.size(tk)
+        sum_len = F.aggregate(
+            F.transform(tk, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        n_alpha = F.size(F.filter(tk, lambda t: t.rlike("[a-zA-Z]")))
+        n_stop = F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            (sum_len.cast("double") / n.cast("double")).alias("mean_word_len"),
+            (n_alpha.cast("double") / n.cast("double")).alias("frac_alpha"),
+            n_stop.cast("long").alias("stop_hits"),
+        )
+
+    def line_feats(ln: Column) -> Column:
+        n = F.size(ln)
+        bullet = F.size(
+            F.filter(
+                ln,
+                lambda s: F.ltrim(s).startswith("- ")
+                | F.ltrim(s).startswith("* ")
+                | F.ltrim(s).startswith("•"),
+            )
+        )
+        ell = F.size(
+            F.filter(
+                ln,
+                lambda s: F.rtrim(s).endswith("...")
+                | F.rtrim(s).endswith("…"),
+            )
+        )
+        return F.struct(
+            (bullet.cast("double") / n.cast("double")).alias(
+                "frac_bullet_lines"
+            ),
+            (ell.cast("double") / n.cast("double")).alias(
+                "frac_ellipsis_lines"
+            ),
+        )
+
+    from bigdata_etl_customer360_spark.operators.textstats import tokens_expr
+    from bigdata_etl_customer360_spark.operators.util import inline1
+
+    n_sym = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    ).cast("long")
+
+    # one generator per select: two inline() calls in a single
+    # projection mangle the first generator's output field names
+    staged = df.select(
+        "*",
+        inline1(tokens_expr(text_col), word_feats),
+        n_sym.alias("_n_sym"),
+    ).select("*", inline1(F.split(F.col(text_col), "\n"), line_feats))
+    symbol_ratio = F.col("_n_sym").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (F.col("frac_bullet_lines") < max_bullet_frac)
+        & (F.col("frac_ellipsis_lines") < max_ellipsis_frac)
+        & (F.col("frac_alpha") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return staged.select(
+        *df.columns,
+        "n_words",
+        "mean_word_len",
+        "frac_alpha",
+        symbol_ratio.alias("symbol_ratio"),
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "stop_hits",
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .when(passes, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passes"),
+    )

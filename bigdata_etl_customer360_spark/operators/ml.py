@@ -330,3 +330,150 @@ def tree_apply(
         return F.when(test, lexpr).otherwise(rexpr)
 
     return df.withColumn(out_col, node_expr(1))
+
+
+def _rhu(a: int, b: int) -> int:
+    """round-half-up(a / b) for b > 0, any-sign a, in exact integer
+    arithmetic: floor((2a + b) / (2b)). Python // floors (matching
+    DuckDB's //), so the identity is exact — no float touches the
+    value."""
+    return (2 * a + b) // (2 * b)
+
+
+def gbt_stumps(
+    df: DataFrame,
+    features: list[str],
+    target_col: str,
+    rounds: int = 2,
+    feature_decimal: str = "decimal(18,6)",
+) -> DataFrame:
+    """Gradient-boosted regression STUMPS under squared loss (the
+    GBT-lite next to :func:`tree_fit` — Friedman 2001, unit learning
+    rate): each round fits one depth-1 split to the CURRENT residuals
+    and subtracts the per-side mean. The model frame is returned:
+
+        (round, split_feature, split_value, gamma_left, gamma_right,
+         n_left, n_right)
+
+    with round 0 the base prediction (global mean in ``gamma_left``,
+    split columns NULL). Prediction for a row = gamma_0 + sum over
+    rounds of the side's gamma.
+
+    Exactness: the target must be an INTEGRAL column (cents, counts —
+    quantize upstream, the repo-wide rule). Every leaf value is
+    round-half-up(sum/n) computed by the floor-division identity
+    floor((2S + n) / 2n) on exact integers, so residuals stay EXACT
+    integers round over round — no float drift can accumulate.
+    Split ranking: minimizing SSE == maximizing
+    (SL^2*nR + SR^2*nL)/(nL*nR); numerator/denominator are exact
+    DECIMAL(38,0) (safe to |S| ~ 1e18), the ranking double is their one
+    division (engine-identical), ties pin (feature asc, value asc), and
+    the split-vs-stop decision (variance reduction > 0) is the fully
+    exact integer comparison num*n > S_tot^2*(nL*nR). A round with no
+    strictly-positive-gain split stops the model early.
+
+    Plan, per round: ONE melt + hash aggregate keyed (feature, value)
+    with map-side-combined residual sums [the only data-sized shuffle],
+    window prefix over the bounded value grid, a 1-row best-split
+    collect (bounded driver scalar, the kmeans/vocab policy), one
+    conditional aggregate for the side sums, and a map-only residual
+    update localCheckpointed to cut lineage. No UDFs.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds!r}")
+    spark = df.sparkSession
+    schema = (
+        "round int, split_feature string, split_value double, "
+        "gamma_left long, gamma_right long, n_left long, n_right long"
+    )
+    cond = F.col(target_col).isNotNull()
+    for f in features:
+        cond = cond & F.col(f).isNotNull()
+    base = df.filter(cond).select(
+        *[F.col(f).cast(feature_decimal).alias(f) for f in features],
+        F.col(target_col).cast("long").alias("_y"),
+    )
+    head = base.agg(
+        F.sum("_y").cast(_DEC).alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).first()
+    n_all = int(head["_n"])
+    if n_all == 0:
+        return spark.createDataFrame([], schema)
+    f0 = _rhu(int(head["_s"]), n_all)
+    model = [(0, None, None, f0, None, n_all, None)]
+
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("_f"), F.col(f).alias("_v"))
+                for f in sorted(features)
+            ]
+        )
+    )
+    cur = base.withColumn("_r", (F.col("_y") - F.lit(f0)).cast("long"))
+    for t in range(1, rounds + 1):
+        cur = cur.localCheckpoint(eager=True)
+        g = (
+            cur.select("_r", melt.alias("_fv"))
+            .select("_r", F.col("_fv._f").alias("_f"), F.col("_fv._v").alias("_v"))
+            .groupBy("_f", "_v")
+            .agg(
+                F.sum("_r").cast(_DEC).alias("_sv"),
+                F.count(F.lit(1)).alias("_cv"),
+            )
+        )
+        wp = (
+            Window.partitionBy("_f")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("_f")
+        p = g.select(
+            "_f",
+            "_v",
+            F.sum("_sv").over(wp).alias("_sl"),
+            F.sum("_cv").over(wp).cast("long").alias("_nl"),
+            F.sum("_sv").over(wt).alias("_st"),
+            F.sum("_cv").over(wt).cast("long").alias("_nt"),
+            F.max("_v").over(wt).alias("_vmax"),
+        ).filter(F.col("_v") < F.col("_vmax"))
+        sl = F.col("_sl").cast(_DEC)
+        sr = (F.col("_st") - F.col("_sl")).cast(_DEC)
+        st = F.col("_st").cast(_DEC)
+        nl = F.col("_nl").cast(_DEC)
+        nr = (F.col("_nt") - F.col("_nl")).cast(_DEC)
+        num = sl * sl * nr + sr * sr * nl
+        den = nl * nr
+        best = (
+            p.filter(num * F.col("_nt").cast(_DEC) > st * st * den)
+            .orderBy(
+                (num.cast("double") / den.cast("double")).desc(),
+                F.col("_f").asc(),
+                F.col("_v").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        bf, bv = best[0]["_f"], best[0]["_v"]
+        side = F.col(bf) <= F.lit(bv).cast(feature_decimal)
+        sides = cur.agg(
+            F.sum(F.when(side, F.col("_r"))).cast(_DEC).alias("_sl"),
+            F.count(F.when(side, F.lit(1))).alias("_nl"),
+            F.sum(F.when(~side, F.col("_r"))).cast(_DEC).alias("_sr"),
+            F.count(F.when(~side, F.lit(1))).alias("_nr"),
+        ).first()
+        gl = _rhu(int(sides["_sl"]), int(sides["_nl"]))
+        gr = _rhu(int(sides["_sr"]), int(sides["_nr"]))
+        model.append(
+            (t, bf, float(bv), gl, gr, int(sides["_nl"]), int(sides["_nr"]))
+        )
+        cur = cur.withColumn(
+            "_r",
+            (
+                F.col("_r")
+                - F.when(side, F.lit(gl)).otherwise(F.lit(gr))
+            ).cast("long"),
+        )
+    return spark.createDataFrame(model, schema)

@@ -1068,6 +1068,123 @@ def cusum_changepoint(
     )
 
 
+def decompose_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    trend_window: int = 7,
+    value_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Additive seasonal-trend decomposition of a daily series (the
+    classical-decomposition core of STL, computed exactly):
+
+        y_t      = trend_t + seasonal_{dow(t)} + resid_t
+        trend_t  = centered moving average of y over ``trend_window``
+                   consecutive days (NULL unless ALL w days exist)
+        seasonal = per-weekday mean of the detrended series, CENTERED so
+                   the ``period`` indices sum to 0
+        resid    = what's left
+
+    The anomaly/forecast preprocessor that upgrades
+    :func:`seasonal_index`'s multiplicative ratios to the additive
+    decomposition drift monitors want (a residual spike is an anomaly
+    AFTER the weekly rhythm and the growth trend are explained away).
+
+    Exactness contract: daily totals are exact decimal sums; the
+    centered MA and the weekday means are kept SCALED by integer
+    factors as exact decimals (detrended*w = w*y - sum_w(y), so no
+    division happens before aggregation), and every double in the
+    output is a fixed-shape expression over those exact aggregates.
+    The single cross-weekday reduction (centering) is an in-order
+    float fold over the ``period`` weekday rows (the bm25/token_jsd
+    contract), so both engines fold identically. Weekday is
+    ``pmod(floor(epoch/86400), period)`` (0 = Thursday for period 7 —
+    the seasonal_index convention).
+
+    Absent days are absent (feed a :func:`resample_timeseries`
+    zero-filled grid when missing days are real zeros); trend and
+    resid pin to NULL at series edges / gaps (incomplete window).
+
+    Plan: one hash aggregate to daily totals, ONE keyless RANGE window
+    over the bounded daily frame (days, not rows — fine single-
+    partition, the holt_smooth precedent), a ``period``-row seasonal
+    aggregate broadcast back. Output:
+    ``(day, day_idx, y, trend, seasonal, resid)``.
+    """
+    if trend_window % 2 != 1 or trend_window < 1:
+        raise ValueError(f"trend_window must be odd >= 1, got {trend_window!r}")
+    half = trend_window // 2
+    w_lit = F.lit(float(trend_window))
+
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.floor(_epoch_s(ts_col) / F.lit(86400)).cast("long").alias("day")
+        )
+        .agg(F.sum(F.col(value_col).cast(value_decimal)).alias("_y"))
+    )
+    wr = Window.orderBy("day").rangeBetween(-half, half)
+    ma = daily.select(
+        "day",
+        F.pmod(F.col("day"), F.lit(period)).alias("day_idx"),
+        "_y",
+        F.sum("_y").over(wr).alias("_wsum"),
+        F.count(F.lit(1)).over(wr).alias("_wcnt"),
+    )
+    # detrended, scaled by w to stay exact: d_scaled = w*y - sum_w(y)
+    full = ma.withColumn(
+        "_dsc",
+        F.when(
+            F.col("_wcnt") == trend_window,
+            F.lit(trend_window) * F.col("_y") - F.col("_wsum"),
+        ),
+    )
+    per_dow = full.filter(F.col("_dsc").isNotNull()).groupBy("day_idx").agg(
+        F.sum("_dsc").alias("_s"), F.count(F.lit(1)).alias("_nd")
+    )
+    # raw seasonal per weekday: s_d = S_d / (w * n_d) — ONE double
+    # division of exact decimals
+    raw = per_dow.select(
+        "day_idx",
+        (
+            F.col("_s").cast("double") / (w_lit * F.col("_nd").cast("double"))
+        ).alias("_raw"),
+    )
+    # centering: sbar = in-order fold of the (<= period) raw values
+    # sorted by day_idx, / period — engine-identical float sequence
+    sbar = raw.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day_idx"), F.col("_raw")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_raw"],
+        ).alias("_fold"),
+        F.count(F.lit(1)).alias("_k"),
+    ).select((F.col("_fold") / F.col("_k").cast("double")).alias("_sbar"))
+    seasonal = raw.crossJoin(F.broadcast(sbar)).select(
+        "day_idx", (F.col("_raw") - F.col("_sbar")).alias("seasonal")
+    )
+    trend = F.when(
+        F.col("_wcnt") == trend_window,
+        F.col("_wsum").cast("double") / w_lit,
+    )
+    return (
+        full.join(F.broadcast(seasonal), "day_idx", "left")
+        .select(
+            "day",
+            "day_idx",
+            F.col("_y").cast("double").alias("y"),
+            trend.alias("trend"),
+            "seasonal",
+            (F.col("_y").cast("double") - trend - F.col("seasonal")).alias(
+                "resid"
+            ),
+        )
+    )
+
+
 def seasonal_index(
     df: DataFrame,
     ts_col: str,

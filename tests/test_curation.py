@@ -511,3 +511,29 @@ def test_normalize_text_nfc_controls_whitespace_null(spark):
     assert got[3] == (None, 0)
     assert got[4] == ("already clean", 0)
     assert got[5] == ("café", 0)
+
+
+def test_gopher_rules_flags_and_edges(spark):
+    """Each rule trips on its planted violation; NULL text -> passes=0
+    with NULL metrics; a clean long doc passes."""
+    from bigdata_etl_customer360_spark.operators.curation import gopher_rules
+
+    clean = ("the quick brown fox jumps over and that have with be to of "
+             * 10).strip()
+    rows = [
+        (1, clean),                                   # passes
+        (2, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # bullets
+        (3, "word ..." + ("\nmore text here ..." * 9)),           # ellipsis
+        (4, "### " * 30 + clean),                     # symbols
+        (5, "12 34 56 " * 20),                        # no alpha words
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["passes"] == 1
+    assert got[1]["frac_alpha"] == 1.0 and got[1]["stop_hits"] >= 2
+    assert got[2]["frac_bullet_lines"] == 1.0 and got[2]["passes"] == 0
+    assert got[3]["frac_ellipsis_lines"] == 1.0 and got[3]["passes"] == 0
+    assert got[4]["symbol_ratio"] > 0.1 and got[4]["passes"] == 0
+    assert got[5]["frac_alpha"] == 0.0 and got[5]["passes"] == 0
+    assert got[6]["passes"] == 0 and got[6]["n_words"] is None

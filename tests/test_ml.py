@@ -178,3 +178,87 @@ def test_tree_apply_agrees_with_training_partition(spark):
 
     want = Counter(leaf_of(r["q"], r["d"]) for r in li.collect())
     assert dict(want) == leaves
+
+
+def brute_gbt(rows, features, rounds):
+    """rows: list of (dict feature->int, y int). Same exact-integer
+    semantics as gbt_stumps, independently implemented."""
+    def rhu(a, b):
+        return (2 * a + b) // (2 * b)
+
+    n = len(rows)
+    f0 = rhu(sum(y for _, y in rows), n)
+    model = [(0, None, None, f0, None, n, None)]
+    res = [(r, y - f0) for r, y in rows]
+    for t in range(1, rounds + 1):
+        st, nt = sum(v for _, v in res), len(res)
+        best = None
+        for f in sorted(features):
+            vals = sorted({r[f] for r, _ in res})
+            for v in vals[:-1]:
+                sl = sum(rv for r, rv in res if r[f] <= v)
+                nl = sum(1 for r, _ in res if r[f] <= v)
+                sr, nr = st - sl, nt - nl
+                num, den = sl * sl * nr + sr * sr * nl, nl * nr
+                if num * nt <= st * st * den:
+                    continue
+                if (
+                    best is None
+                    or num * best[1] > best[0] * den
+                    or (num * best[1] == best[0] * den and (f, v) < (best[2], best[3]))
+                ):
+                    best = (num, den, f, v)
+        if best is None:
+            break
+        _, _, bf, bv = best
+        left = [(r, rv) for r, rv in res if r[bf] <= bv]
+        right = [(r, rv) for r, rv in res if r[bf] > bv]
+        gl = rhu(sum(rv for _, rv in left), len(left))
+        gr = rhu(sum(rv for _, rv in right), len(right))
+        model.append((t, bf, float(bv), gl, gr, len(left), len(right)))
+        res = [(r, rv - (gl if r[bf] <= bv else gr)) for r, rv in res]
+    return model
+
+
+def test_gbt_stumps_matches_bruteforce(spark):
+    import random
+
+    from bigdata_etl_customer360_spark.operators.ml import gbt_stumps
+
+    rng = random.Random(5)
+    rows = [
+        (
+            {"a": rng.randrange(8), "b": rng.randrange(5)},
+            rng.randrange(-500, 5000) + 100 * (rng.randrange(8) < 4),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], y) for r, y in rows], "a int, b int, y long"
+    )
+    got = [tuple(r) for r in gbt_stumps(df, ["a", "b"], "y", rounds=3).collect()]
+    assert got == brute_gbt(rows, ["a", "b"], 3)
+
+
+def test_gbt_stumps_constant_target_stops_after_base(spark):
+    from bigdata_etl_customer360_spark.operators.ml import gbt_stumps
+
+    df = spark.createDataFrame([(i, 7) for i in range(10)], "x int, y long")
+    got = [tuple(r) for r in gbt_stumps(df, ["x"], "y", rounds=3).collect()]
+    assert got == [(0, None, None, 7, None, 10, None)]
+
+
+def test_gbt_stumps_negative_halves_round_half_up(spark):
+    """Residual means at exactly -.5 must round toward +inf on both
+    engines (floor((2a+b)/(2b)) — the documented identity)."""
+    from bigdata_etl_customer360_spark.operators.ml import gbt_stumps
+
+    # y: two groups; group means produce a -.5 leaf mean in round 1
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 4), (1, 5)], "x int, y long"
+    )
+    got = {r["round"]: r for r in gbt_stumps(df, ["x"], "y", rounds=1).collect()}
+    # f0 = rhu(10, 4) = floor(24/8) = 3; residuals -3,-2,1,2
+    assert got[0]["gamma_left"] == 3
+    # left mean -2.5 -> rhu(-5,2) = floor(-8/4) = -2; right mean 1.5 -> 2
+    assert got[1]["gamma_left"] == -2 and got[1]["gamma_right"] == 2

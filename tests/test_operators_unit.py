@@ -3537,6 +3537,55 @@ def test_seasonal_index_planted_weekly_pattern(spark):
         assert got[d]["n_days"] == 10
 
 
+def test_decompose_daily_recovers_planted_components(spark):
+    """y = linear trend + weekly pattern: a 7-day centered MA covers
+    each weekday exactly once, so it removes the seasonal EXACTLY —
+    trend recovered as the line, seasonal as the (centered) planted
+    offsets, residual 0 on every full-window day."""
+    from bigdata_etl_customer360_spark.operators.temporal import decompose_daily
+
+    season = [4.0, -2.0, 1.0, 3.0, -5.0, 0.0, -1.0]  # sums to 0
+    rows = []
+    for d in range(70):
+        y = 100.0 + 2.0 * d + season[d % 7]
+        rows.append((d * 86400, y))
+    df = spark.createDataFrame(rows, ["sec", "v"]).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {r["day"]: r for r in decompose_daily(df, "ts", "v").collect()}
+    assert len(got) == 70
+    for d in range(70):
+        r = got[d]
+        assert r["day_idx"] == d % 7
+        assert r["y"] == pytest.approx(100.0 + 2.0 * d + season[d % 7])
+        if d < 3 or d > 66:  # incomplete centered window
+            assert r["trend"] is None and r["resid"] is None
+        else:
+            assert r["trend"] == pytest.approx(100.0 + 2.0 * d, abs=1e-9)
+            assert r["resid"] == pytest.approx(0.0, abs=1e-9)
+        assert r["seasonal"] == pytest.approx(season[d % 7], abs=1e-9)
+
+
+def test_decompose_daily_gaps_pin_null(spark):
+    """A missing day breaks every centered window containing it: trend/
+    resid NULL there, seasonal still produced from the complete-window
+    days; bad trend_window rejected."""
+    from bigdata_etl_customer360_spark.operators.temporal import decompose_daily
+
+    rows = [(d * 86400, 10.0) for d in range(30) if d != 15]
+    df = spark.createDataFrame(rows, ["sec", "v"]).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {r["day"]: r for r in decompose_daily(df, "ts", "v").collect()}
+    for d in range(12, 19):
+        if d != 15:
+            assert got[d]["trend"] is None
+    assert got[8]["trend"] == pytest.approx(10.0)
+    assert got[8]["seasonal"] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        decompose_daily(df, "ts", "v", trend_window=4)
+
+
 def test_seasonal_index_pre_1970_floor_semantics(spark):
     """Negative epoch seconds: epoch-day must be FLOOR division (not
     truncation, which rounds toward zero) and day_idx pmod (not %, whose

@@ -3253,6 +3253,22 @@ def q_gbt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gbt_stumps(feats, ["qty", "disc", "tax"], "price_c", rounds=2)
 
 
+def q_ridge_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag ridge fit price_c ~ qty + disc (operators/quality.
+    ridge_fit2, lam=1): exact decimal moments, Cramer 3x3 in fixed-shape
+    doubles, UNROUNDED outputs (the linear_trend contract)."""
+    from bigdata_etl_customer360_spark.operators.quality import ridge_fit2
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    return ridge_fit2(feats, ["l_returnflag"], "qty", "disc", "price_c")
+
+
 def q_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal-trend decomposition of daily order revenue
     (operators/temporal.decompose_daily): centered 7-day MA trend,
@@ -4237,6 +4253,139 @@ def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_AGG_STREAM_DIRS: dict[str, str] = {}
+_AGG_STREAM_SEQ = [0]
+_AGG_STREAM_TABLES: dict[tuple[str, str], str] = {}
+
+
+def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked tumbling-window aggregation drain (streaming/
+    windows.tumbling_agg): the events table lands as three TIME-ORDERED
+    ts-tercile parquet files plus a far-future SENTINEL row (one file
+    per trigger, mtime-ordered), streams through the 1-day event-time
+    window with a 1-hour watermark in APPEND mode, and drains
+    availableNow into a memory sink. Append mode only emits FINALIZED
+    windows — the sentinel (40 days past max ts) pushes the final
+    watermark beyond every real window's end, so the sink holds exactly
+    the complete daily aggregate set, and the sentinel's own window can
+    never finalize (nothing follows it), excluding it structurally.
+    Because batches are time-ordered, the advancing watermark never
+    drops a row (late-data DROP semantics are pinned separately in
+    tests/test_streaming.py). The oracle is the SAME SQL that grades
+    the batch `window_tumbling` — one ground truth, two execution
+    models (the join_stream pair-design). Scratch dirs and the drained
+    sink are session-scoped; state partitions scoped to 8 around the
+    drain (the join_stream state-store sizing note)."""
+    import os
+
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _AGG_STREAM_TABLES:
+        return spark.table(_AGG_STREAM_TABLES[cache_key])
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        run_available_now,
+        stream_from_parquet,
+        tumbling_agg,
+    )
+
+    if sf_dir not in _AGG_STREAM_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_agg_stream_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        ev = (
+            _t(spark, sf_dir, "events")
+            .select("ts", "event_type", "value")
+            .persist()
+        )
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        cuts = [lo + (hi - lo + 1) * k // 3 for k in (1, 2)]
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for b, (s, e) in enumerate(bounds):
+            part_df = ev
+            if s is not None:
+                part_df = part_df.filter(F.unix_micros("ts") >= s)
+            if e is not None:
+                part_df = part_df.filter(F.unix_micros("ts") < e)
+            stage = os.path.join(root, f"stage{b}")
+            part_df.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b,) * 2)
+        # sentinel: one row 40 days past max event time — its only job
+        # is to advance the watermark so every REAL window finalizes
+        sentinel_us = int(hi) + 40 * 86400 * 1_000_000
+        stage = os.path.join(root, "stage_sentinel")
+        spark.createDataFrame(
+            [(sentinel_us, "zz_sentinel", 0.0)], "us long, event_type string, value double"
+        ).select(
+            F.timestamp_micros(F.col("us")).alias("ts"), "event_type", "value"
+        ).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src, "batch3.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + 30,) * 2)
+        ev.unpersist()
+        _AGG_STREAM_DIRS[sf_dir] = root
+
+    root = _AGG_STREAM_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = stream_from_parquet(
+        spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+    )
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 day",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    ).select(
+        F.col("window_start").alias("day_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    _AGG_STREAM_SEQ[0] += 1
+    table = f"agg_stream_graded_{_AGG_STREAM_SEQ[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(agg, table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _AGG_STREAM_TABLES[cache_key] = table
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness artifact records only the
     # FIRST 50 entries.  Every query is covered by the identical local
@@ -4248,8 +4397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.  Hand-rotation drifted in round 8 (VERDICT r8 item 2).
     return {
         # --- driver window (mechanically derived: scripts/staleness.py) ---
-        # r9 rotation: 13 never-verified (new r9 operators + the pq/ivfpq
-        # certificates) + pagerank (r5 rows-only) + 36 r5-stale oracle queries.
+        # r9 rotation: 15 never-verified (new r9 operators + certificates)
+        # + pagerank (r5 rows-only) + 34 r5-stale oracle queries.
         "pq_full_rerank": q_pq_full_rerank,
         "pagerank_personalized": q_pagerank_personalized,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
@@ -4261,6 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_revenue": q_decompose_revenue,
         "gopher_quality": q_gopher_quality,
         "gbt_train": q_gbt_train,
+        "ridge_price": q_ridge_price,
+        "agg_stream": q_agg_stream,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -4298,9 +4449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "weighted_sample": q_weighted_sample,
         "tokenize_corpus": q_tokenize_corpus,
+        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
-        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
@@ -7554,6 +7705,15 @@ _ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # agg_stream: one ground truth, two execution models — the REAL
+    # availableNow tumbling-window drain must equal the batch daily
+    # aggregate (the join_stream/interval_join pair design).
+    "agg_stream": r"""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "sessionize": """
         WITH marked AS (
           SELECT user_id, ts, value,
@@ -8605,6 +8765,59 @@ _ORACLES["gopher_quality"] = r"""
 """
 
 
+
+
+
+_ORACLES["ridge_price"] = """
+    -- twin of operators/quality.ridge_fit2 (lam=1): exact decimal
+    -- moments, identical Cramer det3 expression shape in doubles,
+    -- VARCHAR-routed decimal->double casts, lam added AFTER the cast
+    -- with a pinned DOUBLE literal.
+    WITH base AS (
+      SELECT l_returnflag AS k,
+             CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,2)) AS x1,
+             CAST(CAST(round(l_discount*100) AS BIGINT) AS DECIMAL(18,2)) AS x2,
+             CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DECIMAL(18,2)) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+    ),
+    mom AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(x1) AS s1, SUM(x2) AS s2,
+        SUM(CAST(x1*x1 AS DECIMAL(38,4))) AS s11,
+        SUM(CAST(x1*x2 AS DECIMAL(38,4))) AS s12,
+        SUM(CAST(x2*x2 AS DECIMAL(38,4))) AS s22,
+        SUM(y) AS sy,
+        SUM(CAST(x1*y AS DECIMAL(38,4))) AS s1y,
+        SUM(CAST(x2*y AS DECIMAL(38,4))) AS s2y
+      FROM base GROUP BY k
+    ),
+    d AS (
+      SELECT k, n,
+        CAST(n AS DOUBLE) AS dn,
+        CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+        CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+        CAST(CAST(s11 AS VARCHAR) AS DOUBLE) + CAST(1.0 AS DOUBLE) AS d11,
+        CAST(CAST(s12 AS VARCHAR) AS DOUBLE) AS d12,
+        CAST(CAST(s22 AS VARCHAR) AS DOUBLE) + CAST(1.0 AS DOUBLE) AS d22,
+        CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        CAST(CAST(s1y AS VARCHAR) AS DOUBLE) AS d1y,
+        CAST(CAST(s2y AS VARCHAR) AS DOUBLE) AS d2y
+      FROM mom
+    )
+    SELECT k AS l_returnflag, n AS n_points,
+      (dy*(d11*d22 - d12*d12) - d1*(d1y*d22 - d12*d2y) + d2*(d1y*d12 - d11*d2y))
+        / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2) + d2*(d1*d12 - d11*d2))
+        AS b0,
+      (dn*(d1y*d22 - d12*d2y) - dy*(d1*d22 - d12*d2) + d2*(d1*d2y - d1y*d2))
+        / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2) + d2*(d1*d12 - d11*d2))
+        AS b1,
+      (dn*(d11*d2y - d1y*d12) - d1*(d1*d2y - d1y*d2) + dy*(d1*d12 - d11*d2))
+        / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2) + d2*(d1*d12 - d11*d2))
+        AS b2
+    FROM d
+"""
 
 
 def _fdiv(m: str, d: str) -> str:

@@ -792,6 +792,91 @@ def heavy_hitters(
     )
 
 
+def ridge_fit2(
+    df: DataFrame,
+    keys: Sequence[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: float = 1.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-key ridge regression ``y ~ b0 + b1*x1 + b2*x2`` in closed
+    form — :func:`linear_trend` generalized to two drivers: the nine
+    sufficient statistics (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y,
+    Σx2y) accumulate as EXACT decimals in ONE map-side-combined grouped
+    aggregate, then the 3×3 normal-equation system
+
+        [ n    S1      S2    ] [b0]   [Sy ]
+        [ S1   S11+λ   S12   ] [b1] = [S1y]
+        [ S2   S12     S22+λ ] [b2]   [S2y]
+
+    is solved by Cramer's rule as fixed-shape double expressions (3×3
+    determinants are cubic in the moments — ~1e53 at scale, past
+    DECIMAL(38), so the dets live in doubles; every engine computing
+    the identical IEEE sequence from the exactly-converted moments gets
+    the same bits, and outputs ship UNROUNDED — the corr_matrix /
+    linear_trend contract). ``lam`` MUST be > 0: the ridge penalty
+    makes the system positive-definite for every key, so no
+    singular-matrix branch exists to mis-round (n >= 1 suffices; even a
+    single point or collinear drivers yield the well-defined shrunken
+    fit). The intercept is NOT penalized (standard ridge convention).
+
+    Inputs cast to DECIMAL(18, scale) — exact representability is the
+    caller's contract (cents, counts, day numbers).
+
+    Plan: one grouped aggregate, output |keys| rows, zero joins/windows/
+    UDFs. Output: ``(*keys, n_points, b0, b1, b2)``.
+    """
+    if not lam > 0:
+        raise ValueError(f"lam must be > 0 (PD guarantee), got {lam!r}")
+    dec_in = f"decimal(18,{scale})"
+    dec_prod = f"decimal(38,{2 * scale})"
+    x1 = F.col(x1_col).cast(dec_in)
+    x2 = F.col(x2_col).cast(dec_in)
+    y = F.col(y_col).cast(dec_in)
+    clean = df.filter(
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    g = clean.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum((x1 * x1).cast(dec_prod)).alias("_s11"),
+        F.sum((x1 * x2).cast(dec_prod)).alias("_s12"),
+        F.sum((x2 * x2).cast(dec_prod)).alias("_s22"),
+        F.sum(y).alias("_sy"),
+        F.sum((x1 * y).cast(dec_prod)).alias("_s1y"),
+        F.sum((x2 * y).cast(dec_prod)).alias("_s2y"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s11 = F.col("_s11").cast("double") + F.lit(float(lam))
+    s12 = F.col("_s12").cast("double")
+    s22 = F.col("_s22").cast("double") + F.lit(float(lam))
+    sy = F.col("_sy").cast("double")
+    s1y = F.col("_s1y").cast("double")
+    s2y = F.col("_s2y").cast("double")
+
+    def det3(a, b, c, d, e, f_, g_, h, i):
+        return a * (e * i - f_ * h) - b * (d * i - f_ * g_) + c * (d * h - e * g_)
+
+    dm = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    return g.select(
+        *keys,
+        F.col("_n").alias("n_points"),
+        (d0 / dm).alias("b0"),
+        (d1 / dm).alias("b1"),
+        (d2 / dm).alias("b2"),
+    )
+
+
 def linear_trend(
     df: DataFrame,
     keys: Sequence[str],

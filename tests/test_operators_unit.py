@@ -3608,3 +3608,43 @@ def test_seasonal_index_pre_1970_floor_semantics(spark):
     for d in set(range(7)) - {3}:
         assert got[d]["n_days"] == 4
         assert abs(got[d]["seasonal_index"] - 100.0 / overall) < 1e-12
+
+
+def test_ridge_fit2_matches_numpy_and_degenerates_are_defined(spark):
+    """ridge_fit2 == numpy solve of the same penalized normal equations;
+    collinear drivers and single points stay well-defined (PD system —
+    no NULL/NaN branch exists); lam <= 0 rejected."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.quality import ridge_fit2
+
+    rng = np.random.default_rng(3)
+    x1 = rng.integers(0, 50, 60)
+    x2 = rng.integers(0, 11, 60)
+    y = np.round(3.0 * x1 - 2.5 * x2 + 7 + rng.normal(0, 2, 60), 2)
+    rows = [("k", int(a), int(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    # a collinear key (x2 = 2*x1) and a single-point key
+    rows += [("c", i, 2 * i, float(i)) for i in range(10)]
+    rows += [("s", 4, 7, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x1 int, x2 int, y double")
+    got = {r["k"]: r for r in ridge_fit2(df, ["k"], "x1", "x2", "y").collect()}
+
+    def want(mask_rows, lam=1.0):
+        X = np.array([[1.0, r[1], r[2]] for r in mask_rows])
+        Y = np.array([r[3] for r in mask_rows])
+        M = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+        return np.linalg.solve(M, X.T @ Y)
+
+    for key in ("k", "c", "s"):
+        sub = [r for r in rows if r[0] == key]
+        w = want(sub)
+        r = got[key]
+        assert r["n_points"] == len(sub)
+        for i, b in enumerate(("b0", "b1", "b2")):
+            assert r[b] == pytest.approx(w[i], rel=1e-9, abs=1e-9), (key, b)
+        assert all(
+            got[key][b] is not None and not math.isnan(got[key][b])
+            for b in ("b0", "b1", "b2")
+        )
+    with pytest.raises(ValueError):
+        ridge_fit2(df, ["k"], "x1", "x2", "y", lam=0.0)

@@ -1155,3 +1155,61 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
     # re-running the drained stream folds nothing new (no files left),
     # and the lake row count equals the token stream exactly once
     assert spark.read.parquet(lake).count() == len(b1 + b2 + b3)
+
+
+def test_tumbling_agg_drops_late_rows_after_eviction(spark, tmp_path):
+    """Late-data DROP semantics pinned (the q_agg_stream docstring's
+    deferred claim), at the granularity Spark actually implements: a
+    late row arriving in the batch right after the watermark passed its
+    window still folds in (eviction + emission happen at END of that
+    batch), but once the window's state is EVICTED, a later-still row
+    is dropped — it neither re-emits the window nor creates a duplicate
+    append row."""
+    import os as _os
+    import time as _time
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    now = _time.time()
+    # batch 0: 10:00-window row + a 13:00 row (watermark -> 12:50 next batch)
+    _write_events(
+        str(d / "a.parquet"),
+        [(1, "2022-01-01 10:10:00", 1.0), (1, "2022-01-01 13:00:00", 5.0)],
+    )
+    # batch 1: on-time 13:05 row; at END of this batch wm=12:50 evicts
+    # and emits the 10:00 window as (1, 1.0)
+    _write_events(str(d / "b.parquet"), [(1, "2022-01-01 13:05:00", 7.0)])
+    # batch 2: a LATE 10:20 row — its window was already evicted: dropped
+    _write_events(str(d / "c.parquet"), [(1, "2022-01-01 10:20:00", 100.0)])
+    # batch 3: far-future flush finalizes the 13:00 window
+    _write_events(str(d / "d.parquet"), [(9, "2022-01-02 09:00:00", 0.0)])
+    for i, f in enumerate(("a", "b", "c", "d")):
+        _os.utime(d / f"{f}.parquet", (now + 5 * i,) * 2)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sv"),
+    ]
+    stream = stream_from_parquet(
+        spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    got = run_available_now(
+        tumbling_agg(
+            stream, "ts", "1 hour", aggs, group_cols=["user_id"],
+            watermark="10 minutes",
+        ),
+        "t_late_drop",
+        checkpoint_dir=str(tmp_path / "ckpt_late"),
+    )
+    rows = [
+        ((str(r["window_start"]), r["user_id"]), (r["n"], r["sv"]))
+        for r in got.collect()
+    ]
+    # no duplicate append rows for any (window, user)
+    assert len(dict(rows)) == len(rows)
+    byk = dict(rows)
+    # 10:00 window: ONLY the on-time row — the post-eviction 100.0 was
+    # dropped, not re-emitted
+    assert byk[("2022-01-01 10:00:00", 1)] == (1, 1.0)
+    # 13:00 window: both on-time rows
+    assert byk[("2022-01-01 13:00:00", 1)] == (2, 12.0)

@@ -3281,6 +3281,21 @@ def q_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly days over daily order revenue
+    (operators/temporal.daily_anomalies): |resid z| > 3 AFTER the
+    centered-MA trend and weekday seasonality are explained away —
+    the drift monitor decompose_revenue exists to feed. Oracle
+    COMPOSES the decompose_revenue SQL verbatim as a CTE (one
+    decomposition definition, graded twice — the hybrid_search
+    pattern)."""
+    from bigdata_etl_customer360_spark.operators.temporal import daily_anomalies
+
+    return daily_anomalies(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
 def _tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared feature frame for the CART queries: integer-exact lineitem
     features (quantity, discount/tax in cents — the quantize-first rule)
@@ -3718,6 +3733,35 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").isNotNull().cast("int").alias("ev"),
     )
     return kaplan_meier(subj, "dur", "ev")
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative conversion hazard (operators/temporal.
+    nelson_aalen): the SAME signup-to-purchase censoring construction
+    as q_kaplan_meier, folded additively (H = sum d/n, in-order from
+    the 0.0 init) — the hazard-rate readout KM's product hides."""
+    from bigdata_etl_customer360_spark.operators.temporal import nelson_aalen
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("fs"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("fp"),
+    )
+    horizon = ev.agg(F.max("us").alias("h"))
+    end = F.coalesce(F.col("fp"), F.col("h"))
+    dur_us = end - F.col("fs")
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((dur_us - dur_us % F.lit(DAY)) / F.lit(DAY))
+        .cast("long")
+        .alias("dur"),
+        F.col("fp").isNotNull().cast("int").alias("ev"),
+    )
+    return nelson_aalen(subj, "dur", "ev")
 
 
 def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4397,8 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window.  Hand-rotation drifted in round 8 (VERDICT r8 item 2).
     return {
         # --- driver window (mechanically derived: scripts/staleness.py) ---
-        # r9 rotation: 15 never-verified (new r9 operators + certificates)
-        # + pagerank (r5 rows-only) + 34 r5-stale oracle queries.
+        # r9 rotation: 17 never-verified (new r9 operators + certificates)
+        # + pagerank (r5 rows-only) + 32 r5-stale oracle queries.
         "pq_full_rerank": q_pq_full_rerank,
         "pagerank_personalized": q_pagerank_personalized,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
@@ -4412,6 +4456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gbt_train": q_gbt_train,
         "ridge_price": q_ridge_price,
         "agg_stream": q_agg_stream,
+        "nelson_aalen": q_nelson_aalen,
+        "anomaly_days": q_anomaly_days,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -4447,9 +4493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "strip_boilerplate": q_strip_boilerplate,
         "repeated_ngrams": q_repeated_ngrams,
+        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "weighted_sample": q_weighted_sample,
         "tokenize_corpus": q_tokenize_corpus,
-        # --- positions 50+: verified r5-r8; stalest lead the r10 rotation ---
         "lang_id_chargram": q_lang_id_chargram,
         "dedup_lines": q_dedup_lines,
         "minhash_recall": q_minhash_recall,
@@ -6894,6 +6940,47 @@ _ORACLES: dict[str, str] = {
                  (a, b) -> a * b) AS survival
         FROM lst, UNNEST(range(1, len(l) + 1)) AS r(i)
     """,
+    "nelson_aalen": r"""
+        -- q_kaplan_meier's censoring construction with the ADDITIVE fold:
+        -- in-order sum of d/n from the prepended 0.0 init (single-field
+        -- accumulator, safe)
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(epoch_us(ts)) AS fs,
+                 MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                   AS fp
+          FROM events GROUP BY user_id
+        ), hz AS (
+          SELECT MAX(epoch_us(ts)) AS h FROM events
+        ), subj AS (
+          SELECT (COALESCE(fp, h) - fs) // 86400000000 AS dur,
+                 CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM per_user, hz
+        ), per_t AS (
+          SELECT dur AS t, COUNT(*) AS c, SUM(ev) AS d
+          FROM subj GROUP BY dur
+        ), risked AS (
+          SELECT t, d,
+                 SUM(c) OVER ()
+                   - COALESCE(SUM(c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS n
+          FROM per_t
+        ), lst AS (
+          SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS l
+          FROM risked WHERE d >= 1
+        )
+        SELECT l[i].t AS t,
+               CAST(l[i].n AS BIGINT) AS n_risk,
+               CAST(l[i].d AS BIGINT) AS n_events,
+               list_reduce(
+                 list_prepend(
+                   CAST(0.0 AS DOUBLE),
+                   [CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)
+                    FOR e IN l[1:i]]),
+                 (a, b) -> a + b) AS cum_hazard
+        FROM lst, UNNEST(range(1, len(l) + 1)) AS r(i)
+    """,
     "acf_revenue": r"""
         -- identical zero-filled daily grid, decimal moments, and
         -- fixed-shape finale; decimal->double via VARCHAR (DuckDB's
@@ -8817,6 +8904,36 @@ _ORACLES["ridge_price"] = """
         / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2) + d2*(d1*d12 - d11*d2))
         AS b2
     FROM d
+"""
+
+
+
+# anomaly_days composes the already-verified decomposition oracle
+# verbatim as a nested CTE (the hybrid_search pattern), then the two
+# in-order residual folds and the fixed-shape z / flag.
+_ORACLES["anomaly_days"] = f"""
+    WITH dec AS (
+      {_ORACLES["decompose_revenue"]}
+    ),
+    st AS (
+      SELECT list(resid ORDER BY day) AS l FROM dec WHERE resid IS NOT NULL
+    ),
+    st2 AS (
+      SELECT list_aggregate(l, 'sum') AS s,
+             list_aggregate(list_transform(l, x -> x * x), 'sum') AS q,
+             CAST(len(l) AS DOUBLE) AS n
+      FROM st
+    ),
+    st3 AS (
+      SELECT s / n AS m, sqrt(q / n - (s / n) * (s / n)) AS sd FROM st2
+    )
+    SELECT day, day_idx, y, resid,
+      CASE WHEN resid IS NOT NULL AND sd > CAST(0 AS DOUBLE)
+           THEN (resid - m) / sd END AS z,
+      CAST(CASE WHEN resid IS NOT NULL AND sd > CAST(0 AS DOUBLE)
+                 AND abs((resid - m) / sd) > CAST(3.0 AS DOUBLE)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM dec, st3
 """
 
 

@@ -903,6 +903,92 @@ def autocorrelation(
     )
 
 
+def _risk_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Shared risk-set core of :func:`kaplan_meier` / :func:`nelson_aalen`:
+    per group, the sorted list of (event time t, events d, at-risk n)
+    structs — d and n exact integers from ONE distinct-duration
+    aggregate + a cumulative-count window (censor-only times shape n
+    but emit no row)."""
+    gcols = [F.col(c) for c in group_cols]
+    clean = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    per_t = clean.groupBy(*gcols, F.col(duration_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum((F.col(event_col) == 1).cast("long")).alias("_d"),
+    )
+    w_all = (
+        Window.partitionBy(*gcols) if group_cols else Window.partitionBy()
+    )
+    w_cum = w_all.orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = w_all.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risked = per_t.select(
+        *gcols,
+        "_t",
+        "_d",
+        (
+            F.sum("_c").over(w_tot)
+            - F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+        ).alias("_n"),
+    ).filter(F.col("_d") >= 1)
+    return risked.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_d", "_n"))
+        ).alias("_lst")
+    ).filter(F.size("_lst") > 0)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — :func:`kaplan_meier`'s
+    additive sibling (H(t) = sum over t_i <= t of d_i/n_i): the curve
+    statisticians difference to read the hazard RATE over time, and the
+    numerically stable route to survival at heavy censoring
+    (exp(-H) >= KM's product). Same right-censoring semantics, same
+    exact risk table (:func:`_risk_table`), same in-order float fold —
+    a SUM of fixed-shape d/n terms from the 0.0 init instead of the
+    product from 1.0 — shipped UNROUNDED (identical IEEE sequences).
+
+    Output: ``(*group_cols, t, n_risk, n_events, cum_hazard)`` — one
+    row per distinct event time.
+    """
+    lst = _risk_table(df, duration_col, event_col, group_cols)
+    gcols = [F.col(c) for c in group_cols]
+    curve = F.transform(
+        F.sequence(F.lit(1), F.size("_lst")),
+        lambda i: F.struct(
+            F.element_at("_lst", i)["_t"].alias("t"),
+            F.element_at("_lst", i)["_n"].alias("n_risk"),
+            F.element_at("_lst", i)["_d"].alias("n_events"),
+            F.aggregate(
+                F.slice("_lst", F.lit(1), i),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["_d"].cast("double") / x["_n"].cast("double"),
+            ).alias("cum_hazard"),
+        ),
+    )
+    return (
+        lst.select(*gcols, F.explode(curve).alias("_e"))
+        .select(
+            *group_cols, "_e.t", "_e.n_risk", "_e.n_events", "_e.cum_hazard"
+        )
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
@@ -941,37 +1027,8 @@ def kaplan_meier(
     per distinct EVENT time (censor-only times shape n_risk but emit no
     row, the standard KM product-limit convention).
     """
+    lst = _risk_table(df, duration_col, event_col, group_cols)
     gcols = [F.col(c) for c in group_cols]
-    clean = df.filter(
-        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
-    )
-    per_t = clean.groupBy(*gcols, F.col(duration_col).alias("_t")).agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.sum((F.col(event_col) == 1).cast("long")).alias("_d"),
-    )
-    w_all = (
-        Window.partitionBy(*gcols) if group_cols else Window.partitionBy()
-    )
-    w_cum = w_all.orderBy(F.col("_t").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_tot = w_all.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    risked = per_t.select(
-        *gcols,
-        "_t",
-        "_d",
-        (
-            F.sum("_c").over(w_tot)
-            - F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
-        ).alias("_n"),
-    ).filter(F.col("_d") >= 1)
-    lst = risked.groupBy(*gcols).agg(
-        F.sort_array(
-            F.collect_list(F.struct("_t", "_d", "_n"))
-        ).alias("_lst")
-    ).filter(F.size("_lst") > 0)
     curve = F.transform(
         F.sequence(F.lit(1), F.size("_lst")),
         lambda i: F.struct(
@@ -1182,6 +1239,84 @@ def decompose_daily(
                 "resid"
             ),
         )
+    )
+
+
+def daily_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 3.0,
+    period: int = 7,
+    trend_window: int = 7,
+    value_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Decomposition-residual anomaly days — the drift monitor
+    :func:`decompose_daily` exists to feed: a day is anomalous when its
+    residual (what's left AFTER the trend and the weekly rhythm are
+    explained away) sits more than ``k`` residual-standard-deviations
+    from the residual mean. A raw-value z-score flags every Black
+    Friday; the residual z-score flags only the days the seasonal
+    model cannot explain.
+
+    Determinism: the residuals are decompose_daily's engine-identical
+    doubles; their mean and variance come from TWO in-order float folds
+    over the day-sorted residual list (the token_jsd contract — the
+    daily frame is bounded), and the z-score / flag are fixed-shape
+    expressions over those. Days without a residual (window edges,
+    gaps) emit NULL z and flag 0. Zero residual variance (a perfectly
+    explained series) pins z to NULL, flag 0.
+
+    Output: ``(day, day_idx, y, resid, z, is_anomaly)``.
+    """
+    dec = decompose_daily(
+        df,
+        ts_col,
+        value_col,
+        period=period,
+        trend_window=trend_window,
+        value_decimal=value_decimal,
+    )
+    stats = (
+        dec.filter(F.col("resid").isNotNull())
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("day", "resid"))
+            ).alias("_lst")
+        )
+        .select(
+            F.aggregate(
+                "_lst", F.lit(0.0), lambda a, x: a + x["resid"]
+            ).alias("_s"),
+            F.aggregate(
+                "_lst", F.lit(0.0), lambda a, x: a + x["resid"] * x["resid"]
+            ).alias("_q"),
+            F.size("_lst").cast("double").alias("_n"),
+        )
+        .select(
+            (F.col("_s") / F.col("_n")).alias("_mean"),
+            F.sqrt(
+                F.col("_q") / F.col("_n")
+                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))
+            ).alias("_sd"),
+        )
+    )
+    z = (F.col("resid") - F.col("_mean")) / F.col("_sd")
+    return dec.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "day_idx",
+        "y",
+        "resid",
+        F.when(F.col("resid").isNotNull() & (F.col("_sd") > 0), z).alias("z"),
+        F.when(
+            F.col("resid").isNotNull()
+            & (F.col("_sd") > 0)
+            & (F.abs(z) > F.lit(float(k))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
     )
 
 

@@ -3648,3 +3648,28 @@ def test_ridge_fit2_matches_numpy_and_degenerates_are_defined(spark):
         )
     with pytest.raises(ValueError):
         ridge_fit2(df, ["k"], "x1", "x2", "y", lam=0.0)
+
+
+def test_daily_anomalies_flags_planted_spike_only(spark):
+    """A one-day spike on an otherwise perfect trend+seasonal series is
+    the ONLY flagged day (raw z-score would also flag every high-season
+    day); window-edge days emit NULL z and flag 0."""
+    from bigdata_etl_customer360_spark.operators.temporal import daily_anomalies
+
+    season = [40.0, -20.0, 10.0, 30.0, -50.0, 0.0, -10.0]
+    rows = []
+    for d in range(70):
+        y = 1000.0 + 2.0 * d + season[d % 7] + (500.0 if d == 35 else 0.0)
+        rows.append((d * 86400, y))
+    df = spark.createDataFrame(rows, ["sec", "v"]).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {r["day"]: r for r in daily_anomalies(df, "ts", "v").collect()}
+    flagged = [d for d, r in got.items() if r["is_anomaly"] == 1]
+    # the spike perturbs its whole MA window; the spike day itself must
+    # dominate (largest |z|) and day 0-2 / 67-69 edges stay NULL
+    assert 35 in flagged
+    zmax = max((abs(r["z"]), d) for d, r in got.items() if r["z"] is not None)
+    assert zmax[1] == 35
+    for d in (0, 1, 2, 67, 68, 69):
+        assert got[d]["z"] is None and got[d]["is_anomaly"] == 0

@@ -921,3 +921,27 @@ def test_merge_intervals_touch_zero_len_null_invalid(spark):
     got = sorted(tuple(r) for r in merge_intervals(df, ["k"], "s", "e").collect())
     assert got == [("j", 1, 2, 1), ("j", 3, 4, 1),
                    ("k", 1, 10, 3), ("k", 12, 13, 2), ("k", 20, 21, 1)]
+
+
+def test_nelson_aalen_matches_hand_computation(spark):
+    """H(t) = running sum of d/n on a small censored cohort; exp(-H)
+    upper-bounds the KM product (the standard inequality) on the same
+    risk table."""
+    import math
+
+    from bigdata_etl_customer360_spark.operators.temporal import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+
+    rows = [(2, 1), (3, 0), (4, 1), (4, 1), (5, 0), (7, 1)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    na = {r["t"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    # t=2: d1/n6; t=4: +2/4; t=7: +1/1
+    assert na[2]["cum_hazard"] == pytest.approx(1 / 6)
+    assert na[2]["n_risk"] == 6 and na[2]["n_events"] == 1
+    assert na[4]["cum_hazard"] == pytest.approx(1 / 6 + 2 / 4)
+    assert na[7]["cum_hazard"] == pytest.approx(1 / 6 + 2 / 4 + 1 / 1)
+    km = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    for t, r in na.items():
+        assert math.exp(-r["cum_hazard"]) >= km[t] - 1e-12

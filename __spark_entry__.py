@@ -1632,6 +1632,37 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, key="user_id", ts="ts", seq_col="event_id")
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavioral paths (a > b > c): per-user event-time
+    trigrams of event_type via two lead() windows — the path-mining
+    complement of q_funnel (funnel counts ONE pinned sequence; this
+    surfaces WHICH sequences dominate). One hash shuffle on user_id;
+    the trigram count is a bounded |event_types|^3 aggregate. Ties
+    pinned by (ts, event_id) inside the timeline and (n desc, path asc)
+    in the ranking."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view -> click -> purchase): how many
     users reached each stage IN ORDER. A stage-k event only counts if a
@@ -4458,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stream": q_agg_stream,
         "nelson_aalen": q_nelson_aalen,
         "anomaly_days": q_anomaly_days,
+        "event_paths": q_event_paths,
         "bpe_encode": q_bpe_encode,
         "multimodal_tar": q_multimodal_tar,
         "pagerank": q_pagerank,
@@ -8934,6 +8966,24 @@ _ORACLES["anomaly_days"] = f"""
                  AND abs((resid - m) / sd) > CAST(3.0 AS DOUBLE)
             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM dec, st3
+"""
+
+
+
+_ORACLES["event_paths"] = r"""
+    -- identical per-user (ts, event_id) timeline, two leads, bounded
+    -- trigram aggregate, (n desc, path asc) pinned top-20
+    WITH tl AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM tl WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
 """
 
 

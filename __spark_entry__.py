@@ -4461,19 +4461,60 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _correctness_last_round() -> dict[str, int]:
+    """Last driver round that recorded ANY row per query, from the committed
+    CORRECTNESS_r*.json artifacts next to this file.  Deterministic for a
+    given repo state (the driver writes the current round's file only AFTER
+    calling ``queries()``, so the ordering never reads its own output)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for q in rows:
+            last[q] = max(last.get(q, 0), int(m.group(1)))
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness artifact records only the
-    # FIRST 50 entries.  Every query is covered by the identical local
-    # DuckDB-oracle gate in tests/test_queries_oracle.py regardless of order;
-    # the rotation decides which subset ALSO gets a driver CORRECTNESS row.
-    # The order is derived MECHANICALLY each round by scripts/staleness.py
-    # (never-verified first, then ascending last-green round): run
-    # `python scripts/staleness.py` and rewrite the head to its recommended
-    # window.  Hand-rotation drifted in round 8 (VERDICT r8 item 2).
+    """Registry, SELF-ROTATING (VERDICT r9 task 2).
+
+    The driver's correctness artifact records only the FIRST 50 entries, so
+    ordering decides which queries get a fresh driver row this round.  Every
+    query is covered by the identical local DuckDB-oracle gate in
+    tests/test_queries_oracle.py regardless of order.
+
+    The order is derived HERE, at call time, from the committed
+    CORRECTNESS_r*.json ledger: never-verified queries first, then ascending
+    last-graded round, ties broken by canonical registration order in
+    ``_query_impls()``.  Hand-rotation drifted in rounds 8 AND 9 (VERDICT r9
+    defect 1); this makes the rotation mechanical and un-forgettable.
+    ``scripts/staleness.py`` reports the same ledger; a regression test pins
+    head-50 == the ledger's recommendation.
+    """
+    impls = _query_impls()
+    last = _correctness_last_round()
+    pos = {q: i for i, q in enumerate(impls)}
+    ordered = sorted(impls, key=lambda q: (last.get(q, -1), pos[q]))
+    return {q: impls[q] for q in ordered}
+
+
+def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # CANONICAL registration order (stable tie-break for the rotation in
+    # queries()).  Append new queries anywhere; never-verified entries are
+    # automatically promoted to the driver window head.
     return {
-        # --- driver window (mechanically derived: scripts/staleness.py) ---
-        # r9 rotation: 17 never-verified (new r9 operators + certificates)
-        # + pagerank (r5 rows-only) + 32 r5-stale oracle queries.
         "pq_full_rerank": q_pq_full_rerank,
         "pagerank_personalized": q_pagerank_personalized,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
@@ -6303,7 +6344,10 @@ _ORACLES: dict[str, str] = {
         -- forms (decimal->double via VARCHAR: DuckDB's direct decimal
         -- cast is not correctly rounded), UNROUNDED finale (identical
         -- IEEE sequences match bit-for-bit; decimal rounding at 1e6+
-        -- magnitudes boundary-flips — measured), NULL on zero x-var
+        -- magnitudes boundary-flips — measured), NULL on zero x-var.
+        -- Degeneracy is decided EXACTLY (MIN(x) < MAX(x) on the decimals,
+        -- same guard as the operator — ADVICE r9) ANDed with the double
+        -- den > 0 cancellation guard.
         WITH xy AS (
           SELECT o_custkey,
                  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS x_day,
@@ -6320,10 +6364,12 @@ _ORACLES: dict[str, str] = {
                    AS sxx,
                  SUM(CAST(CAST(x_day AS DECIMAL(18,2))
                           * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4)))
-                   AS sxy
+                   AS sxy,
+                 MIN(CAST(x_day AS DECIMAL(18,2))) AS xmin,
+                 MAX(CAST(x_day AS DECIMAL(18,2))) AS xmax
           FROM xy GROUP BY o_custkey
         ), d AS (
-          SELECT o_custkey, n_points,
+          SELECT o_custkey, n_points, xmin, xmax,
                  CAST(n_points AS DOUBLE) AS n,
                  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
                  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
@@ -6332,10 +6378,10 @@ _ORACLES: dict[str, str] = {
           FROM g
         )
         SELECT o_custkey, n_points,
-               CASE WHEN n * sxxd - sxd * sxd > 0
+               CASE WHEN xmin < xmax AND n * sxxd - sxd * sxd > 0
                     THEN (n * sxyd - sxd * syd)
                          / (n * sxxd - sxd * sxd) END AS slope,
-               CASE WHEN n * sxxd - sxd * sxd > 0
+               CASE WHEN xmin < xmax AND n * sxxd - sxd * sxd > 0
                     THEN (syd - ((n * sxyd - sxd * syd)
                                  / (n * sxxd - sxd * sxd)) * sxd)
                          / n END AS intercept
@@ -7305,7 +7351,9 @@ _ORACLES: dict[str, str] = {
     """,
     "ab_test": r"""
         -- Welch mirror: exact decimal moments, decimal->double via
-        -- VARCHAR, IDENTICAL unrounded double closed forms
+        -- VARCHAR, IDENTICAL unrounded double closed forms.  Zero pooled
+        -- SE decided EXACTLY (per-group MIN<MAX on the decimals, same
+        -- guard as the operator — ADVICE r9) ANDed with se2 > 0.
         WITH m AS (
           SELECT
             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS na,
@@ -7321,10 +7369,18 @@ _ORACLES: dict[str, str] = {
             SUM(CASE WHEN event_type = 'view'
                      THEN CAST(CAST(value AS DECIMAL(18,2))
                                * CAST(value AS DECIMAL(18,2))
-                               AS DECIMAL(38,4)) END) AS qb
+                               AS DECIMAL(38,4)) END) AS qb,
+            MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS mina,
+            MAX(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS maxa,
+            MIN(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS minb,
+            MAX(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS maxb
           FROM events WHERE value IS NOT NULL
         ), d AS (
-          SELECT na, nb,
+          SELECT na, nb, mina, maxa, minb, maxb,
                  CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
                  CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
                  CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd,
@@ -7345,9 +7401,11 @@ _ORACLES: dict[str, str] = {
                CASE WHEN na >= 1 THEN mean_a END AS mean_a,
                CASE WHEN nb >= 1 THEN mean_b END AS mean_b,
                CASE WHEN na >= 1 AND nb >= 1 THEN mean_a - mean_b END AS diff,
-               CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+               CASE WHEN na >= 2 AND nb >= 2
+                         AND (mina < maxa OR minb < maxb) AND se2 > 0.0
                     THEN (mean_a - mean_b) / sqrt(se2) END AS t_stat,
-               CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0.0
+               CASE WHEN na >= 2 AND nb >= 2
+                         AND (mina < maxa OR minb < maxb) AND se2 > 0.0
                     THEN (se2 * se2)
                          / (sea * sea / (nad - 1.0)
                             + seb * seb / (nbd - 1.0)) END AS welch_df
@@ -8957,7 +9015,11 @@ _ORACLES["anomaly_days"] = f"""
       FROM st
     ),
     st3 AS (
-      SELECT s / n AS m, sqrt(q / n - (s / n) * (s / n)) AS sd FROM st2
+      -- clamp the tiny-negative rounding case before sqrt (ADVICE r9:
+      -- Spark NaN-orders > 0 while DuckDB errors — both sides clamp)
+      SELECT s / n AS m,
+             sqrt(GREATEST(q / n - (s / n) * (s / n), CAST(0 AS DOUBLE))) AS sd
+      FROM st2
     )
     SELECT day, day_idx, y, resid,
       CASE WHEN resid IS NOT NULL AND sd > CAST(0 AS DOUBLE)

@@ -334,9 +334,12 @@ def tree_apply(
 
 def _rhu(a: int, b: int) -> int:
     """round-half-up(a / b) for b > 0, any-sign a, in exact integer
-    arithmetic: floor((2a + b) / (2b)). Python // floors (matching
-    DuckDB's //), so the identity is exact — no float touches the
-    value."""
+    arithmetic: floor((2a + b) / (2b)). Python // FLOORS; DuckDB's //
+    TRUNCATES toward zero on negatives (-7 // 2 = -3), so oracle twins
+    must NOT use bare // — route through the pmod identity instead
+    (``_fdiv`` in __spark_entry__.py: (m - pmod(m, d)) // d, exact
+    because truncation == floor on an exact multiple). No float touches
+    the value on either side."""
     return (2 * a + b) // (2 * b)
 
 
@@ -366,11 +369,19 @@ def gbt_stumps(
     integers round over round — no float drift can accumulate.
     Split ranking: minimizing SSE == maximizing
     (SL^2*nR + SR^2*nL)/(nL*nR); numerator/denominator are exact
-    DECIMAL(38,0) (safe to |S| ~ 1e18), the ranking double is their one
-    division (engine-identical), ties pin (feature asc, value asc), and
-    the split-vs-stop decision (variance reduction > 0) is the fully
-    exact integer comparison num*n > S_tot^2*(nL*nR). A round with no
-    strictly-positive-gain split stops the model early.
+    DECIMAL(38,0), the ranking double is their one division
+    (engine-identical), ties pin (feature asc, value asc), and the
+    split-vs-stop decision (variance reduction > 0) is the fully exact
+    integer comparison num*n > S_tot^2*(nL*nR).
+
+    Headroom: that gain comparison is S^2*N-scale, so the DECIMAL(38,0)
+    bound is |S|^2 * N < 10^38, i.e. |S| < 10^19 / sqrt(N) — e.g.
+    |S| ~ 1e16 for N=1e6 rows per node, NOT a flat 1e18 (ADVICE r9).
+    On overflow Spark decimal arithmetic yields NULL and the candidate
+    would silently drop as no-gain while DuckDB's HUGEINT raises loudly
+    — keep target magnitudes inside the bound (cents-scale targets at
+    billions of rows fit; re-scale the quantization otherwise). A round
+    with no strictly-positive-gain split stops the model early.
 
     Plan, per round: ONE melt + hash aggregate keyed (feature, value)
     with map-side-combined residual sums [the only data-sized shuffle],

@@ -1295,9 +1295,17 @@ def daily_anomalies(
         )
         .select(
             (F.col("_s") / F.col("_n")).alias("_mean"),
+            # q/n - (s/n)^2 can round to a tiny NEGATIVE for near-constant
+            # residuals; sqrt(neg) is NaN, and Spark orders NaN greater
+            # than every number, so `_sd > 0` would flag EVERY day
+            # anomalous with z=NaN (ADVICE r9).  Clamp at exact 0.0: the
+            # clamped sd is 0, the `_sd > 0` gate pins z to NULL, flag 0.
             F.sqrt(
-                F.col("_q") / F.col("_n")
-                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))
+                F.greatest(
+                    F.col("_q") / F.col("_n")
+                    - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n")),
+                    F.lit(0.0),
+                )
             ).alias("_sd"),
         )
     )

@@ -262,3 +262,22 @@ def test_gbt_stumps_negative_halves_round_half_up(spark):
     assert got[0]["gamma_left"] == 3
     # left mean -2.5 -> rhu(-5,2) = floor(-8/4) = -2; right mean 1.5 -> 2
     assert got[1]["gamma_left"] == -2 and got[1]["gamma_right"] == 2
+
+
+def test_tree_graded_oracle_shape_assumption(spark):
+    """The tree_train/tree_eval DuckDB oracles hard-code the 'root and
+    BOTH level-1 children split' depth-2 shape (their _cart_advance CTE
+    inner-joins assignments to per-level best splits, so a level-1 node
+    going leaf would silently drop its rows from the oracle — ADVICE
+    r9).  Pin that shape at the graded sf so a future data change is
+    diagnosed as STALE ORACLE, not an operator bug."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    model = {r["node_id"]: r for r in entry._tree_model(spark, SF_DIR).collect()}
+    for node in (1, 2, 3):
+        assert node in model, f"oracle assumes node {node} exists"
+        assert model[node]["split_feature"] is not None, (
+            f"tree_train/tree_eval oracles assume node {node} SPLITS at "
+            f"the graded sf; it became a leaf — update the oracles"
+        )

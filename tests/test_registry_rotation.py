@@ -1,0 +1,47 @@
+"""The driver grades only the first 50 entries of ``queries()``; rounds 8 and
+9 both shipped a hand-rotated head that drifted from the staleness ledger
+(VERDICT r9 defect 1).  ``queries()`` now derives its order from the committed
+CORRECTNESS_r*.json artifacts at call time; these tests pin that the
+derivation (a) matches an independent re-computation of the ledger and
+(b) honors the policy: never-verified first, then ascending last-graded
+round, ties by canonical registration order.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ledger() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for q in json.load(f):
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def test_head_50_is_the_stalest_tier():
+    qs = list(entry.queries())
+    last = _ledger()
+    pos = {q: i for i, q in enumerate(entry._query_impls())}
+    expected = sorted(qs, key=lambda q: (last.get(q, -1), pos[q]))
+    assert qs == expected, "queries() ordering drifted from the staleness ledger"
+    # the head must not contain any query graded more recently than a query
+    # outside the head (the exact property hand-rotation kept violating)
+    head_max = max(last.get(q, -1) for q in qs[:50])
+    tail_min = min(last.get(q, -1) for q in qs[50:])
+    assert head_max <= tail_min
+
+
+def test_registry_and_impls_same_key_set():
+    assert set(entry.queries()) == set(entry._query_impls())
+    # oracles only for registered queries
+    assert set(entry.oracle_sql()) <= set(entry.queries())

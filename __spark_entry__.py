@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_etl_customer360_spark.session import tune_session
@@ -1502,6 +1502,49 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def q_acd_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error-bound certificate (VERDICT r9 task 5 — the pq_recall
+    pattern applied to approx_count_distinct, §2.4 A3's scale sibling of
+    exact distinct): per event_type, the EXACT distinct-user count plus
+    a within_5pct flag comparing Spark's HLL++ estimate (rsd=0.01, the
+    graded approx_count_distinct config) against it. HLL register
+    merges are max() — commutative and order-independent — so the
+    estimate is deterministic for a given dataset and the flag is a
+    stable 1: rsd=0.01 means ~1% typical error, a 5x margin under the
+    bound, while a broken sketch (wrong register width, dropped merge)
+    lands far outside and hash-mismatches loudly. The raw estimate is
+    deliberately NOT in the output: HLL internals differ across engines,
+    so the certificate grades the BOUND, not the estimate (the
+    hll_mergeable / minhash_recall discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_au"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("_ae"),
+        F.count_distinct("event_id").alias("exact_events"),
+    )
+
+    def flag(approx: str, exact: str) -> Column:
+        err = F.abs(
+            F.col(approx).cast("double") - F.col(exact).cast("double")
+        )
+        return (
+            F.when(
+                err <= F.lit(0.05) * F.col(exact).cast("double"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_events",
+        flag("_au", "exact_users").alias("users_within_5pct"),
+        flag("_ae", "exact_events").alias("events_within_5pct"),
     )
 
 
@@ -4556,6 +4599,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "percentiles": q_percentiles,
         "approx_count_distinct": q_approx_count_distinct,
+        "acd_error_bound": q_acd_error_bound,
         "scd2_history": q_scd2_history,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -5073,6 +5117,19 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "acd_error_bound": """
+        -- exact side recomputed; the within_5pct claim is deterministic
+        -- (HLL register merges are commutative max(); rsd=0.01 sits 5x
+        -- under the graded bound), so the oracle pins the all-ones flag
+        -- — a degraded sketch hash-mismatches (see q_acd_error_bound).
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+               CAST(1 AS BIGINT) AS users_within_5pct,
+               CAST(1 AS BIGINT) AS events_within_5pct
+        FROM events
+        GROUP BY event_type
     """,
     "pq_recall": """
         -- the certificate's claims are deterministic (pinned sample

@@ -4240,7 +4240,7 @@ def q_hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_STREAM_DIRS: dict[str, str] = {}
 _JOIN_STREAM_SEQ = [0]
 # (applicationId, sf_dir) -> drained memory-sink table name
-_JOIN_STREAM_TABLES: dict[tuple[str, str], str] = {}
+_JOIN_STREAM_TABLES: dict[tuple[str, str, str], str] = {}
 
 
 def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4268,13 +4268,42 @@ def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     @2; the vanilla 200 cost 66.8s. At production state volumes this
     knob scales UP with state bytes, not cores. Result content is
     partition-count independent."""
+    return _join_stream_drain(spark, sf_dir, "inner")
+
+
+def q_join_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT-OUTER join drain — the unmatched-row closure of
+    q_join_stream on the SAME fixture and range join: a click with no
+    view from the same user within ±1h must still emit, with NULL view
+    columns, once the watermark proves no future view can match
+    (left-row eviction needs right-watermark > click_ts + 1h). The
+    per-side far-future sentinels advance BOTH watermarks (the global
+    watermark is their MIN) so the availableNow flushing batch evicts
+    every real left row and emits the unmatched remainder; the sentinel
+    rows themselves (negative user ids, matchable to nothing) are
+    filtered out of the graded frame. Oracle: the same quadratic
+    LEFT JOIN SQL — matched rows identical to the inner oracle,
+    plus one NULL-extended row per unmatched click."""
+    return _join_stream_drain(spark, sf_dir, "left_outer")
+
+
+def _drop_join_sentinels(df: DataFrame) -> DataFrame:
+    """Remove the negative-user_id watermark sentinels from a DRAINED
+    join-stream table (batch side — safe from watermark-killing predicate
+    pushdown; see the note in _join_stream_drain)."""
+    return df.filter(F.col("user_id") >= 0)
+
+
+def _join_stream_drain(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     import os
 
     tune_session(spark)
 
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, how)
     if cache_key in _JOIN_STREAM_TABLES:
-        return spark.table(_JOIN_STREAM_TABLES[cache_key])
+        return _drop_join_sentinels(spark.table(_JOIN_STREAM_TABLES[cache_key]))
 
     from pyspark.sql.types import (
         DoubleType,
@@ -4330,6 +4359,32 @@ def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dst = os.path.join(src, f"batch{b}.parquet")
                 os.rename(part, dst)
                 os.utime(dst, (1_700_000_000 + 10 * b,) * 2)
+        # per-side far-future SENTINEL rows (the q_agg_stream mechanism,
+        # here for the LEFT-OUTER drain): the global watermark is the MIN
+        # over both streams' watermarks, so BOTH sides carry one. TWO
+        # sentinel batches per side, because join-state eviction applies
+        # the watermark computed from the PREVIOUS batch's max event time
+        # — batch 4 is the data batch in which the batch-3-derived
+        # far-future watermark evicts every real left row and emits the
+        # unmatched ones with NULLs (availableNow does not reliably run a
+        # trailing no-data batch for join state). Distinct negative user
+        # ids (-1 clicks / -2 views) can never match anything, so the
+        # INNER drain's result is unchanged; the outer drain filters
+        # them out.
+        for s, sentinel_us in enumerate(
+            (int(hi) + 40 * 86400 * 1_000_000, int(hi) + 41 * 86400 * 1_000_000)
+        ):
+            for side, uid in (("click", -1), ("view", -2)):
+                stage = os.path.join(root, f"stage_{side}_sentinel{s}")
+                spark.createDataFrame(
+                    [(uid, sentinel_us, 0.0)], "user_id long, us long, value double"
+                ).select(
+                    "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+                ).coalesce(1).write.parquet(stage)
+                (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+                dst = os.path.join(root, side, f"batch{3 + s}.parquet")
+                os.rename(part, dst)
+                os.utime(dst, (1_700_000_000 + 30 + 10 * s,) * 2)
         ev.unpersist()
         _JOIN_STREAM_DIRS[sf_dir] = root
 
@@ -4351,7 +4406,7 @@ def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_stream_join(
         clicks, views, "user_id", "ts", "vts", max_delay="1 hour",
-        watermark="1 hour",
+        watermark="1 hour", how=how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         F.col("l.ts").alias("click_ts"),
@@ -4359,21 +4414,28 @@ def q_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.vts").alias("view_ts"),
         F.col("r.vvalue").alias("view_value"),
     )
+    # NOTE: the sentinel filter must run on the DRAINED BATCH table, not
+    # inside the streaming plan — `user_id >= 0` does not reference the
+    # event-time column, so Catalyst pushes it below EventTimeWatermark
+    # into the parquet scan, the sentinel rows never reach the watermark
+    # accumulator, and the final watermark never advances past the real
+    # data (observed: the last unmatched clicks never evict/emit).
     _JOIN_STREAM_SEQ[0] += 1
-    table = f"join_stream_graded_{_JOIN_STREAM_SEQ[0]}"
+    table = f"join_stream_{how}_graded_{_JOIN_STREAM_SEQ[0]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        out = run_available_now(joined, table)
+        run_available_now(joined, table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _JOIN_STREAM_TABLES[cache_key] = table
-    return out
+    return _drop_join_sentinels(spark.table(table))
 
 
 _AGG_STREAM_DIRS: dict[str, str] = {}
 _AGG_STREAM_SEQ = [0]
 _AGG_STREAM_TABLES: dict[tuple[str, str], str] = {}
+_SLIDE_STREAM_TABLES: dict[tuple[str, str], str] = {}
 
 
 def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4414,6 +4476,53 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_from_parquet,
         tumbling_agg,
     )
+
+    root = _agg_stream_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = stream_from_parquet(
+        spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+    )
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 day",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    ).select(
+        F.col("window_start").alias("day_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    _AGG_STREAM_SEQ[0] += 1
+    table = f"agg_stream_graded_{_AGG_STREAM_SEQ[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(agg, table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _AGG_STREAM_TABLES[cache_key] = table
+    return out
+
+
+def _agg_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the time-ordered tercile + sentinel source
+    directory shared by q_agg_stream and q_slide_stream; returns its
+    root. See q_agg_stream for the mechanism."""
+    import os
 
     if sf_dir not in _AGG_STREAM_DIRS:
         import atexit
@@ -4462,8 +4571,45 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (1_700_000_000 + 30,) * 2)
         ev.unpersist()
         _AGG_STREAM_DIRS[sf_dir] = root
+    return _AGG_STREAM_DIRS[sf_dir]
 
-    root = _AGG_STREAM_DIRS[sf_dir]
+
+def q_slide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked SLIDING-window aggregation drain (streaming/
+    windows.sliding_agg): the q_agg_stream fixture (time-ordered
+    terciles + far-future sentinel, one file per trigger) streamed
+    through overlapping 1-day windows sliding every 6 hours, APPEND
+    mode, availableNow. Each event lands in window/slide = 4 windows,
+    multiplying state accordingly — the sentinel pushes the final
+    watermark past every real window's end so the flushing batch emits
+    the complete overlapping set, while the sentinel's own 4 windows
+    structurally never finalize. Window starts are emitted as INTEGER
+    epoch micros (unix_micros — the TZ-proof contract from the verify
+    skill); the oracle regenerates the slide grid per event with
+    UNNEST([0..3]) on epoch_us integers: start = (t div S - i) * S,
+    kept while start > t - W."""
+    import os
+
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SLIDE_STREAM_TABLES:
+        return spark.table(_SLIDE_STREAM_TABLES[cache_key])
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        run_available_now,
+        sliding_agg,
+        stream_from_parquet,
+    )
+
+    root = _agg_stream_fixture(spark, sf_dir)
     schema = StructType(
         [
             StructField("ts", TimestampType()),
@@ -4474,10 +4620,11 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_from_parquet(
         spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
     )
-    agg = tumbling_agg(
+    agg = sliding_agg(
         stream,
         "ts",
         "1 day",
+        "6 hours",
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(27,2)"))
@@ -4487,20 +4634,20 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         watermark="1 hour",
     ).select(
-        F.col("window_start").alias("day_ts"),
+        F.unix_micros("window_start").alias("ws_us"),
         "event_type",
         "n_events",
         "sum_value",
     )
     _AGG_STREAM_SEQ[0] += 1
-    table = f"agg_stream_graded_{_AGG_STREAM_SEQ[0]}"
+    table = f"slide_stream_graded_{_AGG_STREAM_SEQ[0]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         out = run_available_now(agg, table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    _AGG_STREAM_TABLES[cache_key] = table
+    _SLIDE_STREAM_TABLES[cache_key] = table
     return out
 
 
@@ -4640,6 +4787,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "jaccard_prefix": q_jaccard_prefix,
         "join_stream": q_join_stream,
+        "join_stream_outer": q_join_stream_outer,
+        "slide_stream": q_slide_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -7322,6 +7471,36 @@ _ORACLES: dict[str, str] = {
          AND c.event_type = 'click' AND v.event_type = 'view'
          AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
          AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    "join_stream_outer": r"""
+        -- the streamed LEFT-OUTER drain must equal the batch left range
+        -- join exactly: matched rows == the inner oracle, plus one
+        -- NULL-extended row per unmatched click (emitted by watermark
+        -- eviction in the sentinel-driven flushing batch)
+        SELECT c.user_id AS user_id,
+               c.ts AS click_ts, c.value AS click_value,
+               v.ts AS view_ts, v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+         AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    "slide_stream": r"""
+        -- slide grid regenerated per event on epoch_us integers:
+        -- start = (t div S - i) * S for i in 0..3, kept while the
+        -- 1-day window still covers t (TZ-proof: no timestamp math)
+        WITH g AS (
+          SELECT (epoch_us(ts) // 21600000000 - i) * 21600000000 AS ws_us,
+                 event_type, value
+          FROM events, UNNEST([0, 1, 2, 3]) AS u(i)
+          WHERE (epoch_us(ts) // 21600000000 - i) * 21600000000
+                 > epoch_us(ts) - 86400000000
+        )
+        SELECT ws_us, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        FROM g GROUP BY 1, 2
     """,
     "jaccard_prefix": r"""
         -- the quadratic definition at threshold 0.5 — the prefix filter

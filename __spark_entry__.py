@@ -4536,7 +4536,7 @@ def _agg_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(src)
         ev = (
             _t(spark, sf_dir, "events")
-            .select("ts", "event_type", "value")
+            .select("user_id", "ts", "event_type", "value")
             .persist()
         )
         lo, hi = ev.agg(
@@ -4561,9 +4561,10 @@ def _agg_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
         sentinel_us = int(hi) + 40 * 86400 * 1_000_000
         stage = os.path.join(root, "stage_sentinel")
         spark.createDataFrame(
-            [(sentinel_us, "zz_sentinel", 0.0)], "us long, event_type string, value double"
+            [(-1, sentinel_us, "zz_sentinel", 0.0)],
+            "user_id long, us long, event_type string, value double",
         ).select(
-            F.timestamp_micros(F.col("us")).alias("ts"), "event_type", "value"
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_type", "value"
         ).coalesce(1).write.parquet(stage)
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src, "batch3.parquet")
@@ -4648,6 +4649,89 @@ def q_slide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _SLIDE_STREAM_TABLES[cache_key] = table
+    return out
+
+
+_SESSION_STREAM_TABLES: dict[tuple[str, str], str] = {}
+
+
+def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked SESSION-window aggregation drain (streaming/
+    windows.session_agg): the shared agg-stream fixture streamed through
+    per-user 30-minute-gap sessions, APPEND mode, availableNow — the
+    data-dependent-boundary window the tumbling/sliding grids can't
+    express, completing the streaming window family. The far-future
+    sentinel (user_id -1) advances the watermark past every real
+    session's end (last_event + 30min ≤ hi + 30min ≪ sentinel − 1h) so
+    the flushing batch emits them all, while the sentinel's own session
+    structurally never finalizes (its end is sentinel + 30min, forever
+    past the watermark). Session bounds are emitted as INTEGER epoch
+    micros (TZ-proof). Oracle: the batch lag-and-cumsum sessionization —
+    a new session starts when the gap is STRICTLY > 30min (Spark merges
+    touching [ts, ts+gap) windows too — events exactly gap apart land
+    in one session; boundary pinned in test_streaming), end = last
+    event + 30min. One ground truth, two execution models (q_sessionize
+    grades the batch twin)."""
+    import os
+
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SESSION_STREAM_TABLES:
+        return spark.table(_SESSION_STREAM_TABLES[cache_key])
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        run_available_now,
+        session_agg,
+        stream_from_parquet,
+    )
+
+    root = _agg_stream_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = stream_from_parquet(
+        spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+    )
+    agg = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        group_cols=["user_id"],
+        watermark="1 hour",
+    ).select(
+        F.unix_micros("window_start").alias("ws_us"),
+        F.unix_micros("window_end").alias("we_us"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    _AGG_STREAM_SEQ[0] += 1
+    table = f"session_stream_graded_{_AGG_STREAM_SEQ[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(agg, table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _SESSION_STREAM_TABLES[cache_key] = table
     return out
 
 
@@ -4789,6 +4873,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_stream": q_join_stream,
         "join_stream_outer": q_join_stream_outer,
         "slide_stream": q_slide_stream,
+        "session_stream": q_session_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -7501,6 +7586,36 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM g GROUP BY 1, 2
+    """,
+    "session_stream": r"""
+        -- batch lag-and-cumsum sessionization on epoch_us integers:
+        -- a new session starts when the gap to the previous event is
+        -- STRICTLY > 30 min — Spark merges touching [ts, ts+gap)
+        -- windows too (verified empirically: events exactly gap apart
+        -- land in ONE session; pinned in test_streaming); session end
+        -- = last event + 30 min
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS t_us, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, t_us, value,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY t_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT MIN(t_us) AS ws_us,
+               MAX(t_us) + 1800000000 AS we_us,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE)
+                 AS sum_value
+        FROM s GROUP BY user_id, sid
     """,
     "jaccard_prefix": r"""
         -- the quadratic definition at threshold 0.5 — the prefix filter

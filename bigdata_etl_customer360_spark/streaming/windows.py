@@ -92,6 +92,40 @@ def sliding_agg(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    group_cols: Sequence[str] = (),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-based SESSION window aggregation via the built-in
+    ``F.session_window`` — the data-dependent-boundary case the fixed
+    grids above can't express: each event opens ``[ts, ts + gap)`` and
+    per-key windows merge, so a session's end is ``last_event + gap``.
+    Merging includes TOUCHING windows: two events exactly ``gap`` apart
+    land in ONE session (empirically pinned in test_streaming — a new
+    session needs a gap STRICTLY greater than ``gap``). In APPEND
+    mode a session finalizes once the watermark passes its end — state is
+    O(open sessions per key), the streaming twin of the batch
+    lag-and-cumsum sessionization (``stateful.sessionize_batch``)."""
+    wm = df.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "*",
+        )
+        .drop("w")
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1213,3 +1213,62 @@ def test_tumbling_agg_drops_late_rows_after_eviction(spark, tmp_path):
     assert byk[("2022-01-01 10:00:00", 1)] == (1, 1.0)
     # 13:00 window: both on-time rows
     assert byk[("2022-01-01 13:00:00", 1)] == (2, 12.0)
+
+
+def test_session_agg_exact_gap_boundary_merges(spark, tmp_path):
+    """session_agg boundary semantics pinned (this test DISCOVERED the
+    rule): Spark merges TOUCHING [ts, ts+gap) windows — events exactly
+    gap apart land in ONE session — so a new session needs a gap
+    STRICTLY greater than the gap duration (the q_session_stream
+    oracle's `> gap` new-session rule); session end is
+    last_event + gap."""
+    import os as _os
+    import time as _time
+
+    from bigdata_etl_customer360_spark.streaming.windows import session_agg
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    now = _time.time()
+    _write_events(
+        str(d / "a.parquet"),
+        [
+            # user 1: 10:00:00 and 10:10:00 — exactly the 10-min gap
+            # apart: touching windows MERGE into one session
+            (1, "2022-01-01 10:00:00", 1.0),
+            (1, "2022-01-01 10:10:00", 2.0),
+            # user 2: one microsecond MORE than the gap: two sessions
+            (2, "2022-01-01 10:00:00", 3.0),
+            (2, "2022-01-01 10:10:00.000001", 4.0),
+        ],
+    )
+    # far-future flush sentinel (its own session never finalizes)
+    _write_events(str(d / "b.parquet"), [(-1, "2022-01-03 00:00:00", 0.0)])
+    for i, f in enumerate(("a", "b")):
+        _os.utime(d / f"{f}.parquet", (now + 5 * i,) * 2)
+
+    stream = stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    got = run_available_now(
+        session_agg(
+            stream,
+            "ts",
+            "10 minutes",
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sv"),
+            ],
+            group_cols=["user_id"],
+            watermark="10 minutes",
+        ),
+        "t_session_touch",
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+    )
+    rows = {
+        (r["user_id"], str(r["window_start"])): (str(r["window_end"]), r["n"], r["sv"])
+        for r in got.collect()
+    }
+    assert rows == {
+        (1, "2022-01-01 10:00:00"): ("2022-01-01 10:20:00", 2, 3.0),
+        (2, "2022-01-01 10:00:00"): ("2022-01-01 10:10:00", 1, 3.0),
+        (2, "2022-01-01 10:10:00.000001"): ("2022-01-01 10:20:00.000001", 1, 4.0),
+    }

@@ -4735,6 +4735,74 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SESSIONIZE_STREAM_TABLES: dict[tuple[str, str], str] = {}
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM-STATEFUL streaming drain: streaming/stateful.sessionize
+    (applyInPandasWithState, EventTimeTimeout) over the shared agg-stream
+    fixture — per-user 30-min-gap sessions where mid-stream closures emit
+    from the gap check and trailing sessions emit when their event-time
+    TIMEOUT (last_event + gap) fires after the sentinel advances the
+    watermark. Unlike session_window (q_session_stream) the session end
+    here is the LAST EVENT's ts, not last+gap, and a new session needs a
+    STRICTLY > gap silence — the operator's own pinned semantics
+    (test_streaming equivalence suite). sum_value is the operator's
+    in-order Python float fold over ts-ascending events (global order
+    holds because the fixture batches are time-split and state carries
+    the partial); the oracle replays the identical IEEE sequence with
+    DuckDB's list_aggregate in-order fold — deterministic because graded
+    data has no (user_id, ts) ties at any sf. The sentinel session
+    (user -1) structurally never times out (its timeout sits gap past
+    the final watermark) and is additionally dropped from the drained
+    batch table."""
+    import os
+
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SESSIONIZE_STREAM_TABLES:
+        return _drop_join_sentinels(
+            spark.table(_SESSIONIZE_STREAM_TABLES[cache_key])
+        )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.stateful import sessionize
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        run_available_now,
+        stream_from_parquet,
+    )
+
+    root = _agg_stream_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = stream_from_parquet(
+        spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+    )
+    sessions = sessionize(stream, gap_seconds=1800, watermark="1 hour")
+    _AGG_STREAM_SEQ[0] += 1
+    table = f"sessionize_stream_graded_{_AGG_STREAM_SEQ[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(sessions, table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _SESSIONIZE_STREAM_TABLES[cache_key] = table
+    return _drop_join_sentinels(spark.table(table))
+
+
 def _correctness_last_round() -> dict[str, int]:
     """Last driver round that recorded ANY row per query, from the committed
     CORRECTNESS_r*.json artifacts next to this file.  Deterministic for a
@@ -4874,6 +4942,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_stream_outer": q_join_stream_outer,
         "slide_stream": q_slide_stream,
         "session_stream": q_session_stream,
+        "sessionize_stream": q_sessionize_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -7586,6 +7655,33 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM g GROUP BY 1, 2
+    """,
+    "sessionize_stream": r"""
+        -- same session assignment as the "sessionize" oracle (strict
+        -- > 30min break, end = LAST event), but sum_value replays the
+        -- operator's in-order Python float fold: list_aggregate over
+        -- ts-ascending doubles is the identical IEEE add sequence
+        -- (no (user_id, ts) ties in graded data, so the order is total)
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               list_aggregate(LIST(CAST(value AS DOUBLE) ORDER BY ts), 'sum')
+                 AS sum_value
+        FROM numbered GROUP BY user_id, sid
     """,
     "session_stream": r"""
         -- batch lag-and-cumsum sessionization on epoch_us integers:

@@ -4803,6 +4803,78 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drop_join_sentinels(spark.table(table))
 
 
+_ASOF_STREAM_TABLES: dict[tuple[str, str], str] = {}
+
+
+def q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream BACKWARD AS-OF join drain (streaming/stateful.
+    asof_join_stream, the second applyInPandasWithState operator): every
+    click picks up the user's latest view AT OR BEFORE it within a
+    1-hour tolerance, emitted only once the watermark proves the right
+    side complete below the click (pending lefts flush via event-time
+    timeouts). Runs on the shared join-stream fixture (time-ordered
+    tercile batches per side + two far-future sentinel batches); the
+    sentinel click (-1) flushes unmatched once the final watermark
+    passes it and is dropped from the drained batch table, the sentinel
+    view (-2) merely parks in state. Oracle: DuckDB native ASOF LEFT
+    JOIN (inclusive rt <= lt, latest-prior pick — no (user_id, ts) ties
+    in graded data) with the tolerance applied as a post-join NULL-out:
+    if the latest prior view is older than 1h there is no view in the
+    window at all. Same ground truth family as join_stream (built-in
+    range join) — three execution models over one fixture."""
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _ASOF_STREAM_TABLES:
+        return _drop_join_sentinels(spark.table(_ASOF_STREAM_TABLES[cache_key]))
+
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.stateful import asof_join_stream
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        run_available_now,
+        stream_from_parquet,
+    )
+
+    # ensure the fixture (built lazily by the inner/outer drains) exists
+    if sf_dir not in _JOIN_STREAM_DIRS:
+        q_join_stream(spark, sf_dir)
+    root = _JOIN_STREAM_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    clicks = stream_from_parquet(
+        spark, os.path.join(root, "click"), schema, max_files_per_trigger=1
+    )
+    views = stream_from_parquet(
+        spark, os.path.join(root, "view"), schema, max_files_per_trigger=1
+    )
+    joined = asof_join_stream(
+        clicks, views, on="user_id", tolerance_seconds=3600, watermark="1 hour"
+    )
+    _JOIN_STREAM_SEQ[0] += 1
+    table = f"asof_stream_graded_{_JOIN_STREAM_SEQ[0]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(joined, table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _ASOF_STREAM_TABLES[cache_key] = table
+    return _drop_join_sentinels(spark.table(table))
+
+
 def _correctness_last_round() -> dict[str, int]:
     """Last driver round that recorded ANY row per query, from the committed
     CORRECTNESS_r*.json artifacts next to this file.  Deterministic for a
@@ -4943,6 +5015,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slide_stream": q_slide_stream,
         "session_stream": q_session_stream,
         "sessionize_stream": q_sessionize_stream,
+        "asof_stream": q_asof_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -7655,6 +7728,26 @@ _ORACLES: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
         FROM g GROUP BY 1, 2
+    """,
+    "asof_stream": r"""
+        -- native ASOF LEFT JOIN picks the latest view at-or-before each
+        -- click (inclusive; no (user_id, ts) ties in graded data). The
+        -- 1h tolerance is a post-join NULL-out: if the latest prior
+        -- view is older than 1h, no view exists in the window at all
+        -- (any in-window view would be a later prior — contradiction)
+        WITH c AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        v AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.user_id AS user_id, c.ts AS ts, c.value AS value,
+               CASE WHEN epoch_us(a.ts) >= epoch_us(c.ts) - 3600000000
+                    THEN a.ts END AS ts_asof,
+               CASE WHEN epoch_us(a.ts) >= epoch_us(c.ts) - 3600000000
+                    THEN a.value END AS value_asof
+        FROM c ASOF LEFT JOIN v a
+          ON c.user_id = a.user_id AND c.ts >= a.ts
     """,
     "sessionize_stream": r"""
         -- same session assignment as the "sessionize" oracle (strict

@@ -1548,6 +1548,67 @@ def q_acd_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apq_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch error-bound certificate (the acd_error_bound /
+    pq_recall discipline applied to percentile_approx — §2.4's other
+    rows-only approximate aggregate): per event_type and quantile q in
+    {0.25, 0.5, 0.75, 0.95}, emit the EXACT interpolated percentile
+    (F.percentile == DuckDB quantile_cont, the percentiles parity
+    contract), the group size n, and a rank_ok flag certifying the
+    sketch's contract. percentile_approx(value, q, accuracy=1000)
+    guarantees a returned DATA VALUE whose rank is within n/1000 of
+    q*n (Greenwald-Khanna relative error = 1/accuracy, deterministic —
+    the summary merge is order-insensitive for a given dataset). With
+    2-decimal values ties are common, so the approx value's rank is the
+    INTERVAL [count(<v)+1, count(<=v)]; the flag checks that interval
+    intersects [q*n - n/1000 - 1, q*n + n/1000 + 1] (±1 absorbs the
+    discrete-rank boundary). The raw approx value is deliberately NOT
+    in the output — sketch internals differ across engines; the oracle
+    recomputes exact_q and n and pins the all-ones flag, so a degraded
+    sketch (wrong compression, dropped merge) hash-mismatches loudly."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in qs]), F.lit(1000)
+        ).alias("ap"),
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("ex"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_q = agg.select(
+        "event_type",
+        "n",
+        F.posexplode(F.arrays_zip(F.col("ap"), F.col("ex"))).alias("i", "z"),
+    ).select(
+        "event_type",
+        "n",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias("q"),
+        F.col("z.ap").alias("_ap"),
+        F.col("z.ex").alias("exact_q"),
+    )
+    ranked = (
+        ev.join(F.broadcast(per_q), "event_type")
+        .groupBy("event_type", "q", "n", "_ap", "exact_q")
+        .agg(
+            F.sum((F.col("value") < F.col("_ap")).cast("long")).alias("_lt"),
+            F.sum((F.col("value") <= F.col("_ap")).cast("long")).alias("_le"),
+        )
+    )
+    target = F.col("q") * F.col("n").cast("double")
+    err = F.col("n").cast("double") / F.lit(1000.0) + F.lit(1.0)
+    rank_ok = (
+        (F.col("_le").cast("double") >= target - err)
+        & ((F.col("_lt") + F.lit(1)).cast("double") <= target + err)
+    )
+    return ranked.select(
+        "event_type",
+        "q",
+        "n",
+        "exact_q",
+        F.when(rank_ok, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("rank_ok"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase picks up the user's most recent
     click at or before it (union + carry-forward window — one shuffle;
@@ -5016,6 +5077,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stream": q_session_stream,
         "sessionize_stream": q_sessionize_stream,
         "asof_stream": q_asof_stream,
+        "apq_error_bound": q_apq_error_bound,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -5493,6 +5555,27 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "apq_error_bound": """
+        -- exact side recomputed (quantile_cont == F.percentile, the
+        -- percentiles parity contract); the rank_ok claim is
+        -- deterministic (GK summary with relative error 1/1000, 5x+
+        -- margin on every graded group), so the oracle pins the
+        -- all-ones flag — a degraded sketch hash-mismatches (see
+        -- q_apq_error_bound).
+        WITH g AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 quantile_cont(CAST(value AS DOUBLE),
+                               [0.25, 0.5, 0.75, 0.95]) AS exq
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST([0.25, 0.5, 0.75, 0.95][i] AS DOUBLE) AS q,
+               n,
+               exq[i] AS exact_q,
+               CAST(1 AS BIGINT) AS rank_ok
+        FROM g, UNNEST([1, 2, 3, 4]) AS u(i)
     """,
     "acd_error_bound": """
         -- exact side recomputed; the within_5pct claim is deterministic

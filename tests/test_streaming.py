@@ -1272,3 +1272,61 @@ def test_session_agg_exact_gap_boundary_merges(spark, tmp_path):
         (2, "2022-01-01 10:00:00"): ("2022-01-01 10:10:00", 1, 3.0),
         (2, "2022-01-01 10:10:00.000001"): ("2022-01-01 10:20:00.000001", 1, 4.0),
     }
+
+
+def test_session_agg_drops_late_rows_after_eviction(spark, tmp_path):
+    """Late-data semantics for SESSION windows at the same granularity as
+    the tumbling twin: a late row whose key's session state was already
+    evicted (watermark passed session_end, APPEND emitted it) is dropped
+    — it neither reopens the session nor appends a duplicate; a late row
+    arriving while the session is still in state folds in."""
+    import os as _os
+    import time as _time
+
+    from bigdata_etl_customer360_spark.streaming.windows import session_agg
+
+    d = tmp_path / "sess_late_src"
+    d.mkdir()
+    now = _time.time()
+    # batch 0: user 1 session at 10:00 + a 13:00 row (wm -> 12:50 later)
+    _write_events(
+        str(d / "a.parquet"),
+        [(1, "2022-01-01 10:00:00", 1.0), (1, "2022-01-01 13:00:00", 5.0)],
+    )
+    # batch 1: on-time row; at END of this batch wm=12:50 evicts + emits
+    # the 10:00 session
+    _write_events(str(d / "b.parquet"), [(1, "2022-01-01 13:05:00", 7.0)])
+    # batch 2: LATE 10:05 row — its session was already evicted: dropped
+    _write_events(str(d / "c.parquet"), [(1, "2022-01-01 10:05:00", 100.0)])
+    # batch 3: far-future flush finalizes the 13:00 session
+    _write_events(str(d / "d.parquet"), [(9, "2022-01-02 09:00:00", 0.0)])
+    for i, f in enumerate(("a", "b", "c", "d")):
+        _os.utime(d / f"{f}.parquet", (now + 5 * i,) * 2)
+
+    stream = stream_from_parquet(spark, str(d), EVENT_SCHEMA, max_files_per_trigger=1)
+    got = run_available_now(
+        session_agg(
+            stream,
+            "ts",
+            "10 minutes",
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sv"),
+            ],
+            group_cols=["user_id"],
+            watermark="10 minutes",
+        ),
+        "t_session_late",
+        checkpoint_dir=str(tmp_path / "ckpt_sess_late"),
+    )
+    rows = [
+        ((r["user_id"], str(r["window_start"])), (str(r["window_end"]), r["n"], r["sv"]))
+        for r in got.collect()
+    ]
+    assert len(dict(rows)) == len(rows)  # no duplicate appends
+    byk = dict(rows)
+    # 10:00 session: only the on-time row — the late 100.0 was dropped
+    # after eviction, and no reopened/duplicate session appears
+    assert byk[(1, "2022-01-01 10:00:00")] == ("2022-01-01 10:10:00", 1, 1.0)
+    # 13:00 session: both on-time rows merged (13:00 + 13:05 < gap apart)
+    assert byk[(1, "2022-01-01 13:00:00")] == ("2022-01-01 13:15:00", 2, 12.0)

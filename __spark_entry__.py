@@ -3834,6 +3834,38 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/quality.bloom_build /
+    bloom_contains) — the semi-join-pushdown primitive Spark's own
+    bloom_filter_agg would provide if it were exposed in this build:
+    the set of purchasing users becomes a <= m/32-row word frame, every
+    distinct user probes it broadcast-side, and the graded frame
+    carries (in_filter, is_member) per user. The md5 hash family makes
+    the ENTIRE bit array a pure function of the member set (bit_or is
+    commutative + idempotent), so unlike library blooms this one is
+    oracle-EXACT: DuckDB rebuilds the identical words and flags, hash-
+    matching false positives included (measured: the one-sided contract
+    in_filter >= is_member holds by construction; fp rate at m=16384,
+    k=4 is ~(1 - e^(-4n/m))^4). CMS gets values, HLL gets bounds,
+    Bloom gets the exact bit array."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    members = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    bloom = bloom_build(members, "user_id", m_bits=16384, k=4)
+    probes = ev.select("user_id")
+    flags = bloom_contains(bloom, probes, "user_id", m_bits=16384, k=4)
+    member_set = members.distinct().withColumn("_is", F.lit(1))
+    return flags.join(member_set, "user_id", "left").select(
+        "user_id",
+        "in_filter",
+        F.coalesce(F.col("_is"), F.lit(0)).cast("long").alias("is_member"),
+    )
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test, click vs view event values
     (operators/quality.mann_whitney) — the nonparametric sibling of
@@ -5134,6 +5166,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": q_sessionize_stream,
         "asof_stream": q_asof_stream,
         "apq_error_bound": q_apq_error_bound,
+        "bloom_join": q_bloom_join,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -5611,6 +5644,47 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "bloom_join": r"""
+        -- the identical md5 bit array rebuilt in SQL: bit k of value v
+        -- is ('0x'||substring(md5('bloom'||k||':'||v),1,8)) % m; words
+        -- are 32-bit (masks stay positive in BIGINT on both engines);
+        -- bit_or is commutative+idempotent so the array is a pure
+        -- function of the member SET — flags hash-match exactly,
+        -- false positives included
+        WITH members AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ),
+        mbits AS (
+          SELECT ('0x' || substring(md5('bloom' || k || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bit
+          FROM members, UNNEST([0, 1, 2, 3]) AS u(k)
+        ),
+        words AS (
+          SELECT bit // 32 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+          FROM mbits GROUP BY 1
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        pbits AS (
+          SELECT user_id,
+                 ('0x' || substring(md5('bloom' || k || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bit
+          FROM probes, UNNEST([0, 1, 2, 3]) AS u(k)
+        ),
+        hits AS (
+          SELECT p.user_id,
+                 MIN(CASE WHEN (COALESCE(w.bits, 0) &
+                                (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INT)))
+                          <> 0 THEN 1 ELSE 0 END) AS in_filter
+          FROM pbits p LEFT JOIN words w ON p.bit // 32 = w.w
+          GROUP BY p.user_id
+        )
+        SELECT h.user_id AS user_id,
+               CAST(h.in_filter AS BIGINT) AS in_filter,
+               CAST(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_member
+        FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
     """,
     "apq_error_bound": """
         -- exact side recomputed (quantile_cont == F.percentile, the

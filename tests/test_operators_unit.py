@@ -3673,3 +3673,39 @@ def test_daily_anomalies_flags_planted_spike_only(spark):
     assert zmax[1] == 35
     for d in (0, 1, 2, 67, 68, 69):
         assert got[d]["z"] is None and got[d]["is_anomaly"] == 0
+
+
+def test_bloom_no_false_negatives_and_duplicate_insensitive(spark):
+    """The Bloom contract: every member probes in_filter=1 (one-sided —
+    false positives allowed, false negatives never), a saturated tiny
+    filter DOES false-positive (the bound is real), and the bit array
+    is a pure function of the member SET (duplicated inserts change
+    nothing — bit_or idempotence)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    probes = spark.createDataFrame([(i,) for i in range(200)], "v long")
+    # tiny filter: 64 bits, 40 members x 3 hashes -> heavily saturated
+    bl = bloom_build(members, "v", m_bits=64, k=3)
+    flags = {r["v"]: r["in_filter"] for r in bloom_contains(
+        bl, probes, "v", m_bits=64, k=3).collect()}
+    assert all(flags[i] == 1 for i in range(40))          # no false negatives
+    assert any(flags[i] == 1 for i in range(40, 200))     # saturation -> real fps
+    # duplicate inserts leave the words bit-identical
+    dup = members.union(members).union(members)
+    w1 = sorted((r["w"], r["bits"]) for r in bl.collect())
+    w2 = sorted((r["w"], r["bits"]) for r in bloom_build(
+        dup, "v", m_bits=64, k=3).collect())
+    assert w1 == w2
+    # a roomy filter keeps the fp rate near the formula
+    bl2 = bloom_build(members, "v", m_bits=4096, k=4)
+    f2 = {r["v"]: r["in_filter"] for r in bloom_contains(
+        bl2, probes, "v", m_bits=4096, k=4).collect()}
+    assert all(f2[i] == 1 for i in range(40))
+    fp = sum(f2[i] for i in range(40, 200))
+    assert fp <= 5  # (1 - e^(-4*40/4096))^4 ~ 2e-6 per probe; 5 = loud margin

@@ -1264,6 +1264,21 @@ def bloom_build(
     )
 
 
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the SAME (m_bits, k, salt): union
+    the word frames and bit_or per word — exactly equal to building one
+    filter over the union of the member sets (bit_or is associative,
+    commutative, idempotent; the merge law the unit test pins). This is
+    what ships across clusters/days: per-shard filters merge without
+    touching any member again."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_contains(
     bloom: DataFrame,
     probes: DataFrame,

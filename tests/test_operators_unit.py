@@ -3709,3 +3709,29 @@ def test_bloom_no_false_negatives_and_duplicate_insensitive(spark):
     assert all(f2[i] == 1 for i in range(40))
     fp = sum(f2[i] for i in range(40, 200))
     assert fp <= 5  # (1 - e^(-4*40/4096))^4 ~ 2e-6 per probe; 5 = loud margin
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Merge law: bloom_merge(build(A), build(B)) is word-for-word equal
+    to build(A ∪ B) — bit_or associativity/commutativity/idempotence,
+    the property that lets per-shard filters ship and fold without
+    touching members again (the CMS additive-merge sibling)."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(0, 60)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "v long")
+    merged = sorted(
+        (r["w"], r["bits"])
+        for r in bloom_merge(
+            bloom_build(a, "v", m_bits=2048, k=3),
+            bloom_build(b, "v", m_bits=2048, k=3),
+        ).collect()
+    )
+    direct = sorted(
+        (r["w"], r["bits"])
+        for r in bloom_build(a.union(b), "v", m_bits=2048, k=3).collect()
+    )
+    assert merged == direct

@@ -3866,6 +3866,38 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom USE pattern graded end-to-end (quality.bloom_prefilter):
+    click revenue per PURCHASING user, computed as bloom-prefilter →
+    exact semi-join → aggregate, which must equal the plain semi-join
+    result EXACTLY — the prefilter is one-sided (false positives pass
+    and die in the semi-join; false negatives are impossible), so it is
+    a result-transparent optimization. This is the semi-join-pushdown
+    shape at 100 TB: the word frame collapses to a <= m/32-long array
+    LITERAL (bounded driver collect, the similarity LUT discipline) and
+    the fact scan filters in pure codegen — zero joins, zero shuffle
+    spent on the 99% of rows the dimension would reject. Oracle: the
+    plain semi-join aggregate (no bloom) — grading the transparency
+    claim itself."""
+    from bigdata_etl_customer360_spark.operators.quality import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    members = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    bloom = bloom_build(members, "user_id", m_bits=16384, k=4)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    pre = bloom_prefilter(clicks, "user_id", bloom, m_bits=16384, k=4)
+    exact = pre.join(members.distinct(), "user_id", "left_semi")
+    return exact.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("click_revenue"),
+    )
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test, click vs view event values
     (operators/quality.mann_whitney) — the nonparametric sibling of
@@ -5167,6 +5199,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_stream": q_asof_stream,
         "apq_error_bound": q_apq_error_bound,
         "bloom_join": q_bloom_join,
+        "bloom_semi_revenue": q_bloom_semi_revenue,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -5644,6 +5677,21 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "bloom_semi_revenue": """
+        -- the PLAIN semi-join aggregate, no bloom anywhere: the graded
+        -- claim is that the bloom prefilter is result-transparent
+        -- (one-sided, finished by the exact semi-join)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE)
+                 AS click_revenue
+        FROM events c
+        WHERE event_type = 'click'
+          AND EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase'
+                        AND p.user_id = c.user_id)
+        GROUP BY user_id
     """,
     "bloom_join": r"""
         -- the identical md5 bit array rebuilt in SQL: bit k of value v

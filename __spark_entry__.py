@@ -3898,6 +3898,83 @@ def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_STREAM_LAKES: dict[tuple[str, str], str] = {}
+
+
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-MAINTAINED Bloom filter (the hh_stream pattern applied to
+    membership): the agg-stream fixture drains availableNow through
+    foreachBatch, each micro-batch bloom_builds its purchase users and
+    APPENDS its word partials to a parquet lake; the readout bit_or-folds
+    the lake into one filter. The fold is redelivery-safe BY ALGEBRA —
+    bit_or is commutative + idempotent, so a replayed batch (or any
+    batch split whatsoever) cannot change a single bit, which is a
+    stronger exactly-once story than any commit-guard: the maintained
+    filter equals the one-shot batch build equals the oracle's SQL
+    rebuild, bit-for-bit. Output: the (w, bits) word frame itself.
+    The sentinel row is event_type 'zz_sentinel', not 'purchase', so it
+    never touches the filter."""
+    import os
+
+    tune_session(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _BLOOM_STREAM_LAKES:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        from bigdata_etl_customer360_spark.operators.quality import bloom_build
+        from bigdata_etl_customer360_spark.streaming.windows import (
+            stream_from_parquet,
+        )
+
+        root = _agg_stream_fixture(spark, sf_dir)
+        lake = tempfile.mkdtemp(prefix="c360_bloom_lake_")
+        atexit.register(shutil.rmtree, lake, ignore_errors=True)
+        lake_dir = os.path.join(lake, "words")
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        stream = stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        )
+
+        def fold_batch(batch_df, batch_id: int) -> None:
+            members = batch_df.filter(
+                F.col("event_type") == "purchase"
+            ).select("user_id")
+            bloom_build(members, "user_id", m_bits=16384, k=4).write.mode(
+                "append"
+            ).parquet(lake_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(lake, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        _BLOOM_STREAM_LAKES[cache_key] = lake_dir
+
+    from bigdata_etl_customer360_spark.operators.quality import bloom_merge
+
+    return bloom_merge(spark.read.parquet(_BLOOM_STREAM_LAKES[cache_key]))
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test, click vs view event values
     (operators/quality.mann_whitney) — the nonparametric sibling of
@@ -5200,6 +5277,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apq_error_bound": q_apq_error_bound,
         "bloom_join": q_bloom_join,
         "bloom_semi_revenue": q_bloom_semi_revenue,
+        "bloom_stream": q_bloom_stream,
         "rfm_segments": q_rfm_segments,
         "k_core": q_k_core,
         "cms_counts": q_cms_counts,
@@ -5677,6 +5755,21 @@ _ORACLES: dict[str, str] = {
               AS jaccard
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.6
+    """,
+    "bloom_stream": r"""
+        -- the exact bit array the maintained stream filter must equal:
+        -- same md5 positions, same 32-bit words (see bloom_join)
+        WITH members AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ),
+        mbits AS (
+          SELECT ('0x' || substring(md5('bloom' || k || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 16384 AS bit
+          FROM members, UNNEST([0, 1, 2, 3]) AS u(k)
+        )
+        SELECT bit // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+        FROM mbits GROUP BY 1
     """,
     "bloom_semi_revenue": """
         -- the PLAIN semi-join aggregate, no bloom anywhere: the graded

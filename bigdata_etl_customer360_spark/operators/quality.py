@@ -1282,7 +1282,16 @@ def bloom_prefilter(
     join downstream; false negatives are impossible), which is why a
     prefilter + exact semi-join equals the plain semi-join EXACTLY —
     the graded claim of ``bloom_semi_revenue``. NULL keys are dropped
-    (a semi-join would drop them too)."""
+    (a semi-join would drop them too).
+
+    WHEN TO USE (measured, local[32], 20M facts x 50k members): under a
+    BROADCAST hash join the prefilter is pure overhead — BHJ already
+    rejects non-members map-side, and 4 md5s/row cost 5.4s vs the
+    join's 0.9s. The prefilter pays off in the SHUFFLE-join regime
+    (dimension too large to broadcast): the word array (m/32 longs)
+    ships where the dimension cannot, and rejected fact rows skip the
+    exchange entirely — the trade is k md5s per row against shuffling
+    the row."""
     if m_bits > (1 << 22):
         raise ValueError(
             "bloom_prefilter inlines m_bits/32 longs driver-side; "

@@ -3735,3 +3735,31 @@ def test_bloom_merge_equals_union_build(spark):
         for r in bloom_build(a.union(b), "v", m_bits=2048, k=3).collect()
     )
     assert merged == direct
+
+
+def test_bloom_prefilter_keeps_all_members_and_caps_m(spark):
+    """Row-level prefilter contract: every member ROW survives (false
+    negatives impossible — the transparency claim bloom_semi_revenue
+    grades end-to-end), non-member survivors are only fp-rate noise,
+    and the driver-collect guard refuses m_bits past the inline cap."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    fact = spark.createDataFrame(
+        [(i % 500, float(i)) for i in range(2000)], "v long, x double"
+    )
+    bl = bloom_build(members, "v", m_bits=8192, k=4)
+    kept = bloom_prefilter(fact, "v", bl, m_bits=8192, k=4)
+    member_rows = fact.filter(F.col("v") < 50)
+    # every member row survives, with its payload intact
+    assert kept.filter(F.col("v") < 50).count() == member_rows.count() == 200
+    # fp noise only: survivors beyond members are a small fraction
+    assert kept.filter(F.col("v") >= 50).count() <= 100  # of 1800 non-member rows
+    with _pytest.raises(ValueError):
+        bloom_prefilter(fact, "v", bl, m_bits=1 << 23, k=4)

@@ -1549,7 +1549,18 @@ def q_acd_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_events"))
     )
-    agg = approx.join(eu, "event_type").join(ee, "event_type")
+    # LEFT joins from `approx` + COALESCE(…, 0): an event_type whose
+    # user_id (or event_id) values are ALL NULL still has rows in
+    # `approx` (groupBy keeps the group; the HLL estimate is 0) but no
+    # row in the distinct frames — an inner join would drop it while
+    # the oracle (GROUP BY over all rows) emits it with exact count 0
+    # (ADVICE r10). The flag then compares 0 vs 0 consistently.
+    agg = (
+        approx.join(eu, "event_type", "left")
+        .join(ee, "event_type", "left")
+        .withColumn("exact_users", F.coalesce("exact_users", F.lit(0)))
+        .withColumn("exact_events", F.coalesce("exact_events", F.lit(0)))
+    )
 
     def flag(approx: str, exact: str) -> Column:
         err = F.abs(
@@ -1598,7 +1609,17 @@ def q_apq_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes exact_q and n and pins the all-ones flag, so a degraded
     sketch (wrong compression, dropped merge) hash-mismatches loudly."""
     qs = [0.25, 0.5, 0.75, 0.95]
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # NULL values filtered up front (the ab_test discipline, ADVICE
+    # r10): percentile/percentile_approx/quantile_cont all ignore
+    # NULLs, but n = COUNT(*) would count them — with NULL-valued rows
+    # the rank target q*n would drift from the sketch's non-null rank
+    # space and rank_ok could flip vs the oracle's pinned 1. The
+    # oracle's g CTE carries the same WHERE.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx(
             "value", F.array(*[F.lit(q) for q in qs]), F.lit(1000)
@@ -5840,7 +5861,7 @@ _ORACLES: dict[str, str] = {
                  CAST(COUNT(*) AS BIGINT) AS n,
                  quantile_cont(CAST(value AS DOUBLE),
                                [0.25, 0.5, 0.75, 0.95]) AS exq
-          FROM events GROUP BY event_type
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
         )
         SELECT event_type,
                CAST([0.25, 0.5, 0.75, 0.95][i] AS DOUBLE) AS q,

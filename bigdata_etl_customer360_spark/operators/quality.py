@@ -1306,12 +1306,16 @@ def bloom_prefilter(
     cond = v.isNotNull()
     for i in range(k):
         bit = _bloom_bit(v, i, m_bits, salt)
-        # bit/32 is bit * 2^-5 — exact in double for any bit < 2^48,
-        # so the truncating cast is an exact integer div; 2^(bit%32)
-        # <= 2^31 is exact in double, so pow->long is the shift
-        # (F.shiftleft only takes a literal shift count)
-        word = F.element_at(arr, (bit / F.lit(32)).cast("int") + F.lit(1))
-        mask = F.pow(F.lit(2.0), (bit % F.lit(32)).cast("double")).cast("bigint")
+        # pure-integer word/mask, the same shape as bloom_build's
+        # `_bit div 32` / shiftleft(1, _bit % 32): shiftright(bit, 5)
+        # IS bit div 32 for the non-negative md5 positions, and
+        # call_function("shiftleft", …) takes the column shift count
+        # the F.shiftleft wrapper doesn't — one integer code path for
+        # both halves of the hash family (no double detour).
+        word = F.element_at(arr, F.shiftright(bit, 5).cast("int") + F.lit(1))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (bit % F.lit(32)).cast("int")
+        )
         cond = cond & (word.bitwiseAND(mask) != F.lit(0))
     return df.filter(cond)
 

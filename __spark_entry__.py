@@ -31,6 +31,7 @@ from bigdata_etl_customer360_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    simhash_pairs_portable,
 )
 from bigdata_etl_customer360_spark.operators.enrich import RuleClassifier, classify_column
 from bigdata_etl_customer360_spark.operators.multimodal import binarize_text, extract_features
@@ -481,6 +482,27 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding certificate, oracle-EXACT (VERDICT r10 task 4 —
+    the last probabilistic dedup tier with no graded quality row):
+    simhash_pairs_portable runs the IDENTICAL block-banding machinery
+    as the production simhash_pairs (4 blocks of 16 bits at
+    max_hamming=3; candidates from block equi-joins, never a cross
+    product) over the engine-portable md5 fingerprint, and the oracle
+    rebuilds every fingerprint in SQL and takes BRUTE-FORCE
+    bit_count(xor) pairs. Pigeonhole makes banding capture COMPLETE (a
+    pair at hamming <= 3 must agree on >= 1 of 4 blocks), so Spark ==
+    oracle exactly — stronger than a recall floor. Any defect in the
+    tokenize/vote/fold/band/hamming chain hash-mismatches. Honest
+    scope: the production xxhash64 family (simhash_near_dup) computes
+    the same structure with a JVM-intrinsic hash DuckDB lacks; its
+    EXACTNESS is pinned here via the shared machinery, its hash family
+    by the banded==brute unit test."""
+    return simhash_pairs_portable(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic recall bound for the minhash-LSH scale path, made
     oracle-checkable: every EXACT near-dup pair with jaccard >= 0.6 must
@@ -668,6 +690,43 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_brute(q, emb, k=5),
         qids,
         floor_num=100,
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN quality certificate, oracle-checked (VERDICT r10 task 3 —
+    the last ANN path with no graded quality row; the q_pq_recall
+    pattern at the graded ann_cosine_lsh config: 4 hyperplanes x 16
+    tables, k=5): per query-id,
+
+      self_found      — under exclude_self=False a query shares its own
+                        signature in EVERY table, so it is always its
+                        own candidate and tops at cosine 1.0 (an LSH
+                        that cannot retrieve an exact duplicate is
+                        broken);
+      recall_ge_floor — recall@5 vs brute force >= 0.6 (150/250 pairs;
+                        measured 224 at sf0.001, 212 at sf0.01 — ~30%
+                        margin, while a broken bucket join or signature
+                        drift returns ~0 true neighbors).
+
+    Both claims are deterministic: hyperplanes derive from xxhash64 of
+    plane indices (no RNG state), candidate capture is a pure function
+    of the signatures, scoring/tie-breaks are the exact brute path —
+    so the oracle is the all-ones frame over the query ids. Recall at
+    OTHER (planes, tables) settings stays probabilistic and is NOT
+    claimed (ann_cosine_lsh remains rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    lsh = lambda **kw: cosine_topk_lsh(
+        q, emb, k=5, num_planes=4, num_tables=16, **kw
+    )
+    return _recall_certificate(
+        lsh(),
+        lsh(exclude_self=False),
+        cosine_topk_brute(q, emb, k=5),
+        qids,
+        floor_num=150,
     )
 
 
@@ -2755,10 +2814,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the near-dup graph (operators/graph.
-    label_propagation): LPA with a pinned tie rule on the exact
-    ngram-jaccard pair edges — duplicate communities without the
-    transitive over-merge CC gives on weak chains. Iterative, rows-only
-    (sync-reference unit test pins exactness)."""
+    label_propagation): LPA with a pinned tie rule (most frequent
+    neighbor label, ties -> smallest) on the exact ngram-jaccard pair
+    edges — duplicate communities without the transitive over-merge CC
+    gives on weak chains. Oracle-checked: the bounded-round synchronous
+    run with pinned ties is a unique fixed shape (the k_core /
+    bfs_distances precedent), unrolled round-by-round in SQL."""
     from bigdata_etl_customer360_spark.operators.dedup import ngram_jaccard_pairs
     from bigdata_etl_customer360_spark.operators.graph import label_propagation
 
@@ -2767,6 +2828,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap=4: communities are already stable (456 at 3/5/10 rounds measured
     # at sf0.1) while sync-LPA 2-cycles on weak links would otherwise pay
     # the full cap every run; the cap is part of the deterministic contract
+    # — and with early_stop=False the run is EXACTLY 4 synchronous rounds,
+    # a pure function of the edge set, so the oracle unrolls the same 4
+    # rounds as chained CTEs (VERDICT r10 task 5: off the rows-only list).
     return label_propagation(pairs, max_iterations=4, early_stop=False)
 
 
@@ -5430,6 +5494,9 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": q_union_by_name,
         "unpivot": q_unpivot,
         "window_tumbling": q_window_tumbling,
+        # --- round 11 ---
+        "lsh_recall": q_lsh_recall,
+        "simhash_recall": q_simhash_recall,
     }
 
 
@@ -5756,6 +5823,119 @@ _ORACLES: dict[str, str] = {
           FROM t a JOIN t b ON a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.05
     """,
+    "label_propagation": r"""
+        -- 4 rounds of SYNCHRONOUS LPA unrolled as chained CTEs over the
+        -- exact jaccard>=0.3 edges (same shingle construction as the
+        -- minhash_recall oracle): each round every node adopts its
+        -- neighbors' most frequent label, ties -> smallest — the pinned
+        -- tie rule makes each round a pure function of the last, and
+        -- early_stop=False pins EXACTLY 4 rounds, converged or not
+        -- (see q_label_propagation).
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                       AS DOUBLE) AS j
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+          ) WHERE j >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        r0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+        r1 AS (
+          SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM (SELECT e.u AS id, l.lbl AS lbl, COUNT(*) AS c
+                  FROM edges e JOIN r0 l ON e.v = l.id GROUP BY e.u, l.lbl)
+          ) WHERE rn = 1
+        ),
+        r2 AS (
+          SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM (SELECT e.u AS id, l.lbl AS lbl, COUNT(*) AS c
+                  FROM edges e JOIN r1 l ON e.v = l.id GROUP BY e.u, l.lbl)
+          ) WHERE rn = 1
+        ),
+        r3 AS (
+          SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM (SELECT e.u AS id, l.lbl AS lbl, COUNT(*) AS c
+                  FROM edges e JOIN r2 l ON e.v = l.id GROUP BY e.u, l.lbl)
+          ) WHERE rn = 1
+        ),
+        r4 AS (
+          SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM (SELECT e.u AS id, l.lbl AS lbl, COUNT(*) AS c
+                  FROM edges e JOIN r3 l ON e.v = l.id GROUP BY e.u, l.lbl)
+          ) WHERE rn = 1
+        )
+        SELECT id, lbl AS label FROM r4
+    """,
+    "simhash_recall": r"""
+        -- every md5-family fingerprint rebuilt bit-for-bit (the
+        -- bloom_join discipline: '0x'||md5-hex halves -> 32-bit BIGINT
+        -- words), then BRUTE-FORCE Hamming pairs via bit_count(xor) on
+        -- both halves; the Spark side's block banding must reproduce
+        -- this set exactly — pigeonhole completeness, see
+        -- q_simhash_recall / simhash_pairs_portable.
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(t), 1, 8))::BIGINT AS lo,
+                 ('0x' || substring(md5(t), 9, 8))::BIGINT AS hi
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+                                      ELSE hi >> (b - 32) END) & 1) = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM h, UNNEST(range(64)) AS u(b)
+          GROUP BY doc_id, b
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN b < 32 AND v > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                               ELSE 0 END) AS BIGINT) AS sig_lo,
+                 CAST(SUM(CASE WHEN b >= 32 AND v > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+                               ELSE 0 END) AS BIGINT) AS sig_hi
+          FROM votes GROUP BY doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT)
+                   AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 3
+    """,
     "minhash_recall": r"""
         -- exact ngram-jaccard pairs at >= 0.6 (same construction as the
         -- ngram_jaccard oracle); found=1 asserts the LSH banding captured
@@ -5890,6 +6070,15 @@ _ORACLES: dict[str, str] = {
         -- clears the 0.5 floor (measured 0.64-0.70) — so the oracle is
         -- the all-ones frame over the query ids; any silent PQ
         -- degradation hash-mismatches (see q_pq_recall).
+        SELECT vec_id AS query_id,
+               CAST(1 AS BIGINT) AS self_found,
+               CAST(1 AS BIGINT) AS recall_ge_floor
+        FROM embeddings WHERE vec_id < 50
+    """,
+    "lsh_recall": """
+        -- all-ones certificate frame (see q_lsh_recall: a query always
+        -- collides with itself in every table; recall floor 0.6 vs
+        -- measured 0.85-0.90 at the graded 4-plane/16-table config).
         SELECT vec_id AS query_id,
                CAST(1 AS BIGINT) AS self_found,
                CAST(1 AS BIGINT) AS recall_ge_floor

@@ -309,6 +309,141 @@ def with_simhash(
     return df.withColumn(out_col, F.expr(simhash_sql))
 
 
+def with_simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    out_lo: str = "sig_lo",
+    out_hi: str = "sig_hi",
+) -> DataFrame:
+    """:func:`with_simhash` on the engine-portable md5 hash family (the
+    bloom/CMS/sampling-coin discipline): token bits come from the first
+    16 hex chars of md5(token) — two 32-bit halves, each parsed to a
+    non-negative BIGINT on BOTH engines — so a SQL oracle can rebuild
+    the fingerprint bit-for-bit. The signature ships as two 32-bit
+    halves (``out_lo`` bits 0-31, ``out_hi`` bits 32-63) to keep every
+    word positive in BIGINT (the bloom 32-bit-word rule: no sign-bit
+    divergence at 1 << 63).
+
+    Same cost shape as :func:`with_simhash`: each token hashed ONCE
+    (let-nested HOF — higher-order funcs are interpreted, so a per-bit
+    rehash would 64x the string hashing), one vote pass, one fold per
+    half. xxhash64 stays the production default (faster JVM intrinsic);
+    this variant exists so the banding machinery is oracle-checkable
+    (q_simhash_recall)."""
+    df = fan_out(df)
+    votes = f"""
+        aggregate(
+          transform(split(lower(trim({text_col})), '\\\\s+'),
+                    t -> named_struct(
+                      'lo', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
+                      'hi', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))),
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(acc,
+              transform(sequence(0, 63),
+                        b -> CASE WHEN (shiftright(
+                                 CASE WHEN b < 32 THEN h.lo ELSE h.hi END,
+                                 b % 32) & 1) = 1
+                             THEN 1L ELSE -1L END),
+              (a, v) -> a + v))
+    """
+    half = (
+        "aggregate(transform(sequence({lo}, {hi}), "
+        "b -> CASE WHEN element_at(v, b + 1) > 0 "
+        "THEN shiftleft(1L, b - {lo}) ELSE 0L END), "
+        "0L, (acc, x) -> acc | x)"
+    )
+    sig_sql = f"""
+        element_at(transform(array({votes}),
+          v -> named_struct('lo', {half.format(lo=0, hi=31)},
+                            'hi', {half.format(lo=32, hi=63)})), 1)
+    """
+    return (
+        df.withColumn("_sig", F.expr(sig_sql))
+        .withColumn(out_lo, F.col("_sig.lo"))
+        .withColumn(out_hi, F.col("_sig.hi"))
+        .drop("_sig")
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`simhash_pairs` over the portable md5 fingerprint — the
+    SAME block-banding machinery (pigeonhole: any pair within the
+    Hamming ball collides on >= 1 of the max_hamming+1 blocks, so the
+    equi-join capture is COMPLETE, a theorem not a probability), made
+    oracle-EXACT: a SQL twin rebuilds every fingerprint from md5 and
+    takes brute-force bit_count(xor) pairs; banding must reproduce that
+    set exactly (q_simhash_recall). Output: (id_a, id_b, hamming) for
+    id_a < id_b with hamming <= max_hamming.
+
+    Blocks are carved from the 32-bit halves, so the block count must
+    keep each block inside one half: (max_hamming + 1) | 64 and block
+    width | 32."""
+    blocks = max_hamming + 1
+    if 64 % blocks or 32 % (64 // blocks):
+        raise ValueError(
+            "simhash_pairs_portable needs (max_hamming + 1) dividing 64 "
+            "with block width dividing 32 (e.g. max_hamming in {1,3,7,15,31})"
+        )
+    width = 64 // blocks
+    per_half = 32 // width
+    mask = (1 << width) - 1
+    # cache: feeds both self-join sides + materialization boundary (the
+    # simhash_pairs constraint-inference rule — without it the whole
+    # fingerprint expression is cloned into an isnotnull() filter below
+    # the fan-out exchange)
+    fp = scoped_cache(
+        with_simhash_portable(df, text_col)
+        .select(F.col(id_col).alias("_id"), "sig_lo", "sig_hi")
+    )
+    banded = fp.select(
+        "_id",
+        "sig_lo",
+        "sig_hi",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {blocks - 1}), b -> struct(b AS blk, "
+                f"shiftright(CASE WHEN b < {per_half} THEN sig_lo ELSE sig_hi END, "
+                f"(b % {per_half}) * {width}) & {mask} AS bval))"
+            )
+        ).alias("_b"),
+    ).select(
+        "_id", "sig_lo", "sig_hi",
+        F.col("_b.blk").alias("blk"), F.col("_b.bval").alias("bval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("b.sig_lo").alias("lo_b"),
+            F.col("b.sig_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -245,6 +245,55 @@ def test_simhash_identical_text_hamming_zero(spark):
     assert (1, 3) in pairs  # one-word change stays in the Hamming ball
 
 
+def test_simhash_portable_banding_equals_brute(spark):
+    """The pigeonhole completeness law simhash_recall grades, pinned on
+    BOTH hash families: banding over (max_hamming+1) blocks returns
+    exactly the brute-force bit_count(xor) <= max_hamming pair set —
+    the production xxhash64 path shares the machinery, so this test is
+    the hash-family-independence leg of the certificate."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        simhash_pairs_portable,
+        with_simhash_portable,
+    )
+
+    df = _docs_df(spark)
+    fp = {
+        r["doc_id"]: (r["sig_lo"], r["sig_hi"])
+        for r in with_simhash_portable(df).collect()
+    }
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    for lo, hi in fp.values():  # halves stay in non-negative 32-bit space
+        assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_portable(df, max_hamming=3).collect()
+    )
+    ids = sorted(fp)
+    brute = sorted(
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        for h in [
+            bin(fp[a][0] ^ fp[b][0]).count("1")
+            + bin(fp[a][1] ^ fp[b][1]).count("1")
+        ]
+        if h <= 3
+    )
+    assert got == brute
+    assert (1, 2, 0) in got
+
+
+def test_simhash_portable_rejects_unsplittable_blocks(spark):
+    import pytest as _pytest
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        simhash_pairs_portable,
+    )
+
+    with _pytest.raises(ValueError):
+        simhash_pairs_portable(_docs_df(spark), max_hamming=2)
+
+
 # --- similarity --------------------------------------------------------------
 
 def test_cosine_topk_matches_numpy(spark):

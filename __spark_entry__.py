@@ -5217,21 +5217,50 @@ def q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drop_join_sentinels(spark.table(table))
 
 
+def _committed_ledger_names(here: str) -> "set[str] | None":
+    """Basenames of the CORRECTNESS ledgers git actually tracks, or None
+    when that can't be determined (no git binary / not a work tree /
+    timeout) — the caller then falls back to trusting the glob. Guards
+    the rotation against an UNTRACKED ledger left by local
+    pre-verification silently demoting this round's head-50 (ADVICE
+    r10): the committed state is the contract the driver grades."""
+    import os as _os
+    import subprocess as _sp
+
+    try:
+        out = _sp.run(
+            ["git", "-C", here, "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+    except (OSError, _sp.SubprocessError):
+        return None
+    if out.returncode != 0:
+        return None
+    names = {_os.path.basename(p) for p in out.stdout.split() if p}
+    return names or None
+
+
 def _correctness_last_round() -> dict[str, int]:
     """Last driver round that recorded ANY row per query, from the committed
     CORRECTNESS_r*.json artifacts next to this file.  Deterministic for a
     given repo state (the driver writes the current round's file only AFTER
-    calling ``queries()``, so the ordering never reads its own output)."""
+    calling ``queries()``, so the ordering never reads its own output;
+    untracked ledgers are ignored when git can enumerate the tracked set)."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
     here = _os.path.dirname(_os.path.abspath(__file__))
+    committed = _committed_ledger_names(here)
     last: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
         m = _re.search(r"r(\d+)\.json$", path)
         if not m:
+            continue
+        if committed is not None and _os.path.basename(path) not in committed:
             continue
         try:
             with open(path) as f:

@@ -1264,6 +1264,11 @@ def bloom_build(
     )
 
 
+# inline the word array as a plan literal up to this filter size; larger
+# filters ride a 1-row broadcast instead (see bloom_prefilter docstring)
+_INLINE_BITS = 1 << 16
+
+
 def bloom_prefilter(
     df: DataFrame,
     col: str,
@@ -1291,17 +1296,41 @@ def bloom_prefilter(
     (dimension too large to broadcast): the word array (m/32 longs)
     ships where the dimension cannot, and rejected fact rows skip the
     exchange entirely — the trade is k md5s per row against shuffling
-    the row."""
+    the row (see scripts/stress_bloom_regime.py for the payload-width
+    condition that decides it).
+
+    Plan shape by filter size: small word frames inline as ONE array
+    Literal (zero joins, pure codegen fact map); past ``_INLINE_BITS``
+    the array rides a 1-row broadcast-scalar cross join instead (the
+    repo's global-threshold idiom) — element-wise ``F.lit`` inlining of
+    a 2^22-bit filter puts 131k expression nodes PER REFERENCE into the
+    plan and analysis cost explodes (measured 31s -> 6.5s at 20M rows,
+    m=2^22, k=4)."""
     if m_bits > (1 << 22):
         raise ValueError(
-            "bloom_prefilter inlines m_bits/32 longs driver-side; "
+            "bloom_prefilter collects m_bits/32 longs driver-side; "
             "m_bits > 2^22 should stay a broadcast-join probe "
             "(bloom_contains)"
         )
+    import numpy as np
+
     words = [0] * (m_bits // 32)
     for r in bloom.collect():
         words[int(r["w"])] = int(r["bits"])
-    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    arr_col = "__bloom_words"
+    while arr_col in df.columns:
+        arr_col += "_"
+    if m_bits <= _INLINE_BITS:
+        # single Literal node (np input), NOT array(lit, lit, ...):
+        # element-wise lits are re-expanded per reference below
+        arr = F.lit(np.asarray(words, dtype="int64"))
+        probe = df
+    else:
+        arr = F.col(arr_col)
+        arr_frame = df.sparkSession.createDataFrame(
+            [(words,)], f"{arr_col} array<bigint>"
+        )
+        probe = df.crossJoin(F.broadcast(arr_frame))
     v = F.col(col)
     cond = v.isNotNull()
     for i in range(k):
@@ -1317,7 +1346,8 @@ def bloom_prefilter(
             "shiftleft", F.lit(1).cast("bigint"), (bit % F.lit(32)).cast("int")
         )
         cond = cond & (word.bitwiseAND(mask) != F.lit(0))
-    return df.filter(cond)
+    out = probe.filter(cond)
+    return out.drop(arr_col) if arr_col in out.columns else out
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:

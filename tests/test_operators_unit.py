@@ -3812,3 +3812,48 @@ def test_bloom_prefilter_keeps_all_members_and_caps_m(spark):
     assert kept.filter(F.col("v") >= 50).count() <= 100  # of 1800 non-member rows
     with _pytest.raises(ValueError):
         bloom_prefilter(fact, "v", bl, m_bits=1 << 23, k=4)
+
+
+def test_bloom_prefilter_broadcast_path_same_contract(spark):
+    """Above _INLINE_BITS the word array rides a 1-row broadcast instead
+    of a plan literal (the 131k-expression-node analysis blowup fix) —
+    same membership contract, original schema preserved, and the two
+    paths agree row-for-row on the same (m, k, salt)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_customer360_spark.operators.quality import (
+        _INLINE_BITS,
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    m_big = _INLINE_BITS * 4
+    members = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    fact = spark.createDataFrame(
+        [(i % 500, float(i)) for i in range(2000)], "v long, x double"
+    )
+    bl = bloom_build(members, "v", m_bits=m_big, k=4)
+    kept = bloom_prefilter(fact, "v", bl, m_bits=m_big, k=4)
+    assert kept.columns == fact.columns  # helper column dropped
+    assert kept.filter(F.col("v") < 50).count() == 200  # no false negatives
+    got = sorted((r["v"], r["x"]) for r in kept.collect())
+    # tiny m forces the inline path at the same hash family: on the SAME
+    # (m, k, salt) both paths must agree exactly — so compare big-m
+    # broadcast output against a recomputation through the inline path
+    # by temporarily inlining (m_big is above the cutoff, so instead
+    # recompute with the brute definition: all 4 md5 bits set)
+    from bigdata_etl_customer360_spark.operators.quality import _bloom_bit
+
+    wordmap = {int(r["w"]): int(r["bits"]) for r in bl.collect()}
+    bits = fact.select(
+        "v", "x", *[_bloom_bit(F.col("v"), i, m_big, "bloom").alias(f"b{i}") for i in range(4)]
+    ).collect()
+    want = sorted(
+        (r["v"], r["x"])
+        for r in bits
+        if all(
+            wordmap.get(r[f"b{i}"] // 32, 0) & (1 << (r[f"b{i}"] % 32))
+            for i in range(4)
+        )
+    )
+    assert got == want

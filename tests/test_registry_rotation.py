@@ -41,6 +41,28 @@ def test_head_50_is_the_stalest_tier():
     assert head_max <= tail_min
 
 
+def test_untracked_ledger_is_ignored():
+    """ADVICE r10: a stray CORRECTNESS ledger left in the working tree by
+    local pre-verification must NOT change the rotation — only committed
+    ledgers are the contract the driver grades."""
+    import pytest
+
+    committed = entry._committed_ledger_names(REPO)
+    if committed is None:
+        pytest.skip("git unavailable — glob fallback in effect")
+    assert "CORRECTNESS_r01.json" in committed
+    before = list(entry.queries())
+    stray = os.path.join(REPO, "CORRECTNESS_r99.json")
+    assert not os.path.exists(stray)
+    with open(stray, "w") as f:
+        json.dump({q: {"hash_match": True} for q in before[:5]}, f)
+    try:
+        assert list(entry.queries()) == before
+        assert max(entry._correctness_last_round().values()) < 99
+    finally:
+        os.unlink(stray)
+
+
 def test_registry_and_impls_same_key_set():
     assert set(entry.queries()) == set(entry._query_impls())
     # oracles only for registered queries

@@ -148,6 +148,90 @@ def test_sessionize_stream_equals_batch(spark, stream_dir, tmp_path):
         assert got_pdf[col].tolist() == want_pdf[col].tolist(), col
 
 
+def test_sessionize_stream_restart_recovers_open_sessions(spark, tmp_path):
+    """RESTART/RECOVERY pin for the applyInPandasWithState checkpoint
+    (VERDICT r10 task 7a — sessionize's exactly-once story was asserted,
+    never replayed): drain 1 leaves user 1's session OPEN in state (its
+    event-time timeout sits past the committed watermark); a NEW query
+    instance on the SAME checkpoint must (a) resume that state — the
+    run-2 continuation event extends the run-1 session, including the
+    in-order float partial sum, (b) not re-emit anything run 1 already
+    emitted (user 2's early session times out under run 1's watermark),
+    and (c) end up exactly equal to the uninterrupted batch twin. Uses
+    the durable parquet sink: the memory sink cannot recover from a
+    checkpoint."""
+    from bigdata_etl_customer360_spark.streaming.windows import stream_to_parquet
+
+    src = tmp_path / "sess_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess_restart")
+    out = str(tmp_path / "sess_restart_out")
+    first = [
+        # user 1: open across the restart (timeout 10:10:05 > run-1 wm 10:00:05)
+        (1, "2022-01-01 10:00:00", 1.0),
+        (1, "2022-01-01 10:00:05", 2.0),
+        # user 2: times out UNDER run 1's watermark -> emitted by run 1
+        (2, "2022-01-01 09:00:00", 10.0),
+    ]
+    second = [
+        # continues user 1's recovered session (295s < 600s gap) — state
+        # carried session_start AND the partial sum across the restart
+        (1, "2022-01-01 10:05:00", 4.0),
+        # new user-2 session, above run 1's watermark
+        (2, "2022-01-01 10:30:00", 20.0),
+    ]
+    _write_events(str(src / "a_first.parquet"), first)
+
+    def drain():
+        stream_to_parquet(
+            sessionize(
+                stream_from_parquet(
+                    spark, str(src), EVENT_SCHEMA, max_files_per_trigger=1
+                ),
+                gap_seconds=600,
+                watermark="0 seconds",
+            ),
+            out,
+            ckpt,
+            query_name="sess_restart",
+        )
+
+    drain()  # run 1: user 1 + new-user-2 state parked; old user-2 emitted
+    _write_events(str(src / "b_second.parquet"), second)
+    os.utime(src / "b_second.parquet", (time.time() + 2, time.time() + 2))
+    _write_events(str(src / "c_flush.parquet"), FLUSH_ROWS)
+    os.utime(src / "c_flush.parquet", (time.time() + 5, time.time() + 5))
+    drain()  # run 2: NEW query instance recovering the checkpoint
+
+    got_pdf = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != 99)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = spark.createDataFrame(
+        [
+            (u, pd.Timestamp(t).to_pydatetime(), v)
+            for u, t, v in first + second
+        ],
+        EVENT_SCHEMA,
+    )
+    want_pdf = (
+        sessionize_batch(batch, gap_seconds=600)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # 3 sessions, each exactly once; the spanning one has n=3, sum=7.0
+    assert len(got_pdf) == len(want_pdf) == 3
+    for col in ("user_id", "session_start", "session_end", "n_events", "sum_value"):
+        assert got_pdf[col].tolist() == want_pdf[col].tolist(), col
+    spanning = got_pdf[got_pdf["user_id"] == 1]
+    assert spanning["n_events"].tolist() == [3]
+    assert spanning["sum_value"].tolist() == [7.0]
+
+
 def test_sliding_agg_stream_closes_windows(spark, stream_dir, tmp_path):
     from bigdata_etl_customer360_spark.streaming.windows import sliding_agg
 

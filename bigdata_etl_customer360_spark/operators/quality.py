@@ -1264,11 +1264,6 @@ def bloom_build(
     )
 
 
-# inline the word array as a plan literal up to this filter size; larger
-# filters ride a 1-row broadcast instead (see bloom_prefilter docstring)
-_INLINE_BITS = 1 << 16
-
-
 def bloom_prefilter(
     df: DataFrame,
     col: str,
@@ -1289,23 +1284,29 @@ def bloom_prefilter(
     the graded claim of ``bloom_semi_revenue``. NULL keys are dropped
     (a semi-join would drop them too).
 
-    WHEN TO USE (measured, local[32], 20M facts x 50k members): under a
-    BROADCAST hash join the prefilter is pure overhead — BHJ already
-    rejects non-members map-side, and 4 md5s/row cost 5.4s vs the
-    join's 0.9s. The prefilter pays off in the SHUFFLE-join regime
-    (dimension too large to broadcast): the word array (m/32 longs)
-    ships where the dimension cannot, and rejected fact rows skip the
-    exchange entirely — the trade is k md5s per row against shuffling
-    the row (see scripts/stress_bloom_regime.py for the payload-width
-    condition that decides it).
+    WHEN TO USE — the trade is MEASURED, not asserted
+    (scripts/stress_bloom_regime.py, local[32], 20M facts x 400k
+    members, m=2^22): the prefilter converts exchange BYTES into map
+    CPU. It cut the semi-join's fact exchange 291.7 -> 11.6 MB (25x,
+    96% of rows rejected pre-shuffle) at the price of k md5s/row (~4s
+    per 20M rows). On local[32], where an "exchange" is memory-speed,
+    that trade LOSES wall-clock (0.55x) — and under a BROADCAST hash
+    join it is pure overhead (BHJ already rejects map-side, 6.7x
+    faster). The payoff regime is a NETWORK-BOUND exchange against a
+    dimension too large to broadcast — the 1000-executor/100 TB case
+    this exists for, where the word array (m/32 longs) ships where the
+    dimension cannot and the 25x byte cut is the scarce resource.
 
-    Plan shape by filter size: small word frames inline as ONE array
-    Literal (zero joins, pure codegen fact map); past ``_INLINE_BITS``
-    the array rides a 1-row broadcast-scalar cross join instead (the
-    repo's global-threshold idiom) — element-wise ``F.lit`` inlining of
-    a 2^22-bit filter puts 131k expression nodes PER REFERENCE into the
-    plan and analysis cost explodes (measured 31s -> 6.5s at 20M rows,
-    m=2^22, k=4)."""
+    The word array inlines as ONE numpy-backed array Literal — never
+    ``F.array(lit, lit, ...)`` (m/32 expression nodes PER bit-test
+    reference; analysis alone took the 2^22-cap filter from 5s to 31s
+    at 20M rows), and never a 1-row broadcast cross join: Catalyst's
+    join reordering HOISTS that cross join (and the bloom filter with
+    it) above the downstream semi-join, so the rows it was meant to
+    reject shuffle anyway — measured: identical 292 MB exchange with
+    and without the "prefilter". The single Literal keeps the plan
+    join-free, so the filter stays glued to the scan and rejected rows
+    really do skip the exchange."""
     if m_bits > (1 << 22):
         raise ValueError(
             "bloom_prefilter collects m_bits/32 longs driver-side; "
@@ -1317,20 +1318,7 @@ def bloom_prefilter(
     words = [0] * (m_bits // 32)
     for r in bloom.collect():
         words[int(r["w"])] = int(r["bits"])
-    arr_col = "__bloom_words"
-    while arr_col in df.columns:
-        arr_col += "_"
-    if m_bits <= _INLINE_BITS:
-        # single Literal node (np input), NOT array(lit, lit, ...):
-        # element-wise lits are re-expanded per reference below
-        arr = F.lit(np.asarray(words, dtype="int64"))
-        probe = df
-    else:
-        arr = F.col(arr_col)
-        arr_frame = df.sparkSession.createDataFrame(
-            [(words,)], f"{arr_col} array<bigint>"
-        )
-        probe = df.crossJoin(F.broadcast(arr_frame))
+    arr = F.lit(np.asarray(words, dtype="int64"))
     v = F.col(col)
     cond = v.isNotNull()
     for i in range(k):
@@ -1346,8 +1334,7 @@ def bloom_prefilter(
             "shiftleft", F.lit(1).cast("bigint"), (bit % F.lit(32)).cast("int")
         )
         cond = cond & (word.bitwiseAND(mask) != F.lit(0))
-    out = probe.filter(cond)
-    return out.drop(arr_col) if arr_col in out.columns else out
+    return df.filter(cond)
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:

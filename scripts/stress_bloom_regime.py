@@ -19,7 +19,9 @@ Three measurements, identical result row-counts asserted:
 Run: PYTHONPATH=/root/repo python scripts/stress_bloom_regime.py
 """
 
+import json
 import time
+import urllib.request
 
 from pyspark.sql import functions as F
 
@@ -35,8 +37,25 @@ M_BITS = 1 << 22
 K = 4
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """UI-REST shuffle-write total (the measure_shuffle.py probe)."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in stages
+        if s.get("status") == "COMPLETE"
+    )
+
+
 def main():
-    spark = get_session(app_name="stress-bloom-regime", master="local[32]")
+    spark = get_session(
+        app_name="stress-bloom-regime",
+        master="local[32]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     facts = spark.range(N_FACTS).select(
@@ -76,11 +95,14 @@ def main():
         for key, val in conf.items():
             spark.conf.set(key, val)
         try:
+            b0 = _shuffle_write_bytes(spark)
             t0 = time.time()
             row = df.collect()[0]
             dt = time.time() - t0
+            mb = (_shuffle_write_bytes(spark) - b0) / 1e6
             print(
-                f"{label}: {dt:.2f}s n={row['n']} sum={row['s']} w={row['w']}",
+                f"{label}: {dt:.2f}s shuffle={mb:.1f}MB "
+                f"n={row['n']} sum={row['s']} w={row['w']}",
                 flush=True,
             )
             return dt, (row["n"], str(row["s"]), row["w"])

@@ -3814,20 +3814,19 @@ def test_bloom_prefilter_keeps_all_members_and_caps_m(spark):
         bloom_prefilter(fact, "v", bl, m_bits=1 << 23, k=4)
 
 
-def test_bloom_prefilter_broadcast_path_same_contract(spark):
-    """Above _INLINE_BITS the word array rides a 1-row broadcast instead
-    of a plan literal (the 131k-expression-node analysis blowup fix) —
-    same membership contract, original schema preserved, and the two
-    paths agree row-for-row on the same (m, k, salt)."""
+def test_bloom_prefilter_large_m_same_contract(spark):
+    """Cap-sized filters (2^18 bits here) go through the same single
+    numpy-backed array Literal as small ones (the 131k-expression-node
+    analysis blowup fix) — membership contract intact, original schema
+    preserved, output equal to the brute bit definition."""
     from pyspark.sql import functions as F
 
     from bigdata_etl_customer360_spark.operators.quality import (
-        _INLINE_BITS,
         bloom_build,
         bloom_prefilter,
     )
 
-    m_big = _INLINE_BITS * 4
+    m_big = 1 << 18
     members = spark.createDataFrame([(i,) for i in range(50)], "v long")
     fact = spark.createDataFrame(
         [(i % 500, float(i)) for i in range(2000)], "v long, x double"
@@ -3837,11 +3836,8 @@ def test_bloom_prefilter_broadcast_path_same_contract(spark):
     assert kept.columns == fact.columns  # helper column dropped
     assert kept.filter(F.col("v") < 50).count() == 200  # no false negatives
     got = sorted((r["v"], r["x"]) for r in kept.collect())
-    # tiny m forces the inline path at the same hash family: on the SAME
-    # (m, k, salt) both paths must agree exactly — so compare big-m
-    # broadcast output against a recomputation through the inline path
-    # by temporarily inlining (m_big is above the cutoff, so instead
-    # recompute with the brute definition: all 4 md5 bits set)
+    # recompute with the brute bit definition: a row survives iff all 4
+    # md5 bit positions are set in the built word map
     from bigdata_etl_customer360_spark.operators.quality import _bloom_bit
 
     wordmap = {int(r["w"]): int(r["bits"]) for r in bl.collect()}

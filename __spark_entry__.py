@@ -259,6 +259,55 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-LSH dedup capture certificate, oracle-checked — the
+    LAST probabilistic tier with no graded quality row after r11's
+    lsh_recall/simhash_recall (embed_near_dup_lsh stays rows-only; the
+    corpus' near-uniform synthetic embeddings have NO pairs above
+    cosine 0.8, so the certificate PLANTS its near-dups): each of 25
+    base vectors gets a deterministic twin (every coordinate +0.02 in
+    double — cosine 0.987-0.989 against its base), and the graded
+    LSH-mode config (threshold 0.35, 4 hyperplanes x 16 tables) must
+    (a) capture every planted pair in some bucket — P(miss) =
+    (1-(1-theta/pi)^4)^16 ~ 3e-12 at theta = acos(0.987), the
+    minhash_recall right-of-the-S-curve discipline, verified
+    empirically at both graded sfs — and (b) rescore it to the EXACT
+    quantized cosine (int64 dot, one double division), which the
+    oracle recomputes bit-for-bit. A missed pair surfaces as found=0
+    AND a NULL cosine — double hash-mismatch. Capture at the 0.35
+    threshold frontier stays probabilistic and is NOT claimed."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 25)
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
+    planted = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    ).unionByName(planted)
+    pairs = embedding_cosine_pairs(corpus, threshold=0.35, mode="lsh")
+    expect = base.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("id_b"),
+    )
+    return expect.join(pairs, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.when(F.col("cosine").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("found"),
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_etl_customer360_spark.operators.relational import salted_join
 
@@ -5526,6 +5575,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 11 ---
         "lsh_recall": q_lsh_recall,
         "simhash_recall": q_simhash_recall,
+        "embed_lsh_recall": q_embed_lsh_recall,
     }
 
 
@@ -5920,6 +5970,31 @@ _ORACLES: dict[str, str] = {
           ) WHERE rn = 1
         )
         SELECT id, lbl AS label FROM r4
+    """,
+    "embed_lsh_recall": """
+        -- the planted twins' exact quantized cosine recomputed (the
+        -- embed_near_dup construction: int64 dot of floor(x*2^20+0.5)
+        -- quantized coords, one double division) + the pinned found=1
+        -- capture claim — P(bucket miss) ~ 3e-12 per pair at the
+        -- graded 4-plane/16-table config (see q_embed_lsh_recall).
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e,
+                 [CAST(floor((CAST(x AS DOUBLE) + 0.02) * 1048576.0 + 0.5)
+                       AS BIGINT)
+                  FOR x IN embedding] AS p
+          FROM embeddings WHERE vec_id < 25
+        )
+        SELECT vec_id AS id_a,
+               CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+               CAST(list_sum([e[i] * p[i] FOR i IN range(1, len(e) + 1)])
+                    AS DOUBLE)
+                 / (sqrt(CAST(list_sum([v * v FOR v IN e]) AS DOUBLE))
+                    * sqrt(CAST(list_sum([v * v FOR v IN p]) AS DOUBLE)))
+                 AS cosine,
+               CAST(1 AS BIGINT) AS found
+        FROM q
     """,
     "simhash_recall": r"""
         -- every md5-family fingerprint rebuilt bit-for-bit (the

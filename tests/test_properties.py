@@ -341,3 +341,69 @@ def test_dedup_spans_matches_python_reference(spark, corpora):
     want = _ref_dedup_spans(texts, 3, 2)
     for d, exp in enumerate(want):
         assert got[d] == exp, (d, texts[d], got[d], exp)
+
+
+_sim_vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+simhash_corpus = st.lists(
+    st.lists(st.sampled_from(_sim_vocab), min_size=1, max_size=8),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _ref_portable_simhash(text: str) -> tuple[int, int]:
+    """Pure-Python mirror of with_simhash_portable: md5 halves per token,
+    +/-1 votes per bit, strictly-positive fold into two 32-bit halves."""
+    import hashlib
+
+    votes = [0] * 64
+    for t in text.strip().lower().split():
+        h = hashlib.md5(t.encode()).hexdigest()
+        lo, hi = int(h[:8], 16), int(h[8:16], 16)
+        for b in range(64):
+            bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+            votes[b] += 1 if bit else -1
+    return (
+        sum(1 << b for b in range(32) if votes[b] > 0),
+        sum(1 << (b - 32) for b in range(32, 64) if votes[b] > 0),
+    )
+
+
+@given(simhash_corpus)
+@SETTINGS
+def test_simhash_portable_pairs_match_python_reference(spark, corpora):
+    """The simhash_recall machinery against a pure-Python mirror on
+    adversarial tiny-vocab corpora (many shared tokens -> fingerprints
+    cluster -> bands genuinely collide): banding must return EXACTLY the
+    brute bit_count(xor) <= 3 pair set, and the fingerprints themselves
+    must match the md5 reference bit-for-bit."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        simhash_pairs_portable,
+        with_simhash_portable,
+    )
+
+    texts = [" ".join(tks) for tks in corpora]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    sigs = {
+        r["doc_id"]: (r["sig_lo"], r["sig_hi"])
+        for r in with_simhash_portable(df).collect()
+    }
+    want_sigs = {i: _ref_portable_simhash(t) for i, t in enumerate(texts)}
+    assert sigs == want_sigs
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_portable(df, max_hamming=3).collect()
+    )
+    want = sorted(
+        (a, b, h)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        for h in [
+            bin(want_sigs[a][0] ^ want_sigs[b][0]).count("1")
+            + bin(want_sigs[a][1] ^ want_sigs[b][1]).count("1")
+        ]
+        if h <= 3
+    )
+    assert got == want, (texts, got, want)

@@ -3005,6 +3005,51 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE losslessness certificate, oracle-checked — the tokenizer
+    invariant a training pipeline actually depends on: concatenating a
+    document's bpe_encode output must rebuild EXACTLY the lowercased
+    whitespace-token stream the trainer counted (subword segmentation
+    is model-dependent and stays rows-only in bpe_encode; the
+    ROUND-TRIP is engine-independent). The oracle recomputes the
+    normalized token concatenation straight from the text with the
+    identical word_tokens_expr split — any dropped, duplicated or
+    mangled subword anywhere in the train->encode chain breaks string
+    equality and hash-mismatches. Same merge table as the graded
+    bpe_encode (30 merges trained on the doc_id%4==0 slice)."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs.filter(F.col("doc_id") % 4 == 0), num_merges=30)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", F.array_join("bpe_tokens", "").alias("detok")
+    )
+
+
+def q_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM losslessness certificate (the q_bpe_roundtrip claim
+    for the Viterbi encoder): every document's unigram_encode piece
+    stream — single-char unk fallbacks included, which is exactly why
+    the round-trip always holds — must concatenate back to the
+    normalized word stream the oracle recomputes from the text.
+    Segmentation stays rows-only (unigram_tokenize); losslessness is
+    the graded engine-independent contract. Reuses the session-cached
+    _unigram_model fit."""
+    from bigdata_etl_customer360_spark.operators.textstats import (
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = unigram_encode(docs, _unigram_model(spark, sf_dir))
+    return enc.select(
+        "doc_id", F.array_join("tokens", "").alias("detok")
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rank-based outlier capping (operators/quality.winsorize):
     per-priority 1%/99% winsorization of order totals — discrete
@@ -5576,6 +5621,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "simhash_recall": q_simhash_recall,
         "embed_lsh_recall": q_embed_lsh_recall,
+        "bpe_roundtrip": q_bpe_roundtrip,
+        "unigram_roundtrip": q_unigram_roundtrip,
     }
 
 
@@ -5970,6 +6017,32 @@ _ORACLES: dict[str, str] = {
           ) WHERE rn = 1
         )
         SELECT id, lbl AS label FROM r4
+    """,
+    "bpe_roundtrip": r"""
+        -- the engine-independent round-trip target: the lowercased
+        -- non-empty whitespace-token stream concatenated (identical
+        -- split to word_tokens_expr / the bm25 oracle); bpe subword
+        -- boundaries vanish under concatenation, so a lossless encoder
+        -- must reproduce this string exactly (see q_bpe_roundtrip).
+        SELECT doc_id,
+               COALESCE(list_aggregate(
+                 [t FOR t IN string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+')
+                  IF t <> ''],
+                 'string_agg', ''), '') AS detok
+        FROM documents
+    """,
+    "unigram_roundtrip": r"""
+        -- same normalization target as bpe_roundtrip: Viterbi pieces
+        -- (incl. single-char unk fallbacks) concatenate back to the
+        -- normalized word stream (see q_unigram_roundtrip).
+        SELECT doc_id,
+               COALESCE(list_aggregate(
+                 [t FOR t IN string_split_regex(lower(trim(COALESCE(text, ''))),
+                                                '[ \t\r\n\x0B\f]+')
+                  IF t <> ''],
+                 'string_agg', ''), '') AS detok
+        FROM documents
     """,
     "embed_lsh_recall": """
         -- the planted twins' exact quantized cosine recomputed (the

@@ -5336,12 +5336,34 @@ def _committed_ledger_names(here: str) -> "set[str] | None":
     return names or None
 
 
+def _contract_changes(here: str) -> dict[str, int]:
+    """CONTRACT_CHANGES.json sidecar: query -> round in which its graded
+    contract (implementation semantics or oracle_sql) last changed.  A
+    grading older than the contract proves nothing about the current code,
+    so the rotation demotes such queries to never-verified until a
+    committed ledger >= the listed round re-grades them (VERDICT r11
+    task 3; motivating case: label_propagation's r11 4-round chained-CTE
+    oracle would otherwise ride its stale r10 green until ~r14)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(here, "CONTRACT_CHANGES.json")) as f:
+            raw = _json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {q: int(r) for q, r in raw.items() if not q.startswith("_")}
+
+
 def _correctness_last_round() -> dict[str, int]:
     """Last driver round that recorded ANY row per query, from the committed
     CORRECTNESS_r*.json artifacts next to this file.  Deterministic for a
     given repo state (the driver writes the current round's file only AFTER
     calling ``queries()``, so the ordering never reads its own output;
-    untracked ledgers are ignored when git can enumerate the tracked set)."""
+    untracked ledgers are ignored when git can enumerate the tracked set).
+    Queries whose graded contract changed AFTER their last grading (per the
+    committed CONTRACT_CHANGES.json sidecar) are dropped from the map — they
+    sort as never-verified until the driver re-grades them."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -5363,6 +5385,9 @@ def _correctness_last_round() -> dict[str, int]:
             continue
         for q in rows:
             last[q] = max(last.get(q, 0), int(m.group(1)))
+    for q, changed in _contract_changes(here).items():
+        if last.get(q, 0) < changed:
+            last.pop(q, None)
     return last
 
 
@@ -5766,7 +5791,7 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id, {_DOC_CLASSIFIER.to_case_sql("text")} AS category FROM documents
     """,
     "token_count": r"""
-        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        SELECT doc_id, len(string_split_regex(trim(text), '[ \t\r\n\x0B\f]+')) AS n_tokens
         FROM documents
     """,
     "token_count_bpe": r"""
@@ -5777,7 +5802,7 @@ _ORACLES: dict[str, str] = {
     """,
     "filter_corpus": r"""
         WITH t AS (
-          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+          SELECT doc_id, text, string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks
           FROM documents
         ),
         scored AS (
@@ -5886,7 +5911,7 @@ _ORACLES: dict[str, str] = {
     """,
     "quality_score": r"""
         WITH t AS (
-          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+          SELECT doc_id, text, string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks FROM documents
         )
         SELECT doc_id,
           len(toks) AS n_tokens,
@@ -5907,7 +5932,7 @@ _ORACLES: dict[str, str] = {
             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS s_es,
             len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est'], x))) AS s_fr
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+          FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks FROM documents)
         )
         SELECT doc_id,
           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
@@ -5920,14 +5945,14 @@ _ORACLES: dict[str, str] = {
     """,
     "fingerprint": r"""
         SELECT doc_id,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g')) AS fingerprint
         FROM documents
     """,
     "dedup_exact": r"""
         SELECT doc_id, lang, source, n_chars FROM (
           SELECT doc_id, lang, source, n_chars,
                  ROW_NUMBER() OVER (
-                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
                    ORDER BY doc_id ASC) AS rn
           FROM documents
         ) WHERE rn = 1
@@ -5938,7 +5963,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         )
         SELECT id_a, id_b, jaccard FROM (
@@ -5962,7 +5987,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ),
         pairs AS (
@@ -6078,7 +6103,7 @@ _ORACLES: dict[str, str] = {
         -- q_simhash_recall / simhash_pairs_portable.
         WITH toks AS (
           SELECT doc_id,
-                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 unnest(string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+')) AS t
           FROM documents
         ),
         h AS (
@@ -6123,7 +6148,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         )
         SELECT id_a, id_b, jaccard, CAST(1 AS BIGINT) AS found FROM (
@@ -6388,7 +6413,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ),
         pairs AS (
@@ -6424,7 +6449,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ),
         pairs AS (
@@ -6985,14 +7010,14 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ), rsh AS (
           SELECT doc_id + 100000 AS doc_id,
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text || ' zz qq')), '\s+') AS tk
+                       string_split_regex(lower(trim(text || ' zz qq')), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         )
         SELECT left_id, right_id, jaccard FROM (
@@ -7214,7 +7239,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ),
         pairs AS (
@@ -7295,7 +7320,7 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source FROM (
           SELECT doc_id, lang, source,
                  ROW_NUMBER() OVER (
-                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
                    ORDER BY doc_id ASC) AS rn
           FROM corpus
         ) WHERE rn = 1
@@ -8057,7 +8082,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         )
         SELECT id_contained, id_container, sz_contained, n_common,
@@ -8570,7 +8595,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         )
         SELECT id_a, id_b, jaccard FROM (
@@ -8717,7 +8742,7 @@ _ORACLES: dict[str, str] = {
             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS s_es,
             len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est'], x))) AS s_fr
           FROM (SELECT doc_id, lang,
-                       string_split_regex(trim(text), '\s+') AS toks
+                       string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks
                 FROM documents)
         ), pred AS (
           SELECT lang AS t,
@@ -8940,7 +8965,7 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source FROM (
           SELECT doc_id, lang, source,
                  ROW_NUMBER() OVER (
-                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
                    ORDER BY doc_id ASC) AS rn
           FROM corpus
         ) WHERE rn = 1
@@ -8991,7 +9016,7 @@ _ORACLES: dict[str, str] = {
                                 FOR i IN range(1, len(tk2) - 1)]) AS sh
           FROM (SELECT doc_id, chunk_idx,
                        string_split_regex(lower(trim(chunk_text)),
-                                          '\s+') AS tk2
+                                          '[ \t\r\n\x0B\f]+') AS tk2
                 FROM ck)
         ), cp AS (
           SELECT a.doc_id AS da, b.doc_id AS db
@@ -9086,7 +9111,7 @@ _ORACLES: dict[str, str] = {
                    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
                  CAST(len(list_distinct(toks)) AS DOUBLE)
                    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
-          FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks
+          FROM (SELECT *, string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks
                 FROM documents)
         ),
         filtered AS (
@@ -9097,7 +9122,7 @@ _ORACLES: dict[str, str] = {
         uniq AS (
           SELECT doc_id, text, lang, source, n_tokens FROM (
             SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
               ORDER BY doc_id ASC) AS rn
             FROM filtered
           ) WHERE rn = 1
@@ -9107,7 +9132,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM uniq)
         ),
         pairs AS (
@@ -9390,7 +9415,7 @@ _ORACLES: dict[str, str] = {
                  list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                                 FOR i IN range(1, len(tk) - 1)]) AS sh
           FROM (SELECT doc_id, lang, source,
-                       string_split_regex(lower(trim(text)), '\s+') AS tk
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
                 FROM documents)
         ),
         bench AS (
@@ -9410,7 +9435,7 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": r"""
         WITH tok AS (
           SELECT doc_id, lang,
-                 len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                 len(string_split_regex(trim(text), '[ \t\r\n\x0B\f]+')) AS n_tokens
           FROM documents
         ), c AS (
           SELECT doc_id, lang, n_tokens,
@@ -10185,7 +10210,7 @@ _ORACLES["gopher_quality"] = r"""
     -- CAST(x AS DOUBLE) (bare literals parse DECIMAL in DuckDB).
     WITH w AS (
       SELECT doc_id, text,
-             string_split_regex(trim(text), '\s+') AS toks,
+             string_split_regex(trim(text), '[ \t\r\n\x0B\f]+') AS toks,
              string_split(text, chr(10)) AS lns
       FROM documents
     ),

@@ -37,7 +37,7 @@ from bigdata_etl_customer360_spark.operators.util import fan_out, let1, scoped_c
 def norm_tokens_expr(col: str) -> Column:
     """Case-folded whitespace tokens — near-dup semantics treat case and
     spacing as noise (matches ``dedup_exact``'s normalization)."""
-    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    return F.split(F.lower(F.trim(F.col(col))), r"[ \t\r\n\x0B\f]+")
 
 
 def with_shingles(df: DataFrame, col: str = "text", n: int = 3, out_col: str = "shingles") -> DataFrame:
@@ -61,7 +61,7 @@ def text_fingerprint(text_col: str = "text") -> Column:
     lowercased, trimmed, whitespace-collapsed text. Single definition so
     the batch == incremental invariant can't drift."""
     return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+", " ")
     )
 
 
@@ -292,7 +292,7 @@ def with_simhash(
     simhash_sql = f"""
         element_at(transform(
           array(aggregate(
-              transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)),
+              transform(split(lower(trim({text_col})), '[ \\\\t\\\\r\\\\n\\\\x0B\\\\f]+'), t -> xxhash64(t)),
               array_repeat(0L, 64),
               (acc, h) -> zip_with(acc,
                   transform(sequence(0, 63),
@@ -333,7 +333,7 @@ def with_simhash_portable(
     df = fan_out(df)
     votes = f"""
         aggregate(
-          transform(split(lower(trim({text_col})), '\\\\s+'),
+          transform(split(lower(trim({text_col})), '[ \\\\t\\\\r\\\\n\\\\x0B\\\\f]+'),
                     t -> named_struct(
                       'lo', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
                       'hi', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))),

@@ -34,7 +34,7 @@ DEFAULT_STOPWORDS: Sequence[str] = ("the", "a", "of", "and", "to", "is", "in", "
 def tokens_expr(col: str) -> Column:
     """Whitespace tokenization. Kept trivially simple on purpose: the same
     split must be expressible in the oracle dialect."""
-    return F.split(F.trim(F.col(col)), r"\s+")
+    return F.split(F.trim(F.col(col)), r"[ \t\r\n\x0B\f]+")
 
 
 def with_token_count(df: DataFrame, col: str = "text", out_col: str = "n_tokens") -> DataFrame:
@@ -122,7 +122,7 @@ def with_fingerprint(
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, trimmed, whitespace collapsed). Collision-safe enough for
     exact-dup detection and portable across engines (md5 everywhere)."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"[ \t\r\n\x0B\f]+", " ")
     return df.withColumn(out_col, F.md5(normalized))
 
 

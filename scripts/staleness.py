@@ -52,15 +52,23 @@ def ledger() -> list[tuple[str, int | None, str, int]]:
     import __spark_entry__ as entry
 
     registry = list(entry.queries().keys())
+    # Ranking round comes from PRODUCTION (committed ledgers only + the
+    # CONTRACT_CHANGES.json never-verified demotion) so the emitted window
+    # always equals what queries() will actually serve the driver; the
+    # status column is display-only and may read uncommitted rows.
+    prod_last = entry._correctness_last_round()
     rounds = load_rounds()
-    last: dict[str, tuple[int, str]] = {}
+    status: dict[str, str] = {}
     for r in sorted(rounds):
         for q, row in rounds[r].items():
-            last[q] = (r, status_of(row))
+            status[q] = status_of(row)
 
     out = []
     for pos, q in enumerate(registry):
-        r, st = last.get(q, (None, "never"))
+        r = prod_last.get(q)
+        st = status.get(q, "never") if r is not None else (
+            "CHANGED" if q in status else "never"
+        )
         out.append((q, r, st, pos))
     return out
 
@@ -88,6 +96,22 @@ def main() -> None:
     head = [q for q, *_ in sorted(rows, key=lambda t: t[3])][:50]
     drift = [q for q in win if q not in head]
     print(f"\nregistry-head drift vs recommendation: {len(drift)} queries -> {drift}")
+
+    # Staleness histogram vs the documented policy (CLAUDE.md, VERDICT r11
+    # task 5): with a 50-query driver window over N registered queries the
+    # structural floor on max staleness is ceil(N/50) - 1 rounds; the
+    # committed policy target is <= 4, which requires freezing registry
+    # growth near 227 queries (ceil(227/50) = 5 windows -> max 4).
+    latest = max((r for _, r, _, _ in rows if r is not None), default=0)
+    hist: dict[str, int] = {}
+    for _, r, _, _ in rows:
+        key = "never/forced" if r is None else str(latest - r)
+        hist[key] = hist.get(key, 0) + 1
+    floor = -(-len(rows) // 50) - 1
+    print(f"\nstaleness histogram (rounds behind r{latest}):")
+    for k in sorted(hist, key=lambda x: (x != "never/forced", x)):
+        print(f"  {k:>12s}: {hist[k]}")
+    print(f"policy: max staleness <= 4 (structural floor at {len(rows)} queries: {floor})")
 
 
 if __name__ == "__main__":

@@ -283,6 +283,92 @@ def test_simhash_portable_banding_equals_brute(spark):
     assert (1, 2, 0) in got
 
 
+def test_simhash_tokenizer_engine_pinned_on_vertical_tab(spark):
+    """ADVICE r11: Java \\s includes \\x0B, RE2 \\s does not — both sides
+    now use the explicit class [ \\t\\r\\n\\x0B\\f]+ so a vertical-tab
+    document tokenizes identically on Spark and in the DuckDB oracle.
+    Pin (a) Spark: '\\x0B'-separated text fingerprints equal to the
+    space-separated twin, (b) DuckDB: the oracle's split pattern (lifted
+    from the committed oracle_sql) yields the same token list."""
+    import re as _re
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        with_simhash,
+        with_simhash_portable,
+    )
+
+    nasty = "alpha\x0bbeta\tgamma\ndelta\x0cepsilon"
+    clean = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, nasty), (2, clean)], schema="doc_id long, text string"
+    )
+    sig = {
+        r["doc_id"]: (r["sig_lo"], r["sig_hi"])
+        for r in with_simhash_portable(df).collect()
+    }
+    assert sig[1] == sig[2], "Spark explicit-class split diverges on \\x0B"
+    xx = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert xx[1] == xx[2], "production xxhash64 family split diverges"
+    # the pattern the oracle actually ships, not a re-typed copy
+    m = _re.search(
+        r"string_split_regex\(lower\(trim\(text\)\), '([^']+)'\)",
+        entry.oracle_sql()["simhash_recall"],
+    )
+    assert m, "simhash_recall oracle split pattern not found"
+    toks = duckdb.sql(
+        "SELECT string_split_regex(lower(trim($t)), $p)",
+        params={"t": nasty, "p": m.group(1)},
+    ).fetchone()[0]
+    assert toks == ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+
+def test_simhash_banding_parity_second_config(spark):
+    """VERDICT r11 task 6b: banding==brute parity on the PRODUCTION
+    xxhash64 family at a second (blocks, max_hamming) config — 8 blocks
+    of 8 bits at max_hamming=7 — with planted near-pairs (one- and
+    two-token edits of a 24-token base) so the Hamming ball is actually
+    populated beyond hamming=0."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        simhash_pairs,
+        with_simhash,
+    )
+
+    base = ("w%d" % i for i in range(24))
+    base = list(base)
+    texts = {1: " ".join(base), 2: " ".join(base)}
+    edit1 = list(base)
+    edit1[5] = "CHANGED"
+    texts[3] = " ".join(edit1)
+    edit2 = list(base)
+    edit2[2], edit2[17] = "FOO", "BAR"
+    texts[4] = " ".join(edit2)
+    texts[5] = " ".join("z%d" % i for i in range(24))  # far-away doc
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], schema="doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    ids = sorted(fp)
+    brute = sorted(
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        for h in [bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")]
+        if h <= 7
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(df, max_hamming=7).collect()
+    )
+    assert got == brute
+    assert (1, 2, 0) in got  # identical pair captured
+    assert any(a == 1 and b == 3 for a, b, _ in got) or any(
+        a == 1 and b == 4 for a, b, _ in got
+    ), "planted near-edits all fell outside the Hamming ball — weak fixture"
+
+
 def test_simhash_portable_rejects_unsplittable_blocks(spark):
     import pytest as _pytest
 

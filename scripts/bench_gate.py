@@ -1,0 +1,164 @@
+"""Bench gate: recompute driver-bench vs committed-canonical per-query
+ratios and FAIL on any query above the 2x gate (VERDICT r11 task 6a — the
+check the judge runs by hand each round, now runnable locally).
+
+Canonical side: the per-query table in ``git show HEAD:BASELINE.md`` (the
+LAST ``| query | sec`` table — the committed canonical recording). NOT
+BENCH_FULL.json: bench.py regenerates that file on every run and the
+driver commits it at round end, so at HEAD it usually IS the candidate
+run. Candidate side: the newest ``BENCH_r*.json`` driver artifact by
+default (its elided stdout line is completed from the committed
+BENCH_FULL.json of the SAME commit when needed), or any path given on the
+command line — a raw bench.py JSON dict or a driver wrapper whose
+``tail`` embeds the JSON line.
+
+Host-noise discipline (BASELINE.md r8): absolute seconds drift with the
+host, so the gate first reports the common-query MEDIAN ratio; a query
+regressed only if its own ratio stands out of that envelope AND crosses
+2x vs canonical. Exit 1 on any >2x query or total; 0 otherwise.
+
+Usage: python scripts/bench_gate.py [candidate.json] [--max-ratio 2.0]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench_payload(raw: str) -> dict:
+    """Raw bench.py output dict, from either a plain JSON file or a driver
+    wrapper whose 'tail' embeds the one-line JSON."""
+    doc = json.loads(raw)
+    if "queries" in doc:
+        return doc
+    tail = doc.get("tail", "")
+    lines = [l for l in tail.splitlines() if l.startswith('{"metric"')]
+    if not lines:
+        m = re.search(r'\{"metric".*\}', tail)
+        if not m:
+            raise SystemExit("no bench JSON line found in candidate file")
+        lines = [m.group(0)]
+    return json.loads(lines[-1])
+
+
+def _git_show(spec: str) -> str:
+    out = subprocess.run(
+        ["git", "-C", REPO, "show", spec], capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        raise SystemExit(f"cannot read {spec}: " + out.stderr)
+    return out.stdout
+
+
+def _canonical() -> dict:
+    """Per-query seconds from the LAST canonical table in committed
+    BASELINE.md (rows ``| name | 1.234 |`` under a ``| query | sec`` header)."""
+    text = _git_show("HEAD:BASELINE.md")
+    tables: list[dict[str, float]] = []
+    cur: dict[str, float] | None = None
+    for line in text.splitlines():
+        if re.match(r"\|\s*query\s*\|\s*sec", line):
+            cur = {}
+            tables.append(cur)
+            continue
+        if cur is not None:
+            m = re.match(r"\|\s*([\w.-]+)\s*\|\s*([\d.]+)\s*\|", line)
+            if m:
+                cur[m.group(1)] = float(m.group(2))
+            elif line.strip() and not line.startswith("|--") and not line.startswith("| ---") and not line.startswith("|---"):
+                cur = None
+    tables = [t for t in tables if t]
+    if not tables:
+        raise SystemExit("no canonical per-query table found in HEAD:BASELINE.md")
+    return {"queries": tables[-1]}
+
+
+def _complete_elided(cand: dict, cand_path: str) -> dict:
+    """A driver artifact's stdout line elides most queries; the full map is
+    the BENCH_FULL.json committed ALONGSIDE that artifact."""
+    if not cand.get("queries_elided"):
+        return cand
+    rev = subprocess.run(
+        ["git", "-C", REPO, "log", "-1", "--format=%H", "--",
+         os.path.basename(cand_path)],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if not rev:
+        print(f"warning: {cand_path} not committed; gating its "
+              f"{len(cand['queries'])} reported queries only")
+        return cand
+    full = json.loads(_git_show(f"{rev}:BENCH_FULL.json"))
+    merged = dict(full["queries"])
+    merged.update(cand["queries"])
+    return {**cand, "queries": merged}
+
+
+def main() -> None:
+    argv, args, max_ratio = sys.argv[1:], [], 2.0
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--max-ratio":
+            max_ratio = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if args:
+        cand_path = args[0]
+    else:
+        drivers = sorted(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+        )
+        if not drivers:
+            raise SystemExit("no BENCH_r*.json driver artifact found")
+        cand_path = drivers[-1]
+    cand = _complete_elided(_bench_payload(open(cand_path).read()), cand_path)
+    base = _canonical()
+
+    bq, cq = base["queries"], cand["queries"]
+    common = sorted(set(bq) & set(cq))
+    if not common:
+        raise SystemExit("no common queries between candidate and canonical")
+    ratios = {q: cq[q] / bq[q] for q in common if bq[q] > 0}
+    med = statistics.median(ratios.values())
+    total_ratio = (
+        sum(cq[q] for q in common) / sum(bq[q] for q in common)
+    )
+    print(
+        f"candidate={os.path.basename(cand_path)} canonical=HEAD:BASELINE.md"
+        f" common={len(common)} (candidate-only={len(set(cq)-set(bq))},"
+        f" canonical-only={len(set(bq)-set(cq))})"
+    )
+    print(
+        f"common-total ratio {total_ratio:.3f}, median {med:.3f}"
+        f" (host-noise envelope; compare queries against THIS, not 1.0)"
+    )
+    offenders = sorted(
+        ((r, q) for q, r in ratios.items() if r > max_ratio), reverse=True
+    )
+    watch = sorted(
+        ((r, q) for q, r in ratios.items() if med * 1.5 < r <= max_ratio),
+        reverse=True,
+    )[:10]
+    for r, q in watch:
+        print(f"  watch {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s)")
+    for r, q in offenders:
+        print(f"  FAIL  {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s)")
+    if total_ratio > max_ratio:
+        print(f"  FAIL  common-total {total_ratio:.2f}x > {max_ratio}x")
+    if offenders or total_ratio > max_ratio:
+        sys.exit(1)
+    print(f"gate PASS: 0 of {len(ratios)} queries above {max_ratio}x")
+
+
+if __name__ == "__main__":
+    main()

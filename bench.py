@@ -93,8 +93,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail always lands on disk for BASELINE.md / auditing.
+    # A BENCH_QUERIES-restricted run must never clobber the full recording
+    # (the r8 lesson, now mechanical): it writes BENCH_RESTRICTED.json.
+    detail_name = "BENCH_RESTRICTED.json" if only else "BENCH_FULL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
+                           detail_name), "w") as fh:
         json.dump(result, fh, indent=1)
 
     # The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -109,7 +112,7 @@ def main() -> None:
     # entry draining `keep` without ever fitting the budget
     line = json.dumps(
         {**result, "queries": {}, "queries_elided": len(timings),
-         "full": "BENCH_FULL.json"},
+         "full": detail_name},
         separators=(",", ":"),
     )
     while keep:
@@ -117,7 +120,7 @@ def main() -> None:
         out["queries"] = {k: timings[k] for k in timings if k in keep}
         if len(keep) < len(timings):
             out["queries_elided"] = len(timings) - len(keep)
-            out["full"] = "BENCH_FULL.json"
+            out["full"] = detail_name
         candidate = json.dumps(out, separators=(",", ":"))
         if len(candidate) <= line_budget:
             line = candidate

@@ -1,0 +1,82 @@
+"""scripts/bench_gate.py contract tests — the gate the judge applies by
+hand each round (VERDICT r11 task 6a). Pins (a) the canonical per-query
+table in committed BASELINE.md stays machine-parseable and complete,
+(b) a driver artifact's elided stdout line is completed from the
+BENCH_FULL.json committed alongside it, (c) ratio math and exit behavior.
+"""
+from __future__ import annotations
+
+import glob
+import importlib.util
+import json
+import os
+import re
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "bench_gate", os.path.join(REPO, "scripts", "bench_gate.py")
+)
+bench_gate = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench_gate)
+
+
+def _git_ok() -> bool:
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def test_canonical_table_parses_and_covers_registry():
+    import pytest
+
+    if not _git_ok():
+        pytest.skip("git unavailable")
+    canon = bench_gate._canonical()["queries"]
+    assert len(canon) >= 200, "canonical table lost rows — check BASELINE.md"
+    assert all(v > 0 for v in canon.values())
+    # every canonical entry must be a registered query (a renamed query
+    # whose stale row lingers would silently drop out of the gate)
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    registered = set(entry._query_impls())
+    stale = set(canon) - registered
+    assert not stale, f"canonical rows for unregistered queries: {sorted(stale)}"
+
+
+def test_driver_artifact_completes_from_committed_full():
+    import pytest
+
+    if not _git_ok():
+        pytest.skip("git unavailable")
+    drivers = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+    if not drivers:
+        pytest.skip("no driver bench artifact")
+    cand_path = drivers[-1]
+    cand = bench_gate._bench_payload(open(cand_path).read())
+    if not cand.get("queries_elided"):
+        pytest.skip("driver line not elided")
+    full = bench_gate._complete_elided(cand, cand_path)
+    assert len(full["queries"]) == len(cand["queries"]) + cand["queries_elided"]
+
+
+def test_payload_parses_raw_and_wrapped(tmp_path):
+    raw = {"metric": "total_query_wall_seconds", "queries": {"q": 1.0}}
+    assert bench_gate._bench_payload(json.dumps(raw))["queries"] == {"q": 1.0}
+    wrapped = {"tail": "noise\n" + json.dumps(raw) + "\n"}
+    assert bench_gate._bench_payload(json.dumps(wrapped))["queries"] == {"q": 1.0}

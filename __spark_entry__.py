@@ -840,8 +840,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 1→N binary frame expansion via mapInPandas; rows-only (DuckDB can't
-    # byte-slice blobs), determinism pinned by unit test.
+    # 1→N binary frame expansion via mapInPandas, oracle-EXACT since r12:
+    # the corpus is pure ASCII so DuckDB's character-level
+    # substring/sha256 rebuild the stub's even byte windows exactly
+    # (frame_bytes dropped from the graded projection — only the hashes
+    # are compared). Byte-level generality on arbitrary binaries stays
+    # pinned by the unit tests (png_concat_opener, stub slicing).
     from bigdata_etl_customer360_spark.operators.multimodal import extract_frames
 
     media = binarize_text(_t(spark, sf_dir, "documents"))
@@ -9195,6 +9199,26 @@ _ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+    """,
+    # multimodal_frames: the stub's even byte windows rebuilt in SQL.
+    # DuckDB's substring/sha256 are VARCHAR (character) ops, so the twin
+    # is exact BECAUSE the corpus is pure ASCII (char == byte; asserted:
+    # 0 docs with octet_length(encode(text)) <> length(text) at every
+    # SF). Byte-level generality on arbitrary binaries stays pinned by
+    # the unit tests; step = max(1, n // 4), last window drops n % 4
+    # trailing bytes — same as extract_frames' stub slicing.
+    "multimodal_frames": r"""
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 COALESCE(text, '') AS t,
+                 length(COALESCE(text, '')) AS n
+          FROM documents
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               sha256(substring(t, CAST(i * GREATEST(n // 4, 1) + 1 AS BIGINT),
+                                GREATEST(n // 4, 1))) AS frame_sha256
+        FROM media, UNNEST([0, 1, 2, 3]) AS u(i)
     """,
     "window_tumbling": """
         SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts, event_type,

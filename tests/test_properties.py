@@ -369,20 +369,35 @@ def _ref_portable_simhash(text: str) -> tuple[int, int]:
     )
 
 
-@given(simhash_corpus)
+@given(
+    simhash_corpus,
+    st.lists(
+        st.sampled_from(list(" \t\r\n\x0b\f")), min_size=1, max_size=6
+    ),
+)
 @SETTINGS
-def test_simhash_portable_pairs_match_python_reference(spark, corpora):
+def test_simhash_portable_pairs_match_python_reference(spark, corpora, seps):
     """The simhash_recall machinery against a pure-Python mirror on
     adversarial tiny-vocab corpora (many shared tokens -> fingerprints
     cluster -> bands genuinely collide): banding must return EXACTLY the
     brute bit_count(xor) <= 3 pair set, and the fingerprints themselves
-    must match the md5 reference bit-for-bit."""
+    must match the md5 reference bit-for-bit. Tokens are joined with
+    separators drawn from the FULL engine-pinned whitespace class
+    [ \\t\\r\\n\\x0B\\f] (ADVICE r11: Java \\s vs RE2 \\s diverge on \\x0B;
+    Python str.split() agrees with the explicit class on all six), so the
+    split itself is property-tested, not just the vote/fold/band chain."""
     from bigdata_etl_customer360_spark.operators.dedup import (
         simhash_pairs_portable,
         with_simhash_portable,
     )
 
-    texts = [" ".join(tks) for tks in corpora]
+    texts = [
+        "".join(
+            t + (seps[(i + j) % len(seps)] if j < len(tks) - 1 else "")
+            for j, t in enumerate(tks)
+        )
+        for i, tks in enumerate(corpora)
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
     )

@@ -75,6 +75,26 @@ def test_driver_artifact_completes_from_committed_full():
     assert len(full["queries"]) == len(cand["queries"]) + cand["queries_elided"]
 
 
+def test_gate_math_significance_floor():
+    """A >2x ratio fails only with a real absolute regression: 0.04s ->
+    0.15s is scheduler jitter (measured r12, agg_stream), 1.0s -> 2.5s is
+    a genuine regression; the sub-floor crossing still surfaces as noise."""
+    bq = {"tiny": 0.04, "big": 1.0, "steady": 3.0}
+    cq = {"tiny": 0.15, "big": 2.5, "steady": 3.1}
+    g = bench_gate.gate(bq, cq, max_ratio=2.0, min_delta=0.25)
+    assert [q for _, q in g["offenders"]] == ["big"]
+    assert [q for _, q in g["noise"]] == ["tiny"]
+
+
+def test_gate_math_total_and_median():
+    bq = {"a": 1.0, "b": 2.0}
+    cq = {"a": 1.1, "b": 2.2}
+    g = bench_gate.gate(bq, cq)
+    assert abs(g["total_ratio"] - 1.1) < 1e-9
+    assert abs(g["median"] - 1.1) < 1e-9
+    assert not g["offenders"] and not g["noise"]
+
+
 def test_payload_parses_raw_and_wrapped(tmp_path):
     raw = {"metric": "total_query_wall_seconds", "queries": {"q": 1.0}}
     assert bench_gate._bench_payload(json.dumps(raw))["queries"] == {"q": 1.0}

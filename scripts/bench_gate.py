@@ -91,7 +91,11 @@ def _canonical() -> dict:
 
 def _complete_elided(cand: dict, cand_path: str) -> dict:
     """A driver artifact's stdout line elides most queries; the full map is
-    the BENCH_FULL.json committed ALONGSIDE that artifact."""
+    the BENCH_FULL.json committed ALONGSIDE that artifact — or, in the
+    post-driver working tree where the artifact is still UNtracked, the
+    on-disk BENCH_FULL.json the same run just wrote (provably the same
+    run iff the total seconds match exactly; bench.py writes both from
+    one timings dict)."""
     if not cand.get("queries_elided"):
         return cand
     rev = subprocess.run(
@@ -101,7 +105,21 @@ def _complete_elided(cand: dict, cand_path: str) -> dict:
         text=True,
     ).stdout.strip()
     if not rev:
-        print(f"warning: {cand_path} not committed; gating its "
+        disk = os.path.join(REPO, "BENCH_FULL.json")
+        try:
+            with open(disk) as f:
+                full = json.load(f)
+        except (OSError, ValueError):
+            full = None
+        if full and full.get("value") == cand.get("value"):
+            merged = dict(full["queries"])
+            merged.update(cand["queries"])
+            print(f"note: {os.path.basename(cand_path)} not committed; "
+                  f"completed from on-disk BENCH_FULL.json (same run: "
+                  f"totals match at {cand.get('value')}s)")
+            return {**cand, "queries": merged}
+        print(f"warning: {cand_path} not committed and on-disk "
+              f"BENCH_FULL.json is a different run; gating its "
               f"{len(cand['queries'])} reported queries only")
         return cand
     full = json.loads(_git_show(f"{rev}:BENCH_FULL.json"))

@@ -100,3 +100,30 @@ def test_payload_parses_raw_and_wrapped(tmp_path):
     assert bench_gate._bench_payload(json.dumps(raw))["queries"] == {"q": 1.0}
     wrapped = {"tail": "noise\n" + json.dumps(raw) + "\n"}
     assert bench_gate._bench_payload(json.dumps(wrapped))["queries"] == {"q": 1.0}
+
+
+def test_uncommitted_artifact_completes_from_matching_disk_full(tmp_path, monkeypatch):
+    """The post-driver state: BENCH_r{N}.json untracked, but the on-disk
+    BENCH_FULL.json came from the same run (totals match exactly) — the
+    gate completes from it; a total mismatch falls back to reported-only."""
+    cand = {
+        "metric": "total_query_wall_seconds",
+        "value": 12.345,
+        "queries": {"slow": 10.0},
+        "queries_elided": 1,
+    }
+    art = tmp_path / "BENCH_r97.json"  # basename never committed
+    art.write_text(json.dumps(cand))
+    fake_repo = tmp_path / "repo"
+    fake_repo.mkdir()
+    monkeypatch.setattr(bench_gate, "REPO", str(fake_repo))
+    (fake_repo / "BENCH_FULL.json").write_text(
+        json.dumps({"value": 12.345, "queries": {"slow": 10.0, "fast": 2.345}})
+    )
+    got = bench_gate._complete_elided(cand, str(art))
+    assert got["queries"] == {"slow": 10.0, "fast": 2.345}
+    (fake_repo / "BENCH_FULL.json").write_text(
+        json.dumps({"value": 99.0, "queries": {"slow": 1.0, "fast": 1.0}})
+    )
+    got = bench_gate._complete_elided(cand, str(art))
+    assert got["queries"] == {"slow": 10.0}

@@ -3141,6 +3141,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select("doc_id", "lang", "source")
 
 
+def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with the seen-fingerprint history kept as an
+    fp-BUCKETED lake (sources/bucketed.seen_fold_bucketed) — the 100 TB
+    shape VERDICT r12 task 3 asked for: the per-batch anti-join and the
+    fold's only-new filter are both SHUFFLE-FREE on the lake side (the
+    bucketed scan reports HashPartitioning(fp, n); only the batch pays
+    an Exchange), vs the plain snapshot that re-shuffles the entire
+    accumulated history every batch. Same planted re-crawl history and
+    3-ordered-batch fold as `dedup_incremental`, same oracle — bucketing
+    must not change one row. Survivors are MATERIALIZED per batch before
+    the fold (as in the streaming maintainer): against a mutable catalog
+    table, a lazy survivor plan would re-read the lake AFTER later folds
+    advanced it and anti-join its own fingerprints away. Lake + scratch
+    are rebuilt from empty on every call (DROP + fresh dir), so bench
+    re-runs and driver re-grades fold the identical three batches.
+    Plan pinned by tests/test_plans.py::
+    test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_incremental,
+        doc_fingerprints,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import seen_fold_bucketed
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = base
+    for off, suffix in ((10000, ""), (11000, " v2"), (12000, " v2")):
+        docs = docs.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    table = "c360_seen_fp_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    root = tempfile.mkdtemp(prefix="c360_seen_lake_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    cut = (int(hi) + 3) // 3
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
+        )
+        seen = spark.table(table) if spark.catalog.tableExists(table) else None
+        survivors = dedup_incremental(batch, seen, id_col="doc_id")
+        survivors.write.parquet(os.path.join(root, f"batch={b}"))
+        seen_fold_bucketed(
+            spark,
+            table,
+            doc_fingerprints(
+                spark.read.parquet(os.path.join(root, f"batch={b}"))
+            ),
+            buckets=32,
+            path=os.path.join(root, "seen_lake"),
+        )
+    return spark.read.parquet(
+        *(os.path.join(root, f"batch={b}") for b in range(3))
+    ).select("doc_id", "lang", "source")
+
+
 _DEDUP_STREAM_DIRS: dict[str, str] = {}
 
 
@@ -5483,6 +5551,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
+        "dedup_incremental_bucketed": q_dedup_incremental_bucketed,
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
@@ -8957,6 +9026,27 @@ _ORACLES: dict[str, str] = {
         -- equal one-pass global dedup over the same constructed history
         -- (identical SQL to dedup_incremental — both certify against the
         -- same batch ground truth)
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 11000, text || ' v2', lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 12000, text || ' v2', lang, source FROM documents
+        )
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
+                   ORDER BY doc_id ASC) AS rn
+          FROM corpus
+        ) WHERE rn = 1
+    """,
+    "dedup_incremental_bucketed": r"""
+        -- bucketing the seen-fingerprint lake is a pure storage-layout
+        -- change: the folded result must equal the same one-pass global
+        -- dedup ground truth as dedup_incremental / dedup_stream
         WITH corpus AS (
           SELECT doc_id, text, lang, source FROM documents
           UNION ALL

@@ -28,6 +28,7 @@ reading the same parquet by PATH loses it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -79,4 +80,59 @@ def co_located_join(
     join's distribution requirement)."""
     return spark.table(left_table).join(
         spark.table(right_table), on=on, how=how
+    )
+
+
+def seen_fold_bucketed(
+    spark: SparkSession,
+    table: str,
+    fps: DataFrame,
+    buckets: int = 32,
+    path: str | None = None,
+    fp_col: str = "fp",
+) -> None:
+    """Fold a batch's fingerprints into a seen-set LAKE stored as an
+    ``fp``-bucketed table — the 100 TB shape of incremental dedup's
+    accumulated history (``operators.dedup.doc_fingerprints``).
+
+    The plain-parquet seen snapshot re-shuffles the ENTIRE seen set on
+    every batch's anti-join (and again on every fold's distinct): at
+    100 TB of history that per-batch Exchange dwarfs the batch itself.
+    Bucketing the lake by the fingerprint makes the scan report
+    ``HashPartitioning(fp, buckets)``, so both consumers become
+    shuffle-free on the lake side, paying only a |batch|-sized Exchange:
+
+    - the ingest anti-join ``batch LEFT ANTI JOIN lake ON fp``
+      (``dedup_incremental(batch, seen=spark.table(table))``), and
+    - the fold's own only-new filter below.
+
+    First call creates the table (``bucketBy(buckets, fp)``; ``path``
+    makes it external). Later calls APPEND only the fingerprints not
+    already present (anti-join against the lake — lake side shuffle-free
+    by the same bucketing), so the lake stays distinct by construction
+    and no fold ever rewrites history — vs the plain snapshot's full
+    read-union-distinct-overwrite. Re-folding an already-folded batch
+    appends nothing (the anti-join drops every row), so the fold is
+    idempotent under at-least-once redelivery just like the snapshot
+    maintainer. Each append lands ≤ ``buckets`` new files; a periodic
+    bucket-preserving compaction (read table, re-``write_bucketed``)
+    bounds file counts — the bucket spec, not the file layout, is the
+    contract. Pick ``buckets`` >= cluster parallelism, and keep it FIXED
+    for the lake's lifetime (appends must match the table's spec).
+
+    Plan pinned by tests/test_plans.py::
+    test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange.
+    """
+    fps = fps.select(F.col(fp_col).alias(fp_col)).distinct()
+    if not spark.catalog.tableExists(table):
+        writer = fps.write.mode("overwrite").format("parquet").bucketBy(
+            buckets, fp_col
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+        return
+    new = fps.join(spark.table(table), on=fp_col, how="left_anti")
+    new.write.mode("append").format("parquet").bucketBy(buckets, fp_col).saveAsTable(
+        table
     )

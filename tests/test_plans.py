@@ -94,6 +94,60 @@ def test_bucketed_corpus_feeds_dedup_ladder_without_id_exchanges(spark, tmp_path
         spark.sql("DROP TABLE IF EXISTS docs_ladder_b")
 
 
+def test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange(spark, tmp_path):
+    """Incremental dedup's 100 TB shape (VERDICT r12 task 3): with the
+    seen-fingerprint history in an fp-bucketed lake, the per-batch anti-
+    join pays exactly ONE Exchange — the batch side — while the lake scan
+    satisfies the join's distribution from its bucketing (no Exchange, no
+    broadcast of an unbounded history). The fold itself must stay append-
+    only-new (lake distinct by construction) and equal the plain
+    union-distinct snapshot row-for-row."""
+    import re as _re
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import seen_fold_bucketed
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    def n_exchange_nodes(df):
+        return len(_re.findall(r"^\(\d+\) Exchange", plan_of(df), _re.M))
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)  # overlaps b0 on %6
+    table = "seen_lake_plan_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        seen_fold_bucketed(
+            spark, table, doc_fingerprints(b0), buckets=8,
+            path=str(tmp_path / "seen_lake"),
+        )
+        seen_fold_bucketed(spark, table, doc_fingerprints(b1), buckets=8)
+        # append-only-new keeps the lake distinct == plain union-distinct
+        plain = doc_fingerprints(b0).unionByName(doc_fingerprints(b1)).distinct()
+        lake = spark.table(table)
+        assert lake.count() == lake.distinct().count() == plain.count()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "fp", F.md5(F.col("text"))
+        ).select("doc_id", "fp")
+        anti = batch.join(spark.table(table), on="fp", how="left_anti")
+        plan = plan_of(anti)
+        assert "Bucketed: true" in plan, "lake scan must stay bucketed"
+        assert n_exchange_nodes(anti) == 1, (
+            "anti-join must shuffle ONLY the batch side:\n" + plan
+        )
+        # the fold's own only-new filter has the same shape
+        new = doc_fingerprints(b1).join(
+            spark.table(table), on="fp", how="left_anti"
+        )
+        assert n_exchange_nodes(new) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_brute_ann_broadcasts_queries(spark):
     plan = plan_of(entrymod.q_ann_cosine_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -111,12 +111,28 @@ def _complete_elided(cand: dict, cand_path: str) -> dict:
                 full = json.load(f)
         except (OSError, ValueError):
             full = None
-        if full and full.get("value") == cand.get("value"):
+        # "same run" needs more than total equality (bench.py rounds the
+        # total to 3 decimals — two different runs could collide, and
+        # None == None is vacuously true): require the total present on
+        # BOTH sides AND every inline (non-elided) candidate timing to
+        # exactly equal the disk recording's entry (ADVICE r12).
+        same_run = (
+            full is not None
+            and full.get("value") is not None
+            and cand.get("value") is not None
+            and full["value"] == cand["value"]
+            and all(
+                full.get("queries", {}).get(q) == v
+                for q, v in cand["queries"].items()
+            )
+        )
+        if same_run:
             merged = dict(full["queries"])
             merged.update(cand["queries"])
             print(f"note: {os.path.basename(cand_path)} not committed; "
                   f"completed from on-disk BENCH_FULL.json (same run: "
-                  f"totals match at {cand.get('value')}s)")
+                  f"totals match at {cand.get('value')}s and all "
+                  f"{len(cand['queries'])} inline timings match)")
             return {**cand, "queries": merged}
         print(f"warning: {cand_path} not committed and on-disk "
               f"BENCH_FULL.json is a different run; gating its "
@@ -140,8 +156,22 @@ def gate(
     if not common:
         raise SystemExit("no common queries between candidate and canonical")
     ratios = {q: cq[q] / bq[q] for q in common if bq[q] > 0}
+    zero_canonical = [q for q in common if bq[q] <= 0]
+    if zero_canonical:
+        # excluded from per-query ratio gating (no meaningful ratio) but
+        # still in the common total; say so instead of silently dropping
+        print(
+            f"note: {len(zero_canonical)} common queries have a 0s "
+            f"canonical time and are excluded from ratio gating: "
+            + ", ".join(zero_canonical[:10])
+        )
+    if not ratios:
+        raise SystemExit("every common query has a 0s canonical time")
     med = statistics.median(ratios.values())
-    total_ratio = sum(cq[q] for q in common) / sum(bq[q] for q in common)
+    canon_total = sum(bq[q] for q in common)
+    if canon_total <= 0:
+        raise SystemExit("canonical common total is 0s")
+    total_ratio = sum(cq[q] for q in common) / canon_total
     offenders, noise = [], []
     for q, r in ratios.items():
         if r > max_ratio:
@@ -189,6 +219,37 @@ def main() -> None:
 
     bq, cq = base["queries"], cand["queries"]
     g = gate(bq, cq, max_ratio=max_ratio, min_delta=min_delta)
+
+    # Persistence escalation (ADVICE r12): a sub-floor "noise?" crossing
+    # is one-off jitter only if it is one-off — the same query over the
+    # ratio gate in the PREVIOUS driver artifact too is a persistent
+    # regression the absolute floor must not hide.
+    if g["noise"]:
+        prior = sorted(
+            (p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+             if os.path.abspath(p) != os.path.abspath(cand_path)),
+            key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+        )
+        prev_q: dict = {}
+        if prior:
+            try:
+                prev_q = _complete_elided(
+                    _bench_payload(open(prior[-1]).read()), prior[-1]
+                )["queries"]
+            except SystemExit:
+                prev_q = {}
+        persistent = [
+            (r, q) for r, q in g["noise"]
+            if q in prev_q and bq.get(q, 0) > 0
+            and prev_q[q] / bq[q] > max_ratio
+        ]
+        if persistent:
+            g["noise"] = [t for t in g["noise"] if t not in persistent]
+            g["offenders"] = sorted(g["offenders"] + persistent, reverse=True)
+            g["persistent"] = {
+                q: (prev_q[q] / bq[q], os.path.basename(prior[-1]))
+                for _, q in persistent
+            }
     print(
         f"candidate={os.path.basename(cand_path)} canonical=HEAD:BASELINE.md"
         f" common={len(g['common'])} (candidate-only={len(set(cq)-set(bq))},"
@@ -208,7 +269,13 @@ def main() -> None:
             f"BENCH_QUERIES={q} in a fresh JVM if in doubt)"
         )
     for r, q in g["offenders"]:
-        print(f"  FAIL  {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s)")
+        extra = ""
+        if q in g.get("persistent", {}):
+            pr, pname = g["persistent"][q]
+            extra = (
+                f" [sub-floor but persistent: also {pr:.2f}x in {pname}]"
+            )
+        print(f"  FAIL  {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s){extra}")
     if g["total_ratio"] > max_ratio:
         print(f"  FAIL  common-total {g['total_ratio']:.2f}x > {max_ratio}x")
     if g["offenders"] or g["total_ratio"] > max_ratio:

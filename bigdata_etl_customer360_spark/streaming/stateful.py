@@ -18,9 +18,11 @@ This module stays on ``applyInPandasWithState`` deliberately: the newer
 API's Python driver worker crashes in this build/sandbox even on a
 minimal rate-source probe ("TransformWithStateInPySpark driver worker
 exited unexpectedly"), and an operator that cannot execute in CI is dead
-code by this repo's conventions. The state layout here (flat per-key
-scalar tuple) ports to a ValueState one-for-one when the runtime
-supports it.
+code by this repo's conventions. Probe re-run each round on the then-
+current runtime (last: r13, pyspark 4.1.2 — minimal getValueState
+counter over a rate source, identical crash). The state layout here
+(flat per-key scalar tuple) ports to a ValueState one-for-one when the
+runtime supports it.
 """
 
 from __future__ import annotations

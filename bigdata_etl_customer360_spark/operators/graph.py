@@ -819,9 +819,11 @@ def bfs_distances(
                 )
                 if converged:
                     break
-                # cap breach: re-lift and continue distributed; the next
-                # probe re-establishes the convergence baseline (and only
-                # a probe may re-open local mode — no ping-pong)
+                # cap breach: re-lift and continue distributed, and keep
+                # local mode CLOSED for the rest of the call — a breach
+                # means the frontier's neighborhood outgrew the caps, and
+                # a still-tiny reached set next probe would just re-pull
+                # the same oversized slice (ping-pong)
                 dist = dist.localCheckpoint(eager=True)
                 prev_sum = None
                 allow_local = False
@@ -848,7 +850,6 @@ def bfs_distances(
                 break
             prev_sum = cur
             known_n = cur[0]
-            allow_local = True
     return dist.select(F.col("_id").alias(out_id), F.col("_d").alias(out_dist))
 
 

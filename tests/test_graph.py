@@ -277,6 +277,31 @@ def test_bfs_distances_weighted_prefers_cheap_long_path(spark):
     assert one == {0: 0, 1: 1, 3: 10}
 
 
+def test_bfs_local_mode_growth_guard_bails_to_distributed(spark):
+    """Tiny-frontier local mode (VERDICT r12 task 5): a source whose
+    neighborhood outgrows the node threshold must bail BEFORE relaxing
+    driver-side and fall back to the distributed rounds with identical
+    results — here a 15k-leaf star (> _BFS_LOCAL_THRESHOLD = 10k) from a
+    single source; the chain/multisource tests above exercise the local
+    path itself (their reached sets stay tiny throughout)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_customer360_spark.operators.graph import (
+        _BFS_LOCAL_THRESHOLD,
+        bfs_distances,
+    )
+
+    n = _BFS_LOCAL_THRESHOLD + 5_000
+    star = spark.range(1, n + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    src = spark.createDataFrame([(0,)], schema="id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(star, src, max_depth=3).collect()}
+    assert got[0] == 0
+    assert len(got) == n + 1
+    assert all(d == 1 for k, d in got.items() if k != 0)
+
+
 def test_pagerank_personalized_matches_numpy(spark):
     """Personalized pagerank == a numpy power iteration with the
     seed-weighted teleport (dangling mass to seeds); mass sums to 1,

@@ -3185,6 +3185,7 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_incremental,
         doc_fingerprints,
     )
+    from bigdata_etl_customer360_spark.operators.util import scoped_cache
     from bigdata_etl_customer360_spark.sources.bucketed import seen_fold_bucketed
 
     base = _t(spark, sf_dir, "documents").select(
@@ -3200,11 +3201,15 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source",
             )
         )
+    # constructed-corpus multi-consumer rule (verify SKILL): docs feeds
+    # three filtered batch pipelines — cache it; the id ceiling derives
+    # from the base table (union max == base max + the largest offset)
+    docs = scoped_cache(docs)
     table = "c360_seen_fp_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     root = tempfile.mkdtemp(prefix="c360_seen_lake_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    hi = (base.agg(F.max("doc_id")).first()[0] or 0) + 12000
     cut = (int(hi) + 3) // 3
     for b in range(3):
         batch = docs.filter(

@@ -59,9 +59,27 @@ def text_fingerprint(text_col: str = "text") -> Column:
     """The ONE normalized-text identity every exact-dedup tier shares
     (``dedup_exact``, ``doc_fingerprints``, ``dedup_incremental``): md5 of
     lowercased, trimmed, whitespace-collapsed text. Single definition so
-    the batch == incremental invariant can't drift."""
-    return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+", " ")
+    the batch == incremental invariant can't drift.
+
+    NULL text maps to the sentinel ``"null"`` instead of NULL (post-md5
+    coalesce — a 4-char non-hex string cannot collide with a 32-hex md5).
+    A NULL key would silently break the incremental invariant: groupBy
+    treats NULLs as equal (NULL-text docs collapse within a batch, on
+    both engines), but the seen-set anti-join's equality does NOT
+    (NULL != NULL), so across batches every batch would keep its own
+    NULL-text survivor, diverging from one-pass ``dedup_exact`` — and a
+    NULL fingerprint would re-append to the bucketed seen lake on every
+    fold. The sentinel keeps one equality semantics end to end without
+    null-safe join keys (which would wrap the bucketed lake's join key
+    in an expression and resurrect the lake-side Exchange the bucketing
+    removes)."""
+    return F.coalesce(
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"[ \t\r\n\x0B\f]+", " "
+            )
+        ),
+        F.lit("null"),
     )
 
 

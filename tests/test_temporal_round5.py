@@ -740,6 +740,51 @@ def test_dedup_incremental_fold_equals_global(spark):
     assert sorted(got) == want == [0, 1, 3, 5]
 
 
+def test_dedup_incremental_null_texts_dedupe_across_batches(spark):
+    """NULL-text docs must obey the same fold == one-pass invariant as
+    real texts (r13): text_fingerprint maps NULL to a sentinel instead
+    of a NULL key, because groupBy collapses NULL-text docs WITHIN a
+    batch while the seen anti-join's equality (NULL != NULL) would keep
+    one per batch ACROSS batches — a silent invariant break the
+    synthetic corpus (no NULL texts) never exercised. Also pins the
+    sentinel against the bucketed seen lake: a NULL key would re-append
+    on every fold; the sentinel folds once and stays distinct."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+        doc_fingerprints,
+        text_fingerprint,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import seen_fold_bucketed
+
+    rows = [(0, "alpha"), (1, None), (2, None), (3, "beta"), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") < 3), df.filter(F.col("doc_id") >= 3)]
+    seen, got = None, []
+    for b in batches:
+        s = dedup_incremental(b, seen)
+        got += [r["doc_id"] for r in s.collect()]
+        fps = doc_fingerprints(s)
+        seen = fps if seen is None else seen.unionByName(fps).distinct()
+    want = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    # one NULL-text survivor total (doc 1), not one per batch
+    assert sorted(got) == want == [0, 1, 3]
+    # the sentinel is a real key: no NULL fingerprints anywhere
+    assert df.select(text_fingerprint("text").alias("fp")).filter(
+        F.col("fp").isNull()
+    ).count() == 0
+    # bucketed lake: re-folding the same fingerprints appends nothing
+    spark.sql("DROP TABLE IF EXISTS null_fp_lake_t")
+    try:
+        seen_fold_bucketed(spark, "null_fp_lake_t", doc_fingerprints(df), buckets=4)
+        n1 = spark.table("null_fp_lake_t").count()
+        seen_fold_bucketed(spark, "null_fp_lake_t", doc_fingerprints(df), buckets=4)
+        n2 = spark.table("null_fp_lake_t").count()
+        assert n1 == n2 == 3  # alpha, beta, sentinel — distinct, stable
+    finally:
+        spark.sql("DROP TABLE IF EXISTS null_fp_lake_t")
+
+
 def test_boolean_search_modes_and_token_boundaries(spark):
     from bigdata_etl_customer360_spark.operators.textstats import boolean_search
 

@@ -2825,6 +2825,35 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(pairs, seeds, max_depth=8)
 
 
+def q_bfs_chain_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-frontier LOCAL-mode certificate for bfs_distances (r13,
+    VERDICT r12 task 5): the adversarial long-diameter shape — all
+    documents chained by ascending doc_id (lead-window edges), ONE
+    source at the TOP id, max_depth=20. After the round-0 seed count the
+    whole traversal runs in the driver-side local mode (frontier is 1-2
+    nodes, every pull a capped edge-slice job), so the driver grading
+    pins ~20 local rounds against a CLOSED-FORM oracle: the reachable
+    set is exactly the top 21 ids, each at its rank distance. The
+    distributed path cannot drift either way — the distances are a
+    unique fixed point — so any local/distributed divergence, off-by-one
+    round accounting, or cap-bail corruption hash-mismatches loudly.
+    (The lead-window chain build is a single-task sort over the doc-id
+    dim — fine for a graded dim table; chain CONSTRUCTION is test rig,
+    not the operator under test.)"""
+    from pyspark.sql import Window
+
+    from bigdata_etl_customer360_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.lead("doc_id").over(w).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    src = docs.agg(F.max("doc_id").alias("id"))
+    return bfs_distances(edges, src, max_depth=20)
+
+
 def q_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable global row numbering (operators/relational.assign_row_ids):
     dense ids over (l_orderkey, l_linenumber) via range partition +
@@ -5575,6 +5604,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe": q_ivf_full_probe,
         "dedup_ladder_bucketed": q_dedup_ladder_bucketed,
         "dedup_incremental_bucketed": q_dedup_incremental_bucketed,
+        "bfs_chain_local": q_bfs_chain_local,
         "rolling_revenue": q_rolling_revenue,
         "shipment_concurrency": q_shipment_concurrency,
         "click_attribution": q_click_attribution,
@@ -7363,6 +7393,17 @@ _ORACLES: dict[str, str] = {
           WHERE reach.d < 8
         )
         SELECT id, MIN(d) AS dist FROM reach GROUP BY id
+    """,
+    "bfs_chain_local": r"""
+        -- closed form for the doc-id chain from the top id: the
+        -- reachable set is exactly the 21 largest ids, each at its
+        -- descending-rank distance — the engine must earn the same 21
+        -- rows through ~20 tiny-frontier local rounds
+        SELECT doc_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 AS BIGINT)
+                 AS dist
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (ORDER BY doc_id DESC) <= 21
     """,
     "assign_row_ids": """
         SELECT l_orderkey, l_linenumber,

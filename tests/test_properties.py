@@ -422,3 +422,60 @@ def test_simhash_portable_pairs_match_python_reference(spark, corpora, seps):
         if h <= 3
     )
     assert got == want, (texts, got, want)
+
+
+dedup_corpus_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from(["x", "X ", "  x", "y z", "Y  Z", "w", ""]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(dedup_corpus_strategy, st.integers(1, 4))
+@SETTINGS
+def test_dedup_incremental_fold_equals_one_pass(spark, texts, n_batches):
+    """r13 invariant property: folding ANY ordered batch split through
+    dedup_incremental equals one-pass dedup over the whole corpus, with a
+    plain-Python reference for the expected survivor set. Exercises the
+    adversarial identities the planted corpora don't: NULL texts (the
+    sentinel fingerprint — NULL keys silently broke the cross-batch
+    invariant pre-r13), empty strings, and case/whitespace collisions,
+    under random batch boundaries (ordered ids, so first-seen == min-id)."""
+    import re as _re
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+        doc_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    def norm(t):
+        if t is None:
+            return None  # its own identity class, exactly one survivor
+        return _re.sub(r"[ \t\r\n\x0B\f]+", " ", t.strip().lower())
+
+    seen_keys, want = set(), []
+    for i, t in rows:
+        k = norm(t)
+        if k not in seen_keys:
+            seen_keys.add(k)
+            want.append(i)
+
+    cut = max(1, math.ceil(len(rows) / n_batches))
+    seen, got = None, []
+    for b in range(n_batches):
+        batch = df.filter(
+            (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
+        )
+        s = dedup_incremental(batch, seen)
+        got += [r["doc_id"] for r in s.collect()]
+        fps = doc_fingerprints(s)
+        seen = fps if seen is None else seen.unionByName(fps).distinct()
+    one_pass = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert sorted(got) == one_pass == sorted(want), (texts, n_batches)

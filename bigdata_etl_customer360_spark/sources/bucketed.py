@@ -120,10 +120,21 @@ def seen_fold_bucketed(
     contract. Pick ``buckets`` >= cluster parallelism, and keep it FIXED
     for the lake's lifetime (appends must match the table's spec).
 
+    NULL fingerprints are dropped: the only consumer semantics a seen
+    set has is equality anti-joins, where NULL matches nothing — a NULL
+    row could never suppress a document, but (NULL != NULL) would make
+    the only-new filter re-append it on EVERY fold, growing the lake
+    silently. ``operators.dedup.text_fingerprint`` never emits NULL
+    (post-md5 sentinel); this guards foreign fingerprint columns.
+
     Plan pinned by tests/test_plans.py::
     test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange.
     """
-    fps = fps.select(F.col(fp_col).alias(fp_col)).distinct()
+    fps = (
+        fps.select(F.col(fp_col).alias(fp_col))
+        .filter(F.col(fp_col).isNotNull())
+        .distinct()
+    )
     if not spark.catalog.tableExists(table):
         writer = fps.write.mode("overwrite").format("parquet").bucketBy(
             buckets, fp_col

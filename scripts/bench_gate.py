@@ -12,21 +12,34 @@ BENCH_FULL.json of the SAME commit when needed), or any path given on the
 command line — a raw bench.py JSON dict or a driver wrapper whose
 ``tail`` embeds the JSON line.
 
-Host-noise discipline (BASELINE.md r8): absolute seconds drift with the
-host, so the gate first reports the common-query MEDIAN ratio; a query
-regressed only if its own ratio stands out of that envelope AND crosses
-2x vs canonical. Sub-100ms queries additionally need an ABSOLUTE
-significance floor: a converged streaming re-read at 0.04s canonical
-trips 2x on any one-off scheduling hiccup (measured r12: agg_stream
-0.15s inside a 227-query session, 0.05-0.07s across three fresh-JVM
-re-runs), so a query fails only when its ratio exceeds the gate AND its
-absolute regression exceeds ``--min-delta`` (default 0.25s — far above
-scheduler jitter, far below any real per-query regression worth a FAIL;
-sub-floor crossings still print as ``noise?`` lines for eyeballs).
-Exit 1 on any failing query or a >2x common total; 0 otherwise.
+Host-noise discipline (BASELINE.md r8, hardened per ADVICE r13): absolute
+seconds drift with the host, so a raw >2x ratio alone is not a verdict.
+A crossing (ratio > ``--max-ratio``) is classified:
+
+- ``noise?``   — absolute regression under ``--min-delta`` (default
+  0.25s): a converged streaming re-read at 0.04s canonical trips 2x on
+  any one-off scheduling hiccup (measured r12: agg_stream 0.15s inside a
+  227-query session, 0.05-0.07s across three fresh-JVM re-runs).
+- ``envelope`` — above the floor, but the MEDIAN-NORMALIZED ratio
+  (raw / max(healthy-median, 1.0), healthy-median = median over the
+  non-crossing queries so offenders can't drag their own yardstick) is
+  under the gate: ordinary host-state drift after a canonical recorded
+  at a faster host state (ADVICE r13 — the r13 artifact ran at median
+  1.09 and four untouched queries crossed raw-2x).
+- ``SUSPECT``  — above the floor AND standing out of the envelope, but
+  first-time: the operating discipline (VERDICT r13) is a fresh-JVM
+  re-measure, not an immediate FAIL — a single 229-query session can
+  produce one-off 2.5x anomalies (ridge_price 2.47x in-artifact, 0.94x
+  fresh). ``--strict`` restores immediate FAIL for local pre-commit use.
+- ``FAIL``     — ANY crossing (noise/envelope/suspect) whose raw ratio
+  ALSO crossed the gate in the previous driver artifact: persistent,
+  not jitter — must be fixed, not re-adjudicated.
+
+Exit 1 on any FAIL or a >2x common total; 0 otherwise (suspects print
+loudly but exit 0 unless ``--strict``).
 
 Usage: python scripts/bench_gate.py [candidate.json]
-           [--max-ratio 2.0] [--min-delta 0.25]
+           [--max-ratio 2.0] [--min-delta 0.25] [--strict]
 """
 from __future__ import annotations
 
@@ -114,13 +127,17 @@ def _complete_elided(cand: dict, cand_path: str) -> dict:
         # "same run" needs more than total equality (bench.py rounds the
         # total to 3 decimals — two different runs could collide, and
         # None == None is vacuously true): require the total present on
-        # BOTH sides AND every inline (non-elided) candidate timing to
-        # exactly equal the disk recording's entry (ADVICE r12).
+        # BOTH sides AND at least one inline (non-elided) candidate
+        # timing, every one exactly equal to the disk recording's entry
+        # (ADVICE r12; the non-empty requirement is ADVICE r13 — an
+        # all-elided candidate would make the all() vacuously true and
+        # decide same-run on the 3-decimal total alone).
         same_run = (
             full is not None
             and full.get("value") is not None
             and cand.get("value") is not None
             and full["value"] == cand["value"]
+            and len(cand["queries"]) > 0
             and all(
                 full.get("queries", {}).get(q) == v
                 for q, v in cand["queries"].items()
@@ -148,10 +165,15 @@ def gate(
     bq: dict, cq: dict, max_ratio: float = 2.0, min_delta: float = 0.25
 ) -> dict:
     """Pure gate math over canonical/candidate per-query seconds maps.
-    Returns offenders (ratio > max_ratio AND absolute delta > min_delta),
-    noise (ratio > max_ratio but under the significance floor), watch
-    (above 1.5x the median envelope but under the gate), plus the
-    common-total and median ratios."""
+    Crossings (ratio > max_ratio) are split into: noise (absolute delta
+    under the significance floor), envelope (above the floor but within
+    the median-normalized host-drift envelope — ADVICE r13), offenders
+    (above the floor AND standing out of the envelope). The envelope
+    divisor is max(healthy_median, 1.0) where healthy_median is the
+    median ratio over NON-crossing queries — offenders must not drag
+    their own yardstick, and a fast host (median < 1) never widens the
+    gate. Also returns watch (above 1.5x the median but under the gate)
+    and the common-total and median ratios."""
     common = sorted(set(bq) & set(cq))
     if not common:
         raise SystemExit("no common queries between candidate and canonical")
@@ -168,14 +190,22 @@ def gate(
     if not ratios:
         raise SystemExit("every common query has a 0s canonical time")
     med = statistics.median(ratios.values())
+    healthy = [r for r in ratios.values() if r <= max_ratio]
+    env = max(statistics.median(healthy), 1.0) if healthy else 1.0
     canon_total = sum(bq[q] for q in common)
     if canon_total <= 0:
         raise SystemExit("canonical common total is 0s")
     total_ratio = sum(cq[q] for q in common) / canon_total
-    offenders, noise = [], []
+    offenders, noise, envelope = [], [], []
     for q, r in ratios.items():
-        if r > max_ratio:
-            (offenders if cq[q] - bq[q] > min_delta else noise).append((r, q))
+        if r <= max_ratio:
+            continue
+        if cq[q] - bq[q] <= min_delta:
+            noise.append((r, q))
+        elif r / env <= max_ratio:
+            envelope.append((r, q))
+        else:
+            offenders.append((r, q))
     watch = sorted(
         ((r, q) for q, r in ratios.items() if med * 1.5 < r <= max_ratio),
         reverse=True,
@@ -184,15 +214,30 @@ def gate(
         "common": common,
         "ratios": ratios,
         "median": med,
+        "envelope_median": env,
         "total_ratio": total_ratio,
         "offenders": sorted(offenders, reverse=True),
         "noise": sorted(noise, reverse=True),
+        "envelope": sorted(envelope, reverse=True),
         "watch": watch,
     }
 
 
+def _driver_artifacts() -> list:
+    """BENCH_r{N}.json driver artifacts sorted by round number; names
+    whose suffix is not purely numeric (e.g. a stray BENCH_rerun.json)
+    are skipped instead of crashing the sort key (ADVICE r13)."""
+    found = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)\.json$", p)
+        if m:
+            found.append((int(m.group(1)), p))
+    return [p for _, p in sorted(found)]
+
+
 def main() -> None:
     argv, args, max_ratio, min_delta = sys.argv[1:], [], 2.0, 0.25
+    strict = False
     i = 0
     while i < len(argv):
         if argv[i] == "--max-ratio":
@@ -201,16 +246,16 @@ def main() -> None:
         elif argv[i] == "--min-delta":
             min_delta = float(argv[i + 1])
             i += 2
+        elif argv[i] == "--strict":
+            strict = True
+            i += 1
         else:
             args.append(argv[i])
             i += 1
     if args:
         cand_path = args[0]
     else:
-        drivers = sorted(
-            glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-            key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
-        )
+        drivers = _driver_artifacts()
         if not drivers:
             raise SystemExit("no BENCH_r*.json driver artifact found")
         cand_path = drivers[-1]
@@ -220,16 +265,18 @@ def main() -> None:
     bq, cq = base["queries"], cand["queries"]
     g = gate(bq, cq, max_ratio=max_ratio, min_delta=min_delta)
 
-    # Persistence escalation (ADVICE r12): a sub-floor "noise?" crossing
-    # is one-off jitter only if it is one-off — the same query over the
-    # ratio gate in the PREVIOUS driver artifact too is a persistent
-    # regression the absolute floor must not hide.
-    if g["noise"]:
-        prior = sorted(
-            (p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-             if os.path.abspath(p) != os.path.abspath(cand_path)),
-            key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
-        )
+    # Persistence escalation (ADVICE r12, widened r14): ANY crossing —
+    # sub-floor noise, envelope-drift, or first-time suspect — whose raw
+    # ratio was ALSO over the gate in the PREVIOUS driver artifact is a
+    # persistent regression, not jitter: escalate to FAIL.
+    crossings = g["noise"] + g["envelope"] + g["offenders"]
+    persistent: list = []
+    g["persistent"] = {}
+    if crossings:
+        prior = [
+            p for p in _driver_artifacts()
+            if os.path.abspath(p) != os.path.abspath(cand_path)
+        ]
         prev_q: dict = {}
         if prior:
             try:
@@ -239,13 +286,13 @@ def main() -> None:
             except SystemExit:
                 prev_q = {}
         persistent = [
-            (r, q) for r, q in g["noise"]
+            (r, q) for r, q in crossings
             if q in prev_q and bq.get(q, 0) > 0
             and prev_q[q] / bq[q] > max_ratio
         ]
         if persistent:
-            g["noise"] = [t for t in g["noise"] if t not in persistent]
-            g["offenders"] = sorted(g["offenders"] + persistent, reverse=True)
+            for key in ("noise", "envelope", "offenders"):
+                g[key] = [t for t in g[key] if t not in persistent]
             g["persistent"] = {
                 q: (prev_q[q] / bq[q], os.path.basename(prior[-1]))
                 for _, q in persistent
@@ -268,21 +315,40 @@ def main() -> None:
             f"under the {min_delta}s significance floor — re-run "
             f"BENCH_QUERIES={q} in a fresh JVM if in doubt)"
         )
+    for r, q in g["envelope"]:
+        print(
+            f"  envelope {q}: {r:.2f}x raw but "
+            f"{r / g['envelope_median']:.2f}x median-normalized "
+            f"({bq[q]:.2f}s -> {cq[q]:.2f}s; host-state drift envelope "
+            f"{g['envelope_median']:.3f} — FAILs if it crosses again "
+            f"in the next driver artifact)"
+        )
     for r, q in g["offenders"]:
-        extra = ""
-        if q in g.get("persistent", {}):
-            pr, pname = g["persistent"][q]
-            extra = (
-                f" [sub-floor but persistent: also {pr:.2f}x in {pname}]"
-            )
-        print(f"  FAIL  {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s){extra}")
+        label = "FAIL " if strict else "SUSPECT"
+        print(
+            f"  {label} {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s)"
+            + ("" if strict else
+               " — first crossing: re-measure with "
+               f"BENCH_QUERIES={q} fresh-JVM; FAILs if it crosses again "
+               "in the next driver artifact")
+        )
+    for r, q in sorted(persistent, reverse=True):
+        pr, pname = g["persistent"][q]
+        print(
+            f"  FAIL  {q}: {r:.2f}x ({bq[q]:.2f}s -> {cq[q]:.2f}s) "
+            f"[persistent: also {pr:.2f}x in {pname}]"
+        )
     if g["total_ratio"] > max_ratio:
         print(f"  FAIL  common-total {g['total_ratio']:.2f}x > {max_ratio}x")
-    if g["offenders"] or g["total_ratio"] > max_ratio:
+    failing = bool(persistent) or g["total_ratio"] > max_ratio or (
+        strict and g["offenders"]
+    )
+    if failing:
         sys.exit(1)
+    n_cross = len(g["noise"]) + len(g["envelope"]) + len(g["offenders"])
     print(
-        f"gate PASS: 0 of {len(g['ratios'])} queries above {max_ratio}x"
-        f" with a >{min_delta}s regression"
+        f"gate PASS: 0 persistent regressions; {n_cross} non-persistent "
+        f"crossing(s) of {len(g['ratios'])} queries above {max_ratio}x"
     )
 
 

@@ -95,6 +95,38 @@ def test_gate_math_total_and_median():
     assert not g["offenders"] and not g["noise"]
 
 
+def test_gate_math_envelope_normalization():
+    """ADVICE r13: a raw >2x crossing that is under 2x after dividing by
+    the healthy-median host-drift envelope is 'envelope', not an
+    offender; one standing out even after normalization stays SUSPECT.
+    The envelope median is computed over NON-crossing queries only, and
+    clamped at 1.0 so a fast host never widens the gate."""
+    # 9 healthy queries drifting ~1.3x (slow host state) + two crossings
+    bq = {f"h{i}": 1.0 for i in range(9)}
+    cq = {f"h{i}": 1.3 for i in range(9)}
+    bq.update({"drift": 1.0, "real": 1.0})
+    cq.update({"drift": 2.2, "real": 4.0})
+    g = bench_gate.gate(bq, cq, max_ratio=2.0, min_delta=0.25)
+    assert abs(g["envelope_median"] - 1.3) < 1e-9
+    assert [q for _, q in g["envelope"]] == ["drift"]  # 2.2/1.3 = 1.69x
+    assert [q for _, q in g["offenders"]] == ["real"]  # 4.0/1.3 = 3.08x
+    # fast host: median 0.8 clamps to 1.0 — raw gate unchanged
+    cq2 = {q: v * 0.8 / 1.3 for q, v in cq.items()}
+    cq2["real"] = 4.0
+    g2 = bench_gate.gate(bq, cq2, max_ratio=2.0, min_delta=0.25)
+    assert g2["envelope_median"] == 1.0
+    assert [q for _, q in g2["offenders"]] == ["real"]
+
+
+def test_driver_artifacts_skips_non_numeric(tmp_path, monkeypatch):
+    """ADVICE r13: a stray BENCH_rerun.json must not crash the sort key."""
+    monkeypatch.setattr(bench_gate, "REPO", str(tmp_path))
+    for name in ("BENCH_r2.json", "BENCH_r10.json", "BENCH_rerun.json"):
+        (tmp_path / name).write_text("{}")
+    got = [os.path.basename(p) for p in bench_gate._driver_artifacts()]
+    assert got == ["BENCH_r2.json", "BENCH_r10.json"]
+
+
 def test_payload_parses_raw_and_wrapped(tmp_path):
     raw = {"metric": "total_query_wall_seconds", "queries": {"q": 1.0}}
     assert bench_gate._bench_payload(json.dumps(raw))["queries"] == {"q": 1.0}
@@ -127,3 +159,24 @@ def test_uncommitted_artifact_completes_from_matching_disk_full(tmp_path, monkey
     )
     got = bench_gate._complete_elided(cand, str(art))
     assert got["queries"] == {"slow": 10.0}
+
+
+def test_all_elided_candidate_never_completes_from_disk(tmp_path, monkeypatch):
+    """ADVICE r13: with zero inline timings the per-query all() is
+    vacuous — same-run must NOT be decided by the 3-decimal total alone."""
+    cand = {
+        "metric": "total_query_wall_seconds",
+        "value": 12.345,
+        "queries": {},
+        "queries_elided": 2,
+    }
+    art = tmp_path / "BENCH_r98.json"
+    art.write_text(json.dumps(cand))
+    fake_repo = tmp_path / "repo"
+    fake_repo.mkdir()
+    monkeypatch.setattr(bench_gate, "REPO", str(fake_repo))
+    (fake_repo / "BENCH_FULL.json").write_text(
+        json.dumps({"value": 12.345, "queries": {"a": 10.0, "b": 2.345}})
+    )
+    got = bench_gate._complete_elided(cand, str(art))
+    assert got["queries"] == {}

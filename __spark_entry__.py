@@ -3363,6 +3363,195 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
 
 
+_DEDUP_STREAM_BUCKETED_DIRS: dict[str, str] = {}
+
+
+def q_dedup_stream_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup with the seen set kept as the
+    fp-BUCKETED lake (streaming/windows.stream_dedup_incremental_bucketed
+    — VERDICT r13 task 2, closing the one declared r13 scope cut): the
+    SAME planted re-crawl history and ordered 3-file availableNow drain
+    as `dedup_stream`, but per micro-batch BOTH the survivor anti-join
+    and the fingerprint fold are shuffle-free on the lake side (bucketed
+    scan reports HashPartitioning(fp, n); only the batch pays an
+    Exchange) and the fold APPENDS only never-seen fingerprints instead
+    of read-union-distinct-overwriting the full history — at 100 TB of
+    accumulated fingerprints the plain maintainer re-shuffles AND
+    rewrites the entire seen set every micro-batch, this one's per-batch
+    cost is ~|batch| on both counts. Same oracle as `dedup_stream`: the
+    drained survivor lake must hash-match one-pass dedup_exact over the
+    concatenated history — the storage layout must not change one row.
+    Plan pinned INSIDE foreachBatch by tests/test_plans.py::
+    test_stream_bucketed_dedup_foreachbatch_lake_side_no_exchange;
+    redelivery/ownership/catalog-loss regressions in
+    tests/test_streaming.py (the *_bucketed_* quartet)."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+        stream_from_parquet,
+    )
+
+    table = "c360_stream_seen_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    if sf_dir not in _DEDUP_STREAM_BUCKETED_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_dedup_stream_bkt_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+
+        from bigdata_etl_customer360_spark.operators.util import scoped_cache
+
+        base = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        docs = base
+        for off, suffix in ((10000, ""), (11000, " v2"), (12000, " v2")):
+            docs = docs.unionByName(
+                base.select(
+                    (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+                    "lang",
+                    "source",
+                )
+            )
+        # constructed-corpus multi-consumer rule (verify SKILL): docs feeds
+        # three filtered writes — cache it, and derive the id ceiling from
+        # the base table (union max == base max + the largest offset)
+        docs = scoped_cache(docs)
+        hi = (base.agg(F.max("doc_id")).first()[0] or 0) + 12000
+        cut = (int(hi) + 3) // 3
+        for b in range(3):
+            stage = os.path.join(root, f"stage{b}")
+            # coalesce(1): ONE file per id-range batch, so mtime order ==
+            # batch order == ascending ids (first-seen == min-id)
+            docs.filter(
+                (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
+            ).coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b, 1_700_000_000 + 10 * b))
+        _DEDUP_STREAM_BUCKETED_DIRS[sf_dir] = root
+
+    root = _DEDUP_STREAM_BUCKETED_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    survivors_path = os.path.join(root, "survivors")
+    stream_dedup_incremental_bucketed(
+        stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        ),
+        table,
+        survivors_path,
+        os.path.join(root, "ckpt"),
+        buckets=32,
+        seen_table_path=os.path.join(root, "seen_lake"),
+        query_name="dedup_stream_bucketed_graded",
+    )
+    return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
+
+
+_COMPACT_DIRS: dict[str, str] = {}
+
+
+def q_compact_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction graded end-to-end (sources/layout.
+    compact_parquet — VERDICT r13 task 7 candidate): the documents table
+    scattered into 64 tiny files (the per-trigger streaming-sink shape
+    that motivates the maintenance pass) compacts under the crash-safe
+    ._tmp/._old swap; the graded result is the COMPACTED directory's
+    full content, which must hash-match the source table — compaction is
+    a pure layout maintenance pass, the bloom-transparency pattern
+    applied to storage (a compaction that moves/dupes/drops one row is
+    corrupt regardless of its file counts). files_before > files_after
+    is asserted in-query; file-count math and crashed-swap recovery are
+    pinned by tests/test_layout.py. Scratch is session-scoped (bench
+    re-runs re-read the compacted copy)."""
+    from bigdata_etl_customer360_spark.sources.layout import compact_parquet
+
+    if sf_dir not in _COMPACT_DIRS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_compact_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        data = os.path.join(root, "docs")
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ).repartition(64).write.parquet(data)
+        stats = compact_parquet(spark, data, target_bytes=1 << 30)
+        assert stats["files_after"] < stats["files_before"], stats
+        _COMPACT_DIRS[sf_dir] = data
+    return spark.read.parquet(_COMPACT_DIRS[sf_dir]).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+_ZORDER_DIRS: dict[str, str] = {}
+
+
+def q_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering graded end-to-end (sources/layout.
+    write_zordered — VERDICT r13 task 7 candidate): orders rewritten
+    clustered on the Morton interleave of (o_custkey, o_totalprice),
+    then a selective 2-D range predicate is answered FROM THE Z-ORDERED
+    COPY and must hash-match the same predicate on the raw table —
+    clustering is layout-only, the write must not move one row or
+    perturb one double. The scale claim this layout buys (BOTH filter
+    dimensions prune row groups via parquet min/max stats, vs a 1-D sort
+    pruning only its leading column) is pinned by tests/test_layout.py::
+    test_zordered_write_prunes_both_dimensions. Scratch is
+    session-scoped; the rewrite is one range-partitioned sorted write."""
+    from bigdata_etl_customer360_spark.sources.layout import write_zordered
+
+    if sf_dir not in _ZORDER_DIRS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_zorder_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        data = os.path.join(root, "orders_z")
+        write_zordered(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            data,
+            ["o_custkey", "o_totalprice"],
+        )
+        _ZORDER_DIRS[sf_dir] = data
+    return (
+        spark.read.parquet(_ZORDER_DIRS[sf_dir])
+        .filter(
+            (F.col("o_custkey") <= 100)
+            & F.col("o_totalprice").between(50000.0, 150000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe group-level split (operators/sampling.group_split):
     split assignment is a pure function of the SOURCE key, so every doc
@@ -5662,6 +5851,9 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": q_target_encoding,
         "seasonal_revenue": q_seasonal_revenue,
         "dedup_stream": q_dedup_stream,
+        "dedup_stream_bucketed": q_dedup_stream_bucketed,
+        "compact_parquet": q_compact_parquet,
+        "zorder_read": q_zorder_read,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
         "char_entropy": q_char_entropy,
@@ -9093,6 +9285,41 @@ _ORACLES: dict[str, str] = {
         -- equal one-pass global dedup over the same constructed history
         -- (identical SQL to dedup_incremental — both certify against the
         -- same batch ground truth)
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 11000, text || ' v2', lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 12000, text || ' v2', lang, source FROM documents
+        )
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\r\n\x0B\f]+', ' ', 'g'))
+                   ORDER BY doc_id ASC) AS rn
+          FROM corpus
+        ) WHERE rn = 1
+    """,
+    "compact_parquet": r"""
+        -- compaction is a pure layout pass: the compacted directory's
+        -- content must equal the source table row-for-row
+        SELECT doc_id, text, lang, source FROM documents
+    """,
+    "zorder_read": r"""
+        -- z-order clustering is layout-only: the 2-D range query over
+        -- the z-ordered rewrite must equal the same predicate on the
+        -- raw table (values pass through the rewrite untouched)
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey <= 100
+          AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    """,
+    "dedup_stream_bucketed": r"""
+        -- bucketed streaming maintainer: keeping the seen set as an
+        -- fp-bucketed append-only-new lake is a pure storage-layout
+        -- change — the drained survivor lake must equal the same
+        -- one-pass global dedup ground truth as dedup_stream
         WITH corpus AS (
           SELECT doc_id, text, lang, source FROM documents
           UNION ALL

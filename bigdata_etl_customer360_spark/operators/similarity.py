@@ -777,6 +777,46 @@ def pq_encode(
     return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
 
 
+def pq_query_luts(
+    queries: DataFrame,
+    qbook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup tables ``(query_id, _luts m×kc int64)`` —
+    exact ``q_s · c_{s,j}`` partial dots from the SAME quantized query
+    the exact tier uses. Built EXECUTOR-SIDE as an Arrow-batched pandas
+    UDF over the query frame (VERDICT r13 task 4 — the old bounded
+    driver loop capped the operator at what the driver could iterate
+    and serialize; now the build distributes with the query
+    partitioning and only the broadcast of the FINISHED tables bounds
+    the query side). Bit-identical to the old driver loop: normalize +
+    quantize are per-row elementwise ops and the LUT matmul is EXACT
+    int64 (integer matmul is order-independent, so Arrow batch shape
+    cannot perturb it). Shared by :func:`cosine_topk_pq`; scale A/B vs
+    the driver loop in scripts/stress_pq_lut.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    qb = np.asarray(qbook)
+    m, kc, sub = qb.shape
+
+    def _lut(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype("int64")
+        per_s = [Q[:, s * sub : (s + 1) * sub] @ qb[s].T for s in range(m)]
+        return pd.Series(
+            [[per_s[s][i].tolist() for s in range(m)] for i in range(len(V))]
+        )
+
+    lut_udf = F.pandas_udf(_lut, ArrayType(ArrayType(LongType())))
+    return fan_out(queries).select(
+        F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("_luts")
+    )
+
+
 def cosine_topk_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -831,36 +871,7 @@ def cosine_topk_pq(
         .withColumnRenamed(id_col, "neighbor_id")
     )
 
-    # per-query ADC tables: exact int64 q_s · c_{s,j} from the SAME
-    # quantized query the exact tier uses (bounded: |queries| × m × kc)
-    q_rows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
-    for r in q_rows:
-        v = np.asarray(r[vec_col], dtype="float64")
-        v /= max(float(np.linalg.norm(v)), 1e-12)
-        qv = np.floor(v * float(QUANT_SCALE) + 0.5).astype("int64")
-        luts = [
-            [int(x) for x in (qbook[s] @ qv[s * sub : (s + 1) * sub])]
-            for s in range(m)
-        ]
-        lut_rows.append((r[id_col], luts))
-    spark = corpus.sparkSession
-    from pyspark.sql.types import (
-        ArrayType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    # id type follows the query frame (the sibling topk entry points are
-    # id-type-generic; a hardcoded bigint would break string ids)
-    lut_schema = StructType(
-        [
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("_luts", ArrayType(ArrayType(LongType()))),
-        ]
-    )
-    luts = spark.createDataFrame(lut_rows, lut_schema)
+    luts = pq_query_luts(queries, qbook, id_col=id_col, vec_col=vec_col)
 
     adc = (
         codes.join(F.broadcast(luts))
@@ -1021,32 +1032,57 @@ def cosine_topk_ivfpq(
     )
 
     # per-(query, probed cell) ADC tables: int64 base = q·centroid_c and
-    # per-subspace residual LUTs (bounded: |q| × nprobe × m × kc)
-    q_rows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
+    # per-subspace residual LUTs — built EXECUTOR-SIDE (VERDICT r13
+    # task 4): one struct-returning Arrow UDF emits each query's probed
+    # cells, bases and LUTs, exploded into the per-(query, cell) rows
+    # the broadcast join consumes. The float cell-probe argsort runs as
+    # a PER-ROW gemv exactly like the old driver loop (a batched gemm's
+    # BLAS reduction order could flip near-tie cell choices with Arrow
+    # batch shape — the pq_fit lesson); bases and LUTs are exact int64,
+    # order-independent by construction.
     np_probe = min(int(nprobe), ncent)
-    for r in q_rows:
-        v = np.asarray(r[vec_col], dtype="float64")
-        v /= max(float(np.linalg.norm(v)), 1e-12)
-        qv = np.floor(v * float(QUANT_SCALE) + 0.5).astype("int64")
-        probed = np.argsort(-(v @ centroids.T))[:np_probe]
-        for cell in probed:
-            base = int(qv @ qcent[cell])
-            luts = [
-                [int(x) for x in (qbook[s] @ qv[s * sub : (s + 1) * sub])]
-                for s in range(m)
-            ]
-            lut_rows.append((r[id_col], int(cell), base, luts))
-    spark = corpus.sparkSession
-    lut_schema = StructType(
+    tab_schema = StructType(
         [
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("cell", IntegerType()),
-            StructField("_base", LongType()),
-            StructField("_luts", ArrayType(ArrayType(LongType()))),
+            StructField("cells", ArrayType(IntegerType())),
+            StructField("bases", ArrayType(LongType())),
+            StructField("luts", ArrayType(ArrayType(LongType()))),
         ]
     )
-    luts = spark.createDataFrame(lut_rows, lut_schema)
+
+    def _qtabs(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype("int64")
+        per_s = [Q[:, s * sub : (s + 1) * sub] @ qbook[s].T for s in range(m)]
+        cells_o, bases_o, luts_o = [], [], []
+        for i in range(len(V)):
+            probed = np.argsort(-(V[i] @ centroids.T))[:np_probe]
+            cells_o.append([int(c) for c in probed])
+            bases_o.append([int(Q[i] @ qcent[c]) for c in probed])
+            luts_o.append([per_s[s][i].tolist() for s in range(m)])
+        return pd.DataFrame({"cells": cells_o, "bases": bases_o, "luts": luts_o})
+
+    qtabs = F.pandas_udf(_qtabs, tab_schema)
+    per_q = (
+        fan_out(queries)
+        .select(F.col(id_col).alias("query_id"), qtabs(F.col(vec_col)).alias("_t"))
+        .select(
+            "query_id",
+            F.col("_t.cells").alias("_cells"),
+            F.col("_t.bases").alias("_bases"),
+            F.col("_t.luts").alias("_luts"),
+        )
+    )
+    luts = per_q.select(
+        "query_id",
+        F.explode(F.arrays_zip("_cells", "_bases")).alias("_cb"),
+        "_luts",
+    ).select(
+        "query_id",
+        F.col("_cb._cells").alias("cell"),
+        F.col("_cb._bases").alias("_base"),
+        "_luts",
+    )
 
     adc = (
         codes.join(F.broadcast(luts), on="cell")

@@ -127,6 +127,13 @@ def seen_fold_bucketed(
     silently. ``operators.dedup.text_fingerprint`` never emits NULL
     (post-md5 sentinel); this guards foreign fingerprint columns.
 
+    Catalog-loss guard: table metadata lives in the session catalog
+    (in-memory here, a metastore in production). If the catalog entry is
+    gone (fresh session) but ``path`` already holds data, the "first
+    call" branch would OVERWRITE the accumulated lake — refuse loudly
+    instead; :func:`register_seen_lake` re-attaches the catalog entry
+    over the existing files.
+
     Plan pinned by tests/test_plans.py::
     test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange.
     """
@@ -136,6 +143,14 @@ def seen_fold_bucketed(
         .distinct()
     )
     if not spark.catalog.tableExists(table):
+        if path is not None and _dir_has_data(path):
+            raise RuntimeError(
+                f"seen lake table {table!r} is not in the session catalog "
+                f"but {path!r} already holds data — overwriting would drop "
+                "the accumulated history. Re-attach it first: "
+                f"register_seen_lake(spark, {table!r}, {path!r}, "
+                f"buckets={buckets}, fp_col={fp_col!r})."
+            )
         writer = fps.write.mode("overwrite").format("parquet").bucketBy(
             buckets, fp_col
         )
@@ -146,4 +161,40 @@ def seen_fold_bucketed(
     new = fps.join(spark.table(table), on=fp_col, how="left_anti")
     new.write.mode("append").format("parquet").bucketBy(buckets, fp_col).saveAsTable(
         table
+    )
+
+
+def _dir_has_data(path: str) -> bool:
+    """True when ``path`` holds any non-hidden file (Spark data files; a
+    lone _SUCCESS / _QUERY_ID marker does not count as data)."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
+def register_seen_lake(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    fp_col: str = "fp",
+) -> None:
+    """Re-attach a seen-fingerprint lake's catalog entry over its existing
+    files — the restart path for :func:`seen_fold_bucketed` when the
+    session catalog is in-memory (a fresh session forgets the table but
+    the external parquet survives). The DDL re-declares the SAME bucket
+    spec the writer used; Spark recovers each file's bucket id from the
+    bucketed writer's file-name convention, so the re-registered scan
+    reports ``HashPartitioning(fp, buckets)`` exactly like the original
+    (pinned by tests/test_plans.py::test_register_seen_lake_restores_
+    bucketed_scan). ``buckets``/``fp_col`` MUST match the lake's original
+    spec — a mismatched re-declaration would mis-route the bucket-pruned
+    reads; the spec, not this call, is the lake's contract."""
+    spark.sql(
+        f"CREATE TABLE {table} ({fp_col} STRING) USING parquet "
+        f"CLUSTERED BY ({fp_col}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
     )

@@ -15,14 +15,19 @@ backfill and for the equivalence tests.
 API note: Spark 4 ships ``transformWithStateInPandas`` as the successor
 arbitrary-state API (typed ValueState/ListState/MapState, timers, TTL).
 This module stays on ``applyInPandasWithState`` deliberately: the newer
-API's Python driver worker crashes in this build/sandbox even on a
-minimal rate-source probe ("TransformWithStateInPySpark driver worker
-exited unexpectedly"), and an operator that cannot execute in CI is dead
-code by this repo's conventions. Probe re-run each round on the then-
-current runtime (last: r13, pyspark 4.1.2 — minimal getValueState
-counter over a rate source, identical crash). The state layout here
-(flat per-key scalar tuple) ports to a ValueState one-for-one when the
-runtime supports it.
+API's Python worker cannot run in this build/sandbox, and an operator
+that cannot execute in CI is dead code by this repo's conventions.
+Probe re-run each round on the then-current runtime (last: r14,
+pyspark 4.1.2 — minimal getValueState counter over a rate source; the
+crash root-caused this round: the TWS state-server protocol imports
+``google.protobuf`` in the Python worker, and protobuf is NOT installed
+in this environment — ``ImportError: cannot import name 'descriptor'
+from 'google.protobuf'`` out of the StatefulProcessor handle init; the
+earlier rounds' opaque "driver worker exited unexpectedly" was this
+import dying before the worker could report. Environmental, not a code
+gap — no pip installs available). The state layout here (flat per-key
+scalar tuple) ports to a ValueState one-for-one when the runtime
+supports it.
 """
 
 from __future__ import annotations

@@ -148,6 +148,153 @@ def test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_stream_bucketed_dedup_foreachbatch_lake_side_no_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 task 2 pin: INSIDE the streaming maintainer's
+    foreachBatch, the per-batch survivor plan must shuffle only the
+    batch — exactly 2 Exchanges total (the batch side of the anti-join +
+    dedup_exact's single agg) with the lake scan bucketed; a lake that
+    lost its bucketing would add a third, history-sized Exchange. The
+    plan is captured from the REAL drain via a spy around
+    dedup_incremental (bound at maintainer call time)."""
+    import os
+    import re as _re
+    import time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.operators import dedup as dedup_mod
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+        stream_from_parquet,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        [(10, "alpha"), (11, "delta")],  # cross-batch re-crawl
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                    "text": _pa.array([r[1] for r in rows], _pa.string()),
+                }
+            ),
+            p,
+        )
+        t = time.time() + 5 * i
+        os.utime(p, (t, t))
+
+    captured: list[str] = []
+    real = dedup_mod.dedup_incremental
+
+    def spy(new_docs, seen, **kw):
+        out = real(new_docs, seen, **kw)
+        if seen is not None:
+            captured.append(plan_of(out))
+        return out
+
+    monkeypatch.setattr(dedup_mod, "dedup_incremental", spy)
+    table = "stream_seen_lake_plan_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(
+                spark, str(src), schema, max_files_per_trigger=1
+            ),
+            table,
+            str(tmp_path / "survivors"),
+            str(tmp_path / "ckpt"),
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert captured, "second micro-batch must anti-join against the lake"
+    for plan in captured:
+        assert "Bucketed: true" in plan, "lake scan lost its bucketing:\n" + plan
+        n = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+        assert n == 2, (
+            "foreachBatch survivor plan must shuffle ONLY the batch "
+            f"(anti-join batch side + dedup_exact agg = 2), got {n}:\n" + plan
+        )
+
+
+def test_register_seen_lake_restores_bucketed_scan(spark, tmp_path):
+    """Catalog-loss restart path: after DROP TABLE (external files kept),
+    register_seen_lake's DDL must restore the SAME scan properties — the
+    re-attached lake reads back identical rows, reports Bucketed: true,
+    anti-joins with zero lake-side Exchange, and keeps folding
+    append-only-new."""
+    import re as _re
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        register_seen_lake,
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    table = "seen_lake_reattach_t"
+    path = str(tmp_path / "seen_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        seen_fold_bucketed(spark, table, doc_fingerprints(b0), buckets=8, path=path)
+        before = sorted(r["fp"] for r in spark.table(table).collect())
+        spark.sql(f"DROP TABLE {table}")  # external: files survive
+
+        # the fold itself must refuse to overwrite the orphaned lake
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="register_seen_lake"):
+            seen_fold_bucketed(
+                spark, table, doc_fingerprints(b1), buckets=8, path=path
+            )
+
+        register_seen_lake(spark, table, path, buckets=8)
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == before
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "fp", F.md5(F.col("text"))
+        ).select("doc_id", "fp")
+        anti = batch.join(spark.table(table), on="fp", how="left_anti")
+        plan = plan_of(anti)
+        assert "Bucketed: true" in plan, "re-attached scan must stay bucketed"
+        assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1
+
+        # appends keep working and stay only-new
+        seen_fold_bucketed(spark, table, doc_fingerprints(b1), buckets=8)
+        plain = doc_fingerprints(b0).unionByName(doc_fingerprints(b1)).distinct()
+        lake = spark.table(table)
+        assert lake.count() == lake.distinct().count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_brute_ann_broadcasts_queries(spark):
     plan = plan_of(entrymod.q_ann_cosine_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1179,6 +1179,279 @@ def test_stream_dedup_incremental_refuses_foreign_survivor_lake(
     assert got == [1, 2]
 
 
+def test_stream_dedup_incremental_bucketed_equals_batch_fold(spark, tmp_path):
+    """The bucketed streaming maintainer (VERDICT r13 task 2) must hold
+    the exact invariant of the plain one: drained survivor lake == batch
+    dedup_exact over the concatenated history, seen TABLE == batch
+    doc_fingerprints — and a follow-up batch of pure re-crawls ingests
+    nothing while the append-only-new fold keeps the lake distinct."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        doc_fingerprints,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+    )
+
+    src = tmp_path / "docs_src_b"
+    src.mkdir()
+    table = "stream_seen_lake_eq_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    survivors_path = str(tmp_path / "survivors_b")
+    batches = [
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (4, "delta")],
+        [(10, "gamma"), (11, "epsilon"), (12, "Alpha   beta")],
+        [(20, "delta"), (21, "epsilon"), (22, "zeta"), (23, "zeta")],
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}.parquet"
+            _write_docs(str(p), rows)
+            t = time.time() + 5 * i
+            os.utime(p, (t, t))
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(
+                spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+            ),
+            table,
+            survivors_path,
+            str(tmp_path / "ckpt_inc_b"),
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake_b"),
+        )
+
+        history = spark.createDataFrame(
+            [r for rows in batches for r in rows], DOC_SCHEMA
+        )
+        expected = sorted(
+            (r["doc_id"], r["text"]) for r in dedup_exact(history).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(survivors_path)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == expected
+        batch_fps = sorted(r["fp"] for r in doc_fingerprints(history).collect())
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == batch_fps
+
+        # pure re-crawls: nothing re-ingested, fold appends nothing, the
+        # lake stays distinct by construction
+        p = src / "b3.parquet"
+        _write_docs(str(p), [(30, "alpha beta"), (31, "zeta"), (32, "Gamma")])
+        t = time.time() + 20
+        os.utime(p, (t, t))
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(
+                spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+            ),
+            table,
+            survivors_path,
+            str(tmp_path / "ckpt_inc_b"),
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake_b"),
+        )
+        got2 = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(survivors_path)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got2 == expected
+        lake = spark.table(table)
+        assert sorted(r["fp"] for r in lake.collect()) == batch_fps
+        assert lake.count() == lake.distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_incremental_bucketed_redelivery_after_fold_advance(
+    spark, tmp_path
+):
+    """Same r7-ADVICE crash window as the plain maintainer: the fold
+    advanced but the checkpoint commit was lost. The redelivered batch
+    would recompute an EMPTY survivor set against the advanced lake — the
+    _SUCCESS guard must keep the committed directory, and the re-fold
+    must append NOTHING (append-only-new idempotence, no ._old rotation
+    needed)."""
+    from bigdata_etl_customer360_spark.operators.dedup import dedup_exact
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+    )
+
+    src = tmp_path / "docs_src_br"
+    src.mkdir()
+    table = "stream_seen_lake_rd_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    survivors_path = str(tmp_path / "survivors_br")
+    ckpt = tmp_path / "ckpt_redeliver_b"
+    rows = [(1, "alpha"), (2, "alpha"), (3, "beta")]
+    _write_docs(str(src / "b0.parquet"), rows)
+    try:
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            table,
+            survivors_path,
+            str(ckpt),
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake_br"),
+        )
+        expected = sorted(
+            (r["doc_id"], r["text"])
+            for r in dedup_exact(
+                spark.createDataFrame(rows, DOC_SCHEMA)
+            ).collect()
+        )
+        lake_before = sorted(r["fp"] for r in spark.table(table).collect())
+
+        commit0 = ckpt / "commits" / "0"
+        assert commit0.exists()
+        commit0.unlink()
+        crc = ckpt / "commits" / ".0.crc"
+        if crc.exists():
+            crc.unlink()
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            table,
+            survivors_path,
+            str(ckpt),
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake_br"),
+        )
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(survivors_path)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == expected  # survivors kept, not wiped
+        assert (
+            sorted(r["fp"] for r in spark.table(table).collect()) == lake_before
+        )  # re-fold appended nothing
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_incremental_bucketed_refuses_foreign_survivor_lake(
+    spark, tmp_path
+):
+    """Ownership stamp, bucketed flavor: checkpoint + seen table cleared
+    but stale survivor batch dirs remain → loud error, not silent
+    adoption."""
+    import shutil
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+    )
+
+    src = tmp_path / "docs_src_bo"
+    src.mkdir()
+    table = "stream_seen_lake_own_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    survivors_path = str(tmp_path / "survivors_bo")
+    ckpt = str(tmp_path / "ckpt_owner_b")
+    _write_docs(str(src / "b0.parquet"), [(1, "alpha"), (2, "beta")])
+    try:
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            table,
+            survivors_path,
+            ckpt,
+            buckets=8,
+            seen_table_path=str(tmp_path / "seen_lake_bo"),
+        )
+        shutil.rmtree(ckpt)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(str(tmp_path / "seen_lake_bo"))
+        with pytest.raises(
+            Exception, match="_QUERY_ID|belongs to streaming query"
+        ):
+            stream_dedup_incremental_bucketed(
+                stream_from_parquet(spark, str(src), DOC_SCHEMA),
+                table,
+                survivors_path,
+                ckpt,
+                buckets=8,
+                seen_table_path=str(tmp_path / "seen_lake_bo"),
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_incremental_bucketed_catalog_loss_guard(spark, tmp_path):
+    """Restart hazard specific to the catalog-backed lake: a fresh
+    in-memory-catalog session forgets the table while its external files
+    survive — the 'first fold' branch must REFUSE to overwrite the
+    populated path, and register_seen_lake re-attaches the entry so the
+    restarted stream converges (survivors kept, re-crawls still
+    suppressed)."""
+    from bigdata_etl_customer360_spark.operators.dedup import dedup_exact
+    from bigdata_etl_customer360_spark.sources.bucketed import register_seen_lake
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+    )
+
+    src = tmp_path / "docs_src_bc"
+    src.mkdir()
+    table = "stream_seen_lake_cat_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    survivors_path = str(tmp_path / "survivors_bc")
+    ckpt = str(tmp_path / "ckpt_cat_b")
+    lake_path = str(tmp_path / "seen_lake_bc")
+    _write_docs(str(src / "b0.parquet"), [(1, "alpha"), (2, "beta")])
+    try:
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            table,
+            survivors_path,
+            ckpt,
+            buckets=8,
+            seen_table_path=lake_path,
+        )
+        # simulate the fresh session: catalog entry gone, files remain.
+        # DROP TABLE on an external table keeps the data files.
+        spark.sql(f"DROP TABLE {table}")
+        p = src / "b1.parquet"
+        _write_docs(str(p), [(10, "alpha"), (11, "gamma")])
+        t = time.time() + 10
+        os.utime(p, (t, t))
+        with pytest.raises(Exception, match="register_seen_lake"):
+            stream_dedup_incremental_bucketed(
+                stream_from_parquet(spark, str(src), DOC_SCHEMA),
+                table,
+                survivors_path,
+                ckpt,
+                buckets=8,
+                seen_table_path=lake_path,
+            )
+        register_seen_lake(spark, table, lake_path, buckets=8)
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            table,
+            survivors_path,
+            ckpt,
+            buckets=8,
+            seen_table_path=lake_path,
+        )
+        history = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (10, "alpha"), (11, "gamma")],
+            DOC_SCHEMA,
+        )
+        expected = sorted(
+            (r["doc_id"], r["text"]) for r in dedup_exact(history).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(survivors_path)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == expected  # re-crawl of 'alpha' suppressed post-restart
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def _write_tokens(path: str, toks: list[str]) -> None:
     pq.write_table(pa.table({"token": toks}), path)
 

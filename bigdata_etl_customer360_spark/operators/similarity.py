@@ -1063,7 +1063,15 @@ def cosine_topk_ivfpq(
         return pd.DataFrame({"cells": cells_o, "bases": bases_o, "luts": luts_o})
 
     qtabs = F.pandas_udf(_qtabs, tab_schema)
-    per_q = (
+    # one UDF row per query, consumed by BOTH broadcast sides below —
+    # scoped_cache (the derived-self-join-input rule) so the Arrow stage
+    # runs once. The broadcast splits in two on purpose: (query, cell,
+    # base) prunes WHICH rows meet which queries (|q| × nprobe tiny
+    # rows), while the m×kc LUT ships ONCE PER QUERY keyed on query_id —
+    # the single-frame layout duplicated every query's LUT nprobe times,
+    # an nprobe× broadcast inflation that matters exactly when the
+    # distributed build lets |q| grow.
+    per_q = scoped_cache(
         fan_out(queries)
         .select(F.col(id_col).alias("query_id"), qtabs(F.col(vec_col)).alias("_t"))
         .select(
@@ -1073,19 +1081,19 @@ def cosine_topk_ivfpq(
             F.col("_t.luts").alias("_luts"),
         )
     )
-    luts = per_q.select(
+    cell_base = per_q.select(
         "query_id",
         F.explode(F.arrays_zip("_cells", "_bases")).alias("_cb"),
-        "_luts",
     ).select(
         "query_id",
         F.col("_cb._cells").alias("cell"),
         F.col("_cb._bases").alias("_base"),
-        "_luts",
     )
+    query_luts = per_q.select("query_id", "_luts")
 
     adc = (
-        codes.join(F.broadcast(luts), on="cell")
+        codes.join(F.broadcast(cell_base), on="cell")
+        .join(F.broadcast(query_luts), on="query_id")
         .withColumn(
             "_adc",
             F.col("_base")

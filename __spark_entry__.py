@@ -4366,7 +4366,7 @@ def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and die in the semi-join; false negatives are impossible), so it is
     a result-transparent optimization. This is the semi-join-pushdown
     shape at 100 TB: the word frame collapses to a <= m/32-long array
-    LITERAL (bounded driver collect, the similarity LUT discipline) and
+    LITERAL (a bounded driver collect, the guarded-query-side class) and
     the fact scan filters in pure codegen — zero joins, zero shuffle
     spent on the 99% of rows the dimension would reject. Oracle: the
     plain semi-join aggregate (no bloom) — grading the transparency

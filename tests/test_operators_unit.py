@@ -2276,6 +2276,53 @@ def test_pq_encode_deterministic_and_full_rerank_exact(spark):
         pq_fit(df, num_subspaces=5)
 
 
+def test_pq_query_luts_bit_identical_to_driver_loop(spark):
+    """r14: the executor-side LUT build (pq_query_luts, Arrow-batched)
+    must reproduce the retired driver loop BIT-FOR-BIT — normalize and
+    quantize are per-row elementwise ops, the LUT matmul is exact int64 —
+    and must be invariant to the query frame's partitioning (Arrow batch
+    shape cannot perturb integer matmuls)."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        QUANT_SCALE,
+        pq_fit,
+        pq_query_luts,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    _, qbook, _ = pq_fit(
+        df, num_subspaces=4, codes_per_subspace=8, sample_size=64
+    )
+    m, kc, sub = qbook.shape
+
+    got = {
+        r["query_id"]: [list(t) for t in r["_luts"]]
+        for r in pq_query_luts(df, qbook).collect()
+    }
+    got_repart = {
+        r["query_id"]: [list(t) for t in r["_luts"]]
+        for r in pq_query_luts(df.repartition(11), qbook).collect()
+    }
+    assert got == got_repart  # batch-shape independence
+
+    # the retired driver loop, verbatim
+    want = {}
+    for r in df.collect():
+        v = np.asarray(r["embedding"], dtype="float64")
+        v /= max(float(np.linalg.norm(v)), 1e-12)
+        qv = np.floor(v * float(QUANT_SCALE) + 0.5).astype("int64")
+        want[r["vec_id"]] = [
+            [int(x) for x in (qbook[s] @ qv[s * sub : (s + 1) * sub])]
+            for s in range(m)
+        ]
+    assert got == want
+
+
 def test_ivfpq_full_probe_exact_and_encode_deterministic(spark):
     """IVF×PQ: probing every cell with rerank >= |corpus| equals brute
     force exactly; the (cell, codes) encoding is identical under

@@ -3178,7 +3178,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = docs.filter(
             (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
         )
-        survivors = dedup_incremental(batch, seen, id_col="doc_id")
+        survivors = dedup_incremental(
+            batch, seen, id_col="doc_id", seen_is_distinct=True
+        )
         outs.append(survivors)
         fps = doc_fingerprints(survivors)
         seen = fps if seen is None else seen.unionByName(fps).distinct()
@@ -3245,7 +3247,9 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") >= b * cut) & (F.col("doc_id") < (b + 1) * cut)
         )
         seen = spark.table(table) if spark.catalog.tableExists(table) else None
-        survivors = dedup_incremental(batch, seen, id_col="doc_id")
+        survivors = dedup_incremental(
+            batch, seen, id_col="doc_id", seen_is_distinct=True
+        )
         survivors.write.parquet(os.path.join(root, f"batch={b}"))
         seen_fold_bucketed(
             spark,

@@ -833,6 +833,7 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    seen_is_distinct: bool = False,
 ) -> DataFrame:
     """Incremental exact dedup — the daily-crawl ingest pattern: drop
     every new doc whose normalized text was already seen in ANY prior
@@ -851,11 +852,26 @@ def dedup_incremental(
     16-byte keys, broadcastable while small) + dedup_exact's single hash
     agg over the batch. Cost ~ |batch| + |seen|, independent of raw
     history size.
+
+    ``seen_is_distinct``: an anti-join is duplicate-insensitive, so the
+    seen-side ``distinct()`` NEVER affects the result — it exists only
+    to shrink a shuffled/broadcast seen side when callers pass raw
+    fingerprint dumps with repeats. The maintained seen sets (the
+    union+distinct snapshot fold and the append-only-new bucketed lake)
+    are distinct BY CONSTRUCTION, and for the bucketed lake the distinct
+    is pure waste: the scan satisfies the join's distribution, so the
+    aggregate saves no shuffle and burns a full-history agg pass per
+    batch (measured r14: 1.4-1.6s -> ~1.1s per 100k-batch anti-join
+    against a 5M-fp lake). Pass ``True`` from maintainers that own the
+    seen set's distinctness; leave ``False`` for foreign inputs.
     """
     fresh = new_docs
     if seen is not None:
+        seen_fps = seen.select(F.col(fp_col).alias("_fp"))
+        if not seen_is_distinct:
+            seen_fps = seen_fps.distinct()
         fresh = new_docs.withColumn("_fp", text_fingerprint(text_col)).join(
-            seen.select(F.col(fp_col).alias("_fp")).distinct(),
+            seen_fps,
             on="_fp",
             how="left_anti",
         ).drop("_fp")

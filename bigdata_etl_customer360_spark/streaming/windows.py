@@ -443,7 +443,8 @@ def stream_dedup_incremental(
                 spark.read.parquet(read_from) if read_from is not None else None
             )
             survivors = dedup_incremental(
-                batch_df, seen, text_col=text_col, id_col=id_col
+                batch_df, seen, text_col=text_col, id_col=id_col,
+                seen_is_distinct=True,  # snapshot/lake distinct by construction
             )
             survivors.write.mode("overwrite").parquet(batch_dir)
         # else: first-write-wins — the directory committed before a crash
@@ -583,7 +584,8 @@ def stream_dedup_incremental_bucketed(
                 else None
             )
             survivors = dedup_incremental(
-                batch_df, seen, text_col=text_col, id_col=id_col
+                batch_df, seen, text_col=text_col, id_col=id_col,
+                seen_is_distinct=True,  # snapshot/lake distinct by construction
             )
             survivors.write.mode("overwrite").parquet(batch_dir)
         # fingerprints derive from the JUST-WRITTEN files (see step 2 in

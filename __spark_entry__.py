@@ -826,6 +826,70 @@ def q_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def q_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED IVF×PQ index graded end-to-end (operators/ann_index —
+    VERDICT r14 task 2: at 100 TB the index is the asset, not a per-query
+    fit): the model (coarse centroids + residual PQ codebooks) is fit
+    ONCE on the even-id half of the embeddings and persisted; the odd-id
+    half is then APPENDED — encoded against the FROZEN model, only-new
+    anti-join on the id-bucketed codes lake, nothing rewritten; search
+    runs entirely from the lake (ADC pass reads only (cell, codes) via
+    parquet column pruning, exact re-rank joins the STORED quantized
+    vectors). Probing every cell with rerank >= |index| gates nothing,
+    so the search-from-index must equal brute force over the FULL corpus
+    — the ivfpq_full invariant, now also proving the persisted model
+    round-trips bit-exactly, the append encodes identically to the
+    build, the fold dropped/duplicated no vector, and the stored exact
+    tier equals the recomputed one. No-refit + bucketed-lake plan pinned
+    by tests/test_plans.py::test_ivfpq_index_append_frozen_and_bucketed;
+    lifecycle regressions (idempotent re-append, build-refuses-existing,
+    register_lake re-attach) in tests/test_operators_unit.py. Scratch is
+    session-scoped (bench re-runs search the already-maintained index)."""
+    import os
+
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        cosine_topk_ivfpq_from_index,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+
+    table = "c360_ivfpq_idx_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_INDEX_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_ivfpq_idx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = os.path.join(root, "codes")
+        ivfpq_index_build(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            table,
+            path,
+            num_centroids=16,
+            buckets=32,
+        )
+        ivfpq_index_append(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), table, path
+        )
+        _IVFPQ_INDEX_DIRS[sf_dir] = root
+    return cosine_topk_ivfpq_from_index(
+        spark,
+        emb.filter(F.col("vec_id") < 10),
+        table,
+        os.path.join(_IVFPQ_INDEX_DIRS[sf_dir], "codes"),
+        k=5,
+        nprobe=16,
+        rerank=1_000_000,
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.sources.stream_stream_join (same plan;
     watermarks are no-ops on bounded input): click↔view pairs per user
@@ -3474,6 +3538,120 @@ def q_dedup_stream_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
 
 
+_DEDUP_STREAM_NEARDUP_DIRS: dict[str, str] = {}
+
+
+def q_dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate dedup, oracle-checked end-to-end
+    (streaming/windows.stream_dedup_neardup — VERDICT r14 task 1, closing
+    the exact-only gap in the streaming dedup family): a planted re-crawl
+    history — corpus + exact re-crawl (+10000) + one-token ' v2' variants
+    (+20000, word-3-gram Jaccard (w-2)/(w-1) vs the base doc) — lands as
+    three id-ordered parquet batches, and a REAL availableNow drain runs
+    each batch through the MinHash maintainer: band self-join within the
+    batch, band join against the bhash-bucketed bands lake across
+    batches, exact shingle-set Jaccard verification at >= 0.6 against
+    the id-bucketed signature lake, survivors appended, ALL batch docs'
+    bands+signatures folded append-only-new. The oracle recomputes the
+    survivor set from BRUTE-FORCE exact ngram-Jaccard in SQL over the
+    concatenated history (drop every doc with a >= 0.6 match at a
+    smaller id) — banding only gates candidates, and at j >= 0.6 with
+    32 bands of 2 rows capture is structurally certain in practice
+    (P(miss) <= (1-0.36)^32 ~ 6.6e-7 per pair, deterministic per corpus
+    — the minhash_recall regime), so streaming == brute force EXACTLY.
+    Docs with < 3 tokens have no shingles and always survive (a 2-token
+    exact re-crawl is the EXACT tiers' job — dedup_stream catches it).
+    Ordered batching makes arrival order == id order, so the streaming
+    "any earlier doc" rule equals the oracle's smaller-id rule. Scratch
+    dirs/tables are session-scoped (bench re-runs drain zero new files
+    and re-read the converged lake)."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_neardup,
+        stream_from_parquet,
+    )
+
+    slug = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    bands_table = "c360_neardup_bands_" + slug
+    sigs_table = "c360_neardup_sigs_" + slug
+    if sf_dir not in _DEDUP_STREAM_NEARDUP_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_dedup_stream_nd_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {sigs_table}")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+
+        base = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        # three id-ordered batches on FIXED boundaries (base ids stay
+        # below 10000 at every SF): base crawl, exact re-crawl, near-dup
+        # ' v2' re-crawl — the near tier's raison d'être: the exact
+        # maintainers pass every +20000 doc through.
+        variants = (
+            (0, F.col("text")),
+            (10000, F.col("text")),
+            (20000, F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        for b, (off, text) in enumerate(variants):
+            stage = os.path.join(root, f"stage{b}")
+            # coalesce(1): ONE file per batch, so mtime order == batch
+            # order == ascending ids (first-seen == min-id)
+            base.select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+            ).coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b, 1_700_000_000 + 10 * b))
+        _DEDUP_STREAM_NEARDUP_DIRS[sf_dir] = root
+
+    root = _DEDUP_STREAM_NEARDUP_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    survivors_path = os.path.join(root, "survivors")
+    stream_dedup_neardup(
+        stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        ),
+        bands_table,
+        sigs_table,
+        survivors_path,
+        os.path.join(root, "ckpt"),
+        num_hashes=64,
+        bands=32,
+        threshold=0.6,
+        buckets=32,
+        bands_table_path=os.path.join(root, "bands_lake"),
+        sigs_table_path=os.path.join(root, "sigs_lake"),
+        query_name="dedup_stream_neardup_graded",
+    )
+    return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
+
+
 _COMPACT_DIRS: dict[str, str] = {}
 
 
@@ -5740,6 +5918,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "ivfpq_full": q_ivfpq_full,
+        "ivfpq_from_index": q_ivfpq_from_index,
         "pq_recall": q_pq_recall,
         "ivfpq_recall": q_ivfpq_recall,
         "tree_train": q_tree_train,
@@ -5856,6 +6035,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_revenue": q_seasonal_revenue,
         "dedup_stream": q_dedup_stream,
         "dedup_stream_bucketed": q_dedup_stream_bucketed,
+        "dedup_stream_neardup": q_dedup_stream_neardup,
         "compact_parquet": q_compact_parquet,
         "zorder_read": q_zorder_read,
         "bm25_search": q_bm25_search,
@@ -6618,6 +6798,33 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS self_found,
                CAST(1 AS BIGINT) AS recall_ge_floor
         FROM embeddings WHERE vec_id < 50
+    """,
+    "ivfpq_from_index": """
+        -- identical to the ivfpq_full / ann_cosine_topk oracle: the
+        -- maintained index (frozen persisted model, half built / half
+        -- appended, search entirely from the lake) probing every cell
+        -- with rerank >= |index| must equal brute force over the full
+        -- corpus — storage and maintenance must not move one value.
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                  FOR x IN embedding] AS e
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, list_sum([v * v FOR v IN e]) AS nsq FROM qz),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(list_sum([q.e[i] * c.e[i] FOR i IN range(1, len(q.e) + 1)]) AS DOUBLE)
+              / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cosine
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
     """,
     "ivfpq_full": """
         -- identical to the ann_cosine_topk oracle: IVFPQ probing every
@@ -9340,6 +9547,41 @@ _ORACLES: dict[str, str] = {
                    ORDER BY doc_id ASC) AS rn
           FROM corpus
         ) WHERE rn = 1
+    """,
+    "dedup_stream_neardup": r"""
+        -- streaming near-dup maintainer vs BRUTE-FORCE ground truth:
+        -- drop every doc whose exact word-3-gram Jaccard against a
+        -- smaller-id doc reaches 0.6 (same shingle construction as the
+        -- minhash_recall oracle; banding only gates candidates and at
+        -- j >= 0.6 capture is structurally certain — see the query
+        -- docstring for the probability bound). Docs with < 3 tokens
+        -- have no shingles and always survive on both engines.
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 20000, text || ' v2', lang, source FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '[ \t\r\n\x0B\f]+') AS tk
+                FROM corpus)
+        ),
+        dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= 0.6
+        )
+        SELECT c.doc_id, c.lang, c.source FROM corpus c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
     "dedup_incremental_bucketed": r"""
         -- bucketing the seen-fingerprint lake is a pure storage-layout

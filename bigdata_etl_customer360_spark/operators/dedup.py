@@ -167,6 +167,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_doc_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-doc distinct shingle-HASH sets ``(_id, _hs array<long>)`` — the
+    shared substrate of :func:`minhash_lsh_pairs` and the streaming
+    near-dup maintainer (``streaming.windows.stream_dedup_neardup``): one
+    definition so batch and streaming agree on what "the same shingle
+    set" means. Returned frame is ``scoped_cache``d (it feeds banding +
+    exact verify, and the boundary keeps constraint-inferred isnotnull()
+    filters from cloning the shingling below the fan-out exchange).
+
+    Posting list is 64-bit shingle hashes (8-byte shuffle rows; string
+    collisions ~2^-64 — see ``ngram_jaccard_pairs``); docs with fewer
+    than ``n`` tokens (or NULL text) have NO shingles and are absent from
+    the output — they can never be near-dup candidates. ``max_df`` drops
+    boilerplate shingles appearing in more than ``max_df`` docs (a
+    distributed df-count join); both the signatures and the verify-
+    Jaccard then use the capped shingle space."""
+    posts = (
+        with_shingles(fan_out(df), text_col, n)
+        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_sh"))
+    )
+    if max_df is not None:
+        # posts feeds BOTH the df-count branch and the capped join below —
+        # cache so shingling+explode+xxhash64 runs once (same reason
+        # ngram_jaccard_pairs caches before its identical df-cap join).
+        posts = scoped_cache(posts)
+        keep = (
+            posts.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        posts = posts.join(keep, on="_sh")
+
+    # shingle sets are distinct per doc, so collect_list is set-valued;
+    # every consumer is order-independent (array_min / array_intersect).
+    return scoped_cache(
+        posts.groupBy("_id")
+        .agg(F.collect_list("_sh").alias("_hs"))
+    )
+
+
+def minhash_band_rows(
+    sh: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH rows ``(_id, band, bhash)`` from :func:`minhash_doc_sets`
+    output: signature ``sig[i] = min over shingles of xxhash64(i, h)``
+    (each shingle's expensive string hash was computed once at explode
+    time; permutation i re-hashes the long), then ``bands`` groups of
+    ``num_hashes/bands`` signature rows fold to one 64-bit band hash.
+    ``bhash`` embeds the band index (``xxhash64(b, slice)``), so equality
+    on ``bhash`` alone implies same-band collision up to a ~2^-64 hash
+    collision — what lets the streaming lake bucket on the single long.
+    Returned frame is ``scoped_cache``d (it feeds both self-join sides;
+    3 longs per (doc, band))."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = sh.withColumn(
+        "_sig",
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            f"i -> array_min(transform(_hs, h -> xxhash64(i, h))))"
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(b, slice(_sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})) AS bhash))"
+            )
+        ).alias("_band"),
+    )
+    return scoped_cache(banded.select(
+        "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
+    ))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,62 +289,8 @@ def minhash_lsh_pairs(
     stress), the cap must exceed the corpus duplication factor or
     boilerplate-only duplicate groups vanish by design.
     """
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    rows_per_band = num_hashes // bands
-
-    # posting list of 64-bit shingle hashes (8-byte shuffle rows; string
-    # collisions ~2^-64 — see ngram_jaccard_pairs); the df-cap is a join
-    # against the shingle document frequencies, fully distributed.
-    posts = (
-        with_shingles(fan_out(df), text_col, n)
-        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_sh"))
-    )
-    if max_df is not None:
-        # posts feeds BOTH the df-count branch and the capped join below —
-        # cache so shingling+explode+xxhash64 runs once (same reason
-        # ngram_jaccard_pairs caches before its identical df-cap join).
-        posts = scoped_cache(posts)
-        keep = (
-            posts.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("_sh")
-        )
-        posts = posts.join(keep, on="_sh")
-
-    # cached twice-consumed frame (banding + exact verify); also a
-    # materialization boundary so constraint-inferred isnotnull() filters
-    # on the join keys can't clone the shingling expressions below the
-    # fan-out exchange (see simhash_pairs). Shingle sets are distinct per
-    # doc, so collect_list is set-valued; every consumer below is
-    # order-independent (array_min / array_intersect size).
-    sh = scoped_cache(
-        posts.groupBy("_id")
-        .agg(F.collect_list("_sh").alias("_hs"))
-    )
-
-    sig = sh.withColumn(
-        "_sig",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"i -> array_min(transform(_hs, h -> xxhash64(i, h))))"
-        ),
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, xxhash64(b, slice(_sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})) AS bhash))"
-            )
-        ).alias("_band"),
-    )
-    banded = scoped_cache(banded.select(
-        "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
-    ))  # feeds both self-join sides; 3 longs per (doc, band)
+    sh = minhash_doc_sets(df, id_col=id_col, text_col=text_col, n=n, max_df=max_df)
+    banded = minhash_band_rows(sh, num_hashes=num_hashes, bands=bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -921,6 +921,21 @@ def _exact_rerank(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("_cv")
     ).withColumn("_cn", _norm_sq("_cv"))
+    return _exact_rerank_pre(cand, q, c, k)
+
+
+def _exact_rerank_pre(
+    cand: DataFrame,
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+) -> DataFrame:
+    """:func:`_exact_rerank` over PRE-quantized sides — ``q`` carries
+    ``(query_id, _qv, _qn)``, ``c`` ``(neighbor_id, _cv, _cn)``. Split
+    out so the maintained index (``operators.ann_index``) can re-rank
+    from its STORED quantized vectors (written by the same
+    ``quantize_expr``/``_norm_sq`` at fold time — exact ints, so stored
+    == recomputed) without carrying the raw embedding column."""
     scored = (
         cand.join(F.broadcast(q), on="query_id")
         .join(c, on="neighbor_id")
@@ -943,49 +958,64 @@ def _exact_rerank(
     )
 
 
-def cosine_topk_ivfpq(
+def _ivfpq_enc_udf(centroids, qbook, qbook_nsq):
+    """IVF×PQ row encoder (``[cell, code_1..code_m]`` per vector) as an
+    Arrow-batched pandas UDF over a FROZEN model — shared by
+    :func:`cosine_topk_ivfpq` (model fit inline per query) and the
+    maintained index (``operators.ann_index``, model fit once at build
+    and frozen for every append). Cell choice is a per-row float argmax
+    (same rows-only caveat as cosine_topk_ivf); code assignment is exact
+    int64 over the quantized residual — bit-stable under any Arrow batch
+    shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = np.asarray(centroids)
+    qb = np.asarray(qbook)
+    qn = np.asarray(qbook_nsq)
+    m, kc, sub = qb.shape
+
+    def _enc(vecs):
+        V = np.stack(vecs.to_numpy()).astype("float64")
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(V @ cents.T, axis=1)
+        Rv = V - cents[cells]
+        Q = np.floor(Rv * float(QUANT_SCALE) + 0.5).astype("int64")
+        out = np.empty((len(V), m + 1), dtype="int32")
+        out[:, 0] = cells
+        for s in range(m):
+            dots = Q[:, s * sub : (s + 1) * sub] @ qb[s].T
+            out[:, s + 1] = np.argmin(qn[s][None, :] - 2 * dots, axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_enc, ArrayType(IntegerType()))
+
+
+def _ivfpq_candidates(
     queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    num_centroids: int = 64,
-    nprobe: int = 8,
-    num_subspaces: int = 8,
-    codes_per_subspace: int = 16,
-    rerank: int | None = None,
-    sample_size: int = 4096,
-    kmeans_iters: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_self: bool = True,
-    max_query_rows: int = MAX_QUERY_ROWS,
+    codes: DataFrame,
+    centroids,
+    qbook,
+    nprobe: int,
+    R: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
 ) -> DataFrame:
-    """IVF×PQ — the composition production ANN indexes actually ship
-    (FAISS ``IVFPQ``; Jégou et al. 2011 §IV): an IVF coarse quantizer
-    prunes WHICH rows are scored (only ``nprobe`` cells per query) while
-    product quantization on the CELL RESIDUALS compresses what the
-    first-pass scan reads (m codes per row instead of the vector). Both
-    halves reuse this module's existing machinery: the pinned-sample
-    spherical k-means (:func:`_spherical_kmeans`) for cells,
-    :func:`_pq_codebooks` on the sample's residuals for codes, and the
-    family's exact quantized re-rank tail (:func:`_exact_rerank`).
-
-    Scoring: for a query q probing cell c, ``q·v ≈ q·centroid_c +
-    q·residual(v)`` — the first term is one per-(query, cell) int64
-    constant, the second an ADC sum of m int64 table lookups over the
-    row's codes, all JVM-side (``aggregate(zip_with(...))``); the top
-    ``rerank`` (default ``4*k``) candidates per query re-rank exactly.
-    With ``nprobe >= num_centroids`` AND ``rerank >= |corpus|`` the
-    result is EXACTLY brute force — the oracle-checked ``ivfpq_full``
-    invariant (both pruning tiers gate nothing; same pattern as
-    ivf_full_probe / pq_full_rerank).
-
-    Scale: the first pass reads (cell, codes) — ~4 + m bytes per row —
-    and touches ~nprobe/num_centroids of the corpus per query; the
-    exact tier touches ``rerank`` rows per query. Cell assignment is a
-    float argmax (same rows-only caveat as cosine_topk_ivf); codes and
-    ADC are exact int64, and the returned scores are exact.
-    """
-    queries = _guard_query_side(queries, max_query_rows)
+    """ADC first pass of the IVF×PQ family over a FROZEN model and a
+    ``(neighbor_id, cell, codes)`` frame: per-(query, probed cell) int64
+    base ``q·centroid_c`` + per-subspace residual LUTs are built
+    EXECUTOR-SIDE (VERDICT r13 task 4 — one struct-returning Arrow UDF
+    per query row, exploded into the per-(query, cell) rows the
+    broadcast join consumes; the float cell-probe argsort runs as a
+    PER-ROW gemv exactly like the old driver loop, because a batched
+    gemm's BLAS reduction order could flip near-tie cell choices with
+    Arrow batch shape — the pq_fit lesson; bases and LUTs are exact
+    int64, order-independent by construction). Returns the per-query
+    top-``R`` ``(query_id, neighbor_id)`` candidates for the exact
+    re-rank tail. Shared by :func:`cosine_topk_ivfpq` and the maintained
+    index's search-from-index path."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -996,50 +1026,12 @@ def cosine_topk_ivfpq(
         StructType,
     )
 
-    R = int(rerank) if rerank is not None else 4 * int(k)
-    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
-    centroids = _spherical_kmeans(S, num_centroids, kmeans_iters)
-    ncent = len(centroids)
-    resid = S - centroids[np.argmax(S @ centroids.T, axis=1)]
-    _, qbook, qbook_nsq = _pq_codebooks(
-        resid, num_subspaces, codes_per_subspace, kmeans_iters
-    )
-    m, kc, sub = qbook.shape
-    qcent = np.floor(centroids * float(QUANT_SCALE) + 0.5).astype("int64")
+    cents = np.asarray(centroids)
+    qb = np.asarray(qbook)
+    m, kc, sub = qb.shape
+    ncent = len(cents)
+    qcent = np.floor(cents * float(QUANT_SCALE) + 0.5).astype("int64")
 
-    def _enc(vecs):
-        V = np.stack(vecs.to_numpy()).astype("float64")
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        cells = np.argmax(V @ centroids.T, axis=1)
-        Rv = V - centroids[cells]
-        Q = np.floor(Rv * float(QUANT_SCALE) + 0.5).astype("int64")
-        out = np.empty((len(V), m + 1), dtype="int32")
-        out[:, 0] = cells
-        for s in range(m):
-            dots = Q[:, s * sub : (s + 1) * sub] @ qbook[s].T
-            out[:, s + 1] = np.argmin(qbook_nsq[s][None, :] - 2 * dots, axis=1)
-        return pd.Series(list(out))
-
-    enc = F.pandas_udf(_enc, ArrayType(IntegerType()))
-    codes = scoped_cache(
-        fan_out(corpus)
-        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_cc"))
-        .select(
-            "neighbor_id",
-            F.element_at("_cc", 1).alias("cell"),
-            F.slice("_cc", 2, m).alias("codes"),
-        )
-    )
-
-    # per-(query, probed cell) ADC tables: int64 base = q·centroid_c and
-    # per-subspace residual LUTs — built EXECUTOR-SIDE (VERDICT r13
-    # task 4): one struct-returning Arrow UDF emits each query's probed
-    # cells, bases and LUTs, exploded into the per-(query, cell) rows
-    # the broadcast join consumes. The float cell-probe argsort runs as
-    # a PER-ROW gemv exactly like the old driver loop (a batched gemm's
-    # BLAS reduction order could flip near-tie cell choices with Arrow
-    # batch shape — the pq_fit lesson); bases and LUTs are exact int64,
-    # order-independent by construction.
     np_probe = min(int(nprobe), ncent)
     tab_schema = StructType(
         [
@@ -1053,10 +1045,10 @@ def cosine_topk_ivfpq(
         V = np.stack(vecs.to_numpy()).astype("float64")
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         Q = np.floor(V * float(QUANT_SCALE) + 0.5).astype("int64")
-        per_s = [Q[:, s * sub : (s + 1) * sub] @ qbook[s].T for s in range(m)]
+        per_s = [Q[:, s * sub : (s + 1) * sub] @ qb[s].T for s in range(m)]
         cells_o, bases_o, luts_o = [], [], []
         for i in range(len(V)):
-            probed = np.argsort(-(V[i] @ centroids.T))[:np_probe]
+            probed = np.argsort(-(V[i] @ cents.T))[:np_probe]
             cells_o.append([int(c) for c in probed])
             bases_o.append([int(Q[i] @ qcent[c]) for c in probed])
             luts_o.append([per_s[s][i].tolist() for s in range(m)])
@@ -1114,10 +1106,79 @@ def cosine_topk_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adc").desc(), F.col("neighbor_id").asc()
     )
-    cand = (
+    return (
         adc.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= R)
         .select("query_id", "neighbor_id")
+    )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    rerank: int | None = None,
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_query_rows: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """IVF×PQ — the composition production ANN indexes actually ship
+    (FAISS ``IVFPQ``; Jégou et al. 2011 §IV): an IVF coarse quantizer
+    prunes WHICH rows are scored (only ``nprobe`` cells per query) while
+    product quantization on the CELL RESIDUALS compresses what the
+    first-pass scan reads (m codes per row instead of the vector). Both
+    halves reuse this module's existing machinery: the pinned-sample
+    spherical k-means (:func:`_spherical_kmeans`) for cells,
+    :func:`_pq_codebooks` on the sample's residuals for codes, and the
+    family's exact quantized re-rank tail (:func:`_exact_rerank`).
+
+    Scoring: for a query q probing cell c, ``q·v ≈ q·centroid_c +
+    q·residual(v)`` — the first term is one per-(query, cell) int64
+    constant, the second an ADC sum of m int64 table lookups over the
+    row's codes, all JVM-side (``aggregate(zip_with(...))``); the top
+    ``rerank`` (default ``4*k``) candidates per query re-rank exactly.
+    With ``nprobe >= num_centroids`` AND ``rerank >= |corpus|`` the
+    result is EXACTLY brute force — the oracle-checked ``ivfpq_full``
+    invariant (both pruning tiers gate nothing; same pattern as
+    ivf_full_probe / pq_full_rerank).
+
+    Scale: the first pass reads (cell, codes) — ~4 + m bytes per row —
+    and touches ~nprobe/num_centroids of the corpus per query; the
+    exact tier touches ``rerank`` rows per query. Cell assignment is a
+    float argmax (same rows-only caveat as cosine_topk_ivf); codes and
+    ADC are exact int64, and the returned scores are exact.
+    """
+    queries = _guard_query_side(queries, max_query_rows)
+    import numpy as np
+
+    R = int(rerank) if rerank is not None else 4 * int(k)
+    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
+    centroids = _spherical_kmeans(S, num_centroids, kmeans_iters)
+    resid = S - centroids[np.argmax(S @ centroids.T, axis=1)]
+    _, qbook, qbook_nsq = _pq_codebooks(
+        resid, num_subspaces, codes_per_subspace, kmeans_iters
+    )
+    m = qbook.shape[0]
+
+    enc = _ivfpq_enc_udf(centroids, qbook, qbook_nsq)
+    codes = scoped_cache(
+        fan_out(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_cc"))
+        .select(
+            "neighbor_id",
+            F.element_at("_cc", 1).alias("cell"),
+            F.slice("_cc", 2, m).alias("codes"),
+        )
+    )
+    cand = _ivfpq_candidates(
+        queries, codes, centroids, qbook, nprobe, R, id_col, vec_col, exclude_self
     )
     return _exact_rerank(cand, queries, corpus, k, id_col, vec_col)
 

@@ -181,6 +181,7 @@ def register_seen_lake(
     path: str,
     buckets: int = 32,
     fp_col: str = "fp",
+    fp_type: str = "STRING",
 ) -> None:
     """Re-attach a seen-fingerprint lake's catalog entry over its existing
     files — the restart path for :func:`seen_fold_bucketed` when the
@@ -190,11 +191,91 @@ def register_seen_lake(
     bucketed writer's file-name convention, so the re-registered scan
     reports ``HashPartitioning(fp, buckets)`` exactly like the original
     (pinned by tests/test_plans.py::test_register_seen_lake_restores_
-    bucketed_scan). ``buckets``/``fp_col`` MUST match the lake's original
-    spec — a mismatched re-declaration would mis-route the bucket-pruned
-    reads; the spec, not this call, is the lake's contract."""
+    bucketed_scan). ``buckets``/``fp_col``/``fp_type`` MUST match the
+    lake's original spec — a mismatched re-declaration would mis-route
+    the bucket-pruned reads or silently mis-declare the column; the
+    spec, not this call, is the lake's contract. ``fp_type`` covers
+    foreign fingerprint columns (a lake folded from e.g. 64-bit hashes
+    re-attaches as ``BIGINT``); the declared type is validated against
+    the parquet footer when the path holds data."""
+    register_lake(spark, table, path, [(fp_col, fp_type)], fp_col, buckets)
+
+
+def register_lake(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    columns: list[tuple[str, str]],
+    bucket_col: str,
+    buckets: int,
+) -> None:
+    """Generic catalog re-attach for an external bucketed lake
+    (:func:`register_seen_lake` for arbitrary schemas — the near-dup
+    maintainer's band/signature lakes need more than one column). The
+    declared column types are validated against the parquet footer of the
+    existing files (when any): a wrong DDL would otherwise silently
+    declare a wrong schema and corrupt every downstream join."""
+    if _dir_has_data(path):
+        actual = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema.fields}
+        for name, ddl in columns:
+            declared = (
+                spark.sql(f"SELECT CAST(NULL AS {ddl})").schema[0]
+                .dataType.simpleString()
+            )
+            if actual.get(name) != declared:
+                raise ValueError(
+                    f"lake at {path!r} declares column {name!r} as {ddl!r} "
+                    f"({declared}) but the parquet footer says "
+                    f"{actual.get(name)!r} — the re-attach DDL must match "
+                    "the lake's written schema exactly."
+                )
+    cols_ddl = ", ".join(f"{name} {ddl}" for name, ddl in columns)
     spark.sql(
-        f"CREATE TABLE {table} ({fp_col} STRING) USING parquet "
-        f"CLUSTERED BY ({fp_col}) INTO {buckets} BUCKETS "
+        f"CREATE TABLE {table} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) INTO {buckets} BUCKETS "
         f"LOCATION '{path}'"
     )
+
+
+def lake_create_or_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    bucket_col: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """Create-or-append primitive for an external bucketed lake whose
+    caller owns the only-new filtering (:func:`seen_fold_bucketed` bakes
+    the anti-join in; the near-dup maintainer computes ONE new-id set
+    that gates appends to TWO lakes, so the filter lives with the
+    caller). First call creates the table (with the same catalog-loss
+    guard as ``seen_fold_bucketed``: a populated ``path`` without a
+    catalog entry refuses loudly — :func:`register_lake` re-attaches);
+    later calls append. Appends are atomic at job commit; keep
+    ``buckets`` fixed for the lake's lifetime.
+
+    ``spark`` must be the session the CALLER reads the lake through.
+    ``df`` may belong to a different session (inside ``foreachBatch``
+    the micro-batch frames live on a per-batch CLONE of the session);
+    a clone-side insert does not invalidate the reader session's cached
+    file listing for the table, so without the refresh below every
+    later ``spark.table(table)`` silently reads the pre-append listing
+    — history-losing, and invisible until a re-crawl sails through."""
+    if not spark.catalog.tableExists(table):
+        if _dir_has_data(path):
+            raise RuntimeError(
+                f"lake table {table!r} is not in the session catalog but "
+                f"{path!r} already holds data — overwriting would drop the "
+                "accumulated history. Re-attach it first with "
+                "sources.bucketed.register_lake (same columns/bucket spec "
+                "the writer used)."
+            )
+        df.write.mode("overwrite").format("parquet").bucketBy(
+            buckets, bucket_col
+        ).option("path", path).saveAsTable(table)
+    else:
+        df.write.mode("append").format("parquet").bucketBy(
+            buckets, bucket_col
+        ).saveAsTable(table)
+    spark.catalog.refreshTable(table)

@@ -3986,3 +3986,128 @@ def test_bloom_prefilter_large_m_same_contract(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# maintained IVF×PQ index lifecycle (operators/ann_index, VERDICT r14 task 2)
+
+
+def _mk_vecs(spark, ids, dim=8, shift=0.0):
+    import math as _m
+
+    rows = [
+        (int(i), [_m.sin(0.7 * i + 0.31 * d) + shift for d in range(dim)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_ivfpq_index_lifecycle(spark, tmp_path):
+    """Build refuses an existing index; append is idempotent (re-folding
+    an already-indexed batch adds nothing) and only-new (overlapping ids
+    keep their ORIGINAL encoding); a catalog-lost lake re-attaches with
+    register_lake and full-probe search still equals brute force."""
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        cosine_topk_ivfpq_from_index,
+        index_columns,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import register_lake
+
+    table = "ivfpq_idx_life_t"
+    path = str(tmp_path / "codes")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = _mk_vecs(spark, range(0, 40))
+    more = _mk_vecs(spark, range(40, 60))
+    try:
+        ivfpq_index_build(
+            spark, base, table, path,
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        with pytest.raises(RuntimeError, match="already exists"):
+            ivfpq_index_build(spark, base, table, path, buckets=4)
+
+        ivfpq_index_append(spark, more, table, path)
+        assert spark.table(table).count() == 60
+        # idempotent + only-new: re-append `more` plus overlapping ids
+        ivfpq_index_append(
+            spark, more.unionByName(_mk_vecs(spark, range(50, 70))), table, path
+        )
+        lake = spark.table(table)
+        assert lake.count() == 70
+        assert lake.select("vec_id").distinct().count() == 70
+
+        full = base.unionByName(more).unionByName(_mk_vecs(spark, range(60, 70)))
+        queries = _mk_vecs(spark, range(0, 5))
+        expected = sorted(
+            map(tuple, cosine_topk_brute(queries, full, k=3).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                cosine_topk_ivfpq_from_index(
+                    spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+                ).collect(),
+            )
+        )
+        assert got == expected
+
+        # catalog loss: DROP TABLE keeps external files; re-attach and
+        # search again — same result, and appends keep working
+        spark.sql(f"DROP TABLE {table}")
+        register_lake(spark, table, path, index_columns(), "vec_id", 4)
+        got2 = sorted(
+            map(
+                tuple,
+                cosine_topk_ivfpq_from_index(
+                    spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+                ).collect(),
+            )
+        )
+        assert got2 == expected
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivfpq_index_model_roundtrip(spark, tmp_path):
+    """The persisted model reloads bit-identically (float64 centroids
+    through parquet DOUBLE, int64 codebooks), and the derived arrays are
+    recomputed exactly."""
+    import numpy as np
+
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        ivfpq_index_build,
+        load_model,
+    )
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        _normalized_sample,
+        _pq_codebooks,
+        _spherical_kmeans,
+    )
+
+    table = "ivfpq_idx_rt_t"
+    path = str(tmp_path / "codes")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = _mk_vecs(spark, range(0, 40))
+    try:
+        ivfpq_index_build(
+            spark, base, table, path,
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        S = _normalized_sample(base, 4096, "vec_id", "embedding")
+        cents = _spherical_kmeans(S, 4, 8)
+        resid = S - cents[np.argmax(S @ cents.T, axis=1)]
+        _, qbook, qbook_nsq = _pq_codebooks(resid, 4, 4, 8)
+        m = load_model(spark, path)
+        assert np.array_equal(np.asarray(m.centroids), cents)  # bit-exact
+        assert np.array_equal(np.asarray(m.qbook), qbook)
+        assert np.array_equal(np.asarray(m.qbook_nsq), qbook_nsq)
+        assert m.buckets == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

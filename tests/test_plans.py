@@ -238,6 +238,202 @@ def test_stream_bucketed_dedup_foreachbatch_lake_side_no_exchange(
         )
 
 
+def test_stream_neardup_foreachbatch_lake_side_no_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 task 1 pin: INSIDE the near-dup maintainer's
+    foreachBatch, every Exchange is batch-sized — the bands lake scan
+    (candidate join on bhash) and the sigs lake scan (verify join +
+    only-new fold anti-join, both on id) stay bucketed with NO Exchange
+    anywhere ('Bucketed: false' would mean a lake that lost its spec and
+    re-shuffles 100 TB of folded history per micro-batch). Plans are
+    captured from the REAL drain via spies around _neardup_survivors and
+    lake_create_or_append; exchange totals are pinned (they include the
+    not-re-executed exchanges listed inside cached InMemoryRelation
+    subtrees — deterministic for this fixed plan)."""
+    import os
+    import re as _re
+    import time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import bigdata_etl_customer360_spark.sources.bucketed as bk
+    import bigdata_etl_customer360_spark.streaming.windows as win
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different text entirely here")],
+        # cross-batch exact + near re-crawls
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely different text entirely here extra")],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                    "text": _pa.array([r[1] for r in rows], _pa.string()),
+                }
+            ),
+            p,
+        )
+        t = time.time() + 5 * i
+        os.utime(p, (t, t))
+
+    surv_plans: list[str] = []
+    fold_plans: list[str] = []
+    real_surv = win._neardup_survivors
+    real_fold = bk.lake_create_or_append
+
+    def spy_surv(batch_df, sh, banded, lake_bands, lake_sets, thr, id_col):
+        out = real_surv(batch_df, sh, banded, lake_bands, lake_sets, thr, id_col)
+        if lake_bands is not None:
+            surv_plans.append(plan_of(out))
+        return out
+
+    def spy_fold(spark_, table, df, bucket_col, buckets, path):
+        if spark_.catalog.tableExists(table):
+            fold_plans.append(plan_of(df))
+        return real_fold(spark_, table, df, bucket_col, buckets, path)
+
+    monkeypatch.setattr(win, "_neardup_survivors", spy_surv)
+    monkeypatch.setattr(bk, "lake_create_or_append", spy_fold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bands_t, sigs_t = "nd_plan_bands_t", "nd_plan_sigs_t"
+    spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+    try:
+        win.stream_dedup_neardup(
+            win.stream_from_parquet(
+                spark, str(src), schema, max_files_per_trigger=1
+            ),
+            bands_t,
+            sigs_t,
+            str(tmp_path / "survivors"),
+            str(tmp_path / "ckpt"),
+            num_hashes=64,
+            bands=32,
+            threshold=0.6,
+            buckets=8,
+            bands_table_path=str(tmp_path / "bands_lake"),
+            sigs_table_path=str(tmp_path / "sigs_lake"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+    assert surv_plans, "second micro-batch must join against the lakes"
+    for plan in surv_plans:
+        assert plan.count("Bucketed: true") == 2, (
+            "bands + sigs lake scans must both stay bucketed:\n" + plan
+        )
+        assert "Bucketed: false" not in plan
+        n = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+        assert n == 15, (
+            "survivor plan must shuffle ONLY the batch (posting/agg/"
+            "candidate/verify/union exchanges, all batch-sized), "
+            f"got {n}:\n" + plan
+        )
+    # fold plans: bands append (semi-join via the only-new anti-join) and
+    # sigs append (the anti-join itself) — one bucketed sigs scan each
+    assert len(fold_plans) == 2
+    for plan in fold_plans:
+        assert plan.count("Bucketed: true") == 1, plan
+        assert "Bucketed: false" not in plan
+    ns = [
+        len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) for p in fold_plans
+    ]
+    assert ns == [5, 4], (
+        f"fold must shuffle only the batch, got {ns}:\n" + fold_plans[0]
+    )
+
+
+def test_ivfpq_index_append_frozen_and_bucketed(spark, tmp_path, monkeypatch):
+    """VERDICT r14 task 2 pins: (a) append + search NEVER re-fit — the
+    model is frozen at build (a re-fit would silently mix incompatible
+    code spaces); (b) the append's only-new anti-join is lake-side
+    shuffle-free (id-bucketed codes lake; only the new batch pays an
+    Exchange); (c) the search's ADC pass reads ONLY (id, cell, codes)
+    from the lake — parquet column pruning keeps the stored exact-tier
+    vectors out of the first-pass scan, the byte shape PQ exists for."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    import bigdata_etl_customer360_spark.operators.ann_index as ai
+    import bigdata_etl_customer360_spark.operators.similarity as sim
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    table = "ivfpq_idx_plan_t"
+    path = str(tmp_path / "codes")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    fits = []
+    real_fit = sim._spherical_kmeans
+
+    def spy_fit(*a, **kw):
+        fits.append(1)
+        return real_fit(*a, **kw)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        ai.ivfpq_index_build(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), table, path,
+            num_centroids=16, buckets=8,
+        )
+        monkeypatch.setattr(sim, "_spherical_kmeans", spy_fit)
+        monkeypatch.setattr(ai, "_spherical_kmeans", spy_fit)
+
+        # (b) only-new anti-join: lake side bucketed, one batch-side
+        # Exchange (broadcast disabled to force the shuffle shape)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fresh = emb.filter(F.col("vec_id") % 2 == 1).join(
+            spark.table(table).select("vec_id"), on="vec_id", how="left_anti"
+        )
+        plan = plan_of(fresh)
+        assert "Bucketed: true" in plan
+        assert "Bucketed: false" not in plan
+        assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        ai.ivfpq_index_append(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), table, path
+        )
+        got = ai.cosine_topk_ivfpq_from_index(
+            spark, emb.filter(F.col("vec_id") < 5), table, path,
+            k=3, nprobe=4, rerank=20,
+        )
+        # (c) ADC scan column pruning: the lake scan feeding the ADC join
+        # must read only id/cell/codes — qvec/qnorm appear in a SEPARATE
+        # re-rank scan, never in the codes scan's ReadSchema
+        plan = plan_of(got)
+        scans = _re.findall(
+            r"ReadSchema: struct<[^>]*>", plan
+        )
+        code_scans = [s for s in scans if "codes" in s]
+        assert code_scans and all("qvec" not in s for s in code_scans), scans
+        got.collect()
+        # (a) frozen model: neither the append nor the search re-fit
+        assert fits == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_register_seen_lake_restores_bucketed_scan(spark, tmp_path):
     """Catalog-loss restart path: after DROP TABLE (external files kept),
     register_seen_lake's DDL must restore the SAME scan properties — the

@@ -1687,3 +1687,294 @@ def test_session_agg_drops_late_rows_after_eviction(spark, tmp_path):
     assert byk[(1, "2022-01-01 10:00:00")] == ("2022-01-01 10:10:00", 1, 1.0)
     # 13:00 session: both on-time rows merged (13:00 + 13:05 < gap apart)
     assert byk[(1, "2022-01-01 13:00:00")] == ("2022-01-01 13:15:00", 2, 12.0)
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_neardup — the MinHash near-dup maintainer (VERDICT r14 task 1)
+
+ND_BATCHES = [
+    [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # last token differs: 6 of 8 union shingles shared -> j=0.75, dropped
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text entirely here"),
+    ],
+    [
+        (10, "the quick brown fox jumps over the lazy dog"),  # exact re-crawl
+        (11, "the quick brown fox jumps over the lazy dog v2"),  # j=7/8
+        (12, "brand new content that matches nothing at all"),
+    ],
+    [
+        # near-dup of SURVIVOR 3: j=3/4
+        (20, "completely different text entirely here extra"),
+        # exact re-crawl of DROPPED 2: "earlier doc" means any prior doc
+        (21, "the quick brown fox jumps over the lazy cat"),
+        (22, "short text"),  # < 3 tokens: no shingles, near tier blind
+        (23, "short text"),  # exact dup of 22 — still survives here
+    ],
+]
+ND_SURVIVORS = [1, 3, 12, 22, 23]
+
+
+def _nd_drain(spark, tmp_path, src, table_prefix, extra_kw=None):
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_neardup,
+    )
+
+    return stream_dedup_neardup(
+        stream_from_parquet(spark, str(src), DOC_SCHEMA, max_files_per_trigger=1),
+        f"{table_prefix}_bands_t",
+        f"{table_prefix}_sigs_t",
+        str(tmp_path / f"{table_prefix}_survivors"),
+        str(tmp_path / f"{table_prefix}_ckpt"),
+        num_hashes=64,
+        bands=32,
+        threshold=0.6,
+        buckets=8,
+        bands_table_path=str(tmp_path / f"{table_prefix}_bands_lake"),
+        sigs_table_path=str(tmp_path / f"{table_prefix}_sigs_lake"),
+        **(extra_kw or {}),
+    )
+
+
+def _nd_write_batches(src, batches):
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        _write_docs(str(p), rows)
+        t = time.time() + 5 * i
+        os.utime(p, (t, t))
+
+
+def test_stream_dedup_neardup_equals_batch_ground_truths(spark, tmp_path):
+    """The drained survivor lake must equal BOTH batch ground truths over
+    the concatenated history: (a) the minhash_lsh_pairs-derived survivor
+    set (one ground truth, two execution models — the VERDICT r14
+    deliverable) and (b) the BRUTE-FORCE exact ngram-Jaccard survivor set
+    (banding only gates candidates; capture at j >= 0.6 is certain on
+    this corpus). A follow-up batch of pure re-crawls ingests nothing and
+    the sig lake stays one-row-per-doc."""
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    prefix = "nd_eq"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+    try:
+        _nd_write_batches(src, ND_BATCHES)
+        _nd_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == ND_SURVIVORS
+
+        history = spark.createDataFrame(
+            [r for rows in ND_BATCHES for r in rows], DOC_SCHEMA
+        )
+        for pairs_fn, kw in (
+            (minhash_lsh_pairs, dict(num_hashes=64, bands=32, threshold=0.6)),
+            (ngram_jaccard_pairs, dict(threshold=0.6)),
+        ):
+            dropped = pairs_fn(history, **kw).select("id_b").distinct()
+            expected = sorted(
+                r["doc_id"]
+                for r in history.join(
+                    dropped.withColumnRenamed("id_b", "doc_id"),
+                    on="doc_id",
+                    how="left_anti",
+                ).collect()
+            )
+            assert got == expected, pairs_fn.__name__
+
+        # pure re-crawls (one exact, one near of survivor 12): nothing
+        # ingested, and the folds keep the sig lake one-row-per-doc
+        p = src / "b3.parquet"
+        _write_docs(
+            str(p),
+            [
+                (30, "the quick brown fox jumps over the lazy dog"),
+                (31, "brand new content that matches nothing at all ok"),
+            ],
+        )
+        os.utime(p, (time.time() + 20,) * 2)
+        _nd_drain(spark, tmp_path, src, prefix)
+        got2 = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got2 == ND_SURVIVORS
+        sigs = spark.table(f"{prefix}_sigs_t")
+        assert sigs.count() == sigs.select("doc_id").distinct().count()
+        # every doc with >= 3 tokens is folded, kept or dropped (22/23
+        # have no shingles and are structurally absent)
+        assert sigs.count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+
+
+def test_stream_dedup_neardup_redelivery_after_fold_advance(spark, tmp_path):
+    """Crash window: fold advanced, checkpoint commit lost. The
+    redelivered batch MUST NOT recompute survivors — the lake now holds
+    the batch's own signatures, so a recompute would drop every batch doc
+    against itself. The _SUCCESS guard keeps the committed directory and
+    the re-fold appends nothing to either lake."""
+    src = tmp_path / "nd_src_rd"
+    src.mkdir()
+    prefix = "nd_rd"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+    try:
+        _nd_write_batches(src, ND_BATCHES[:1])
+        _nd_drain(spark, tmp_path, src, prefix)
+        survivors_before = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert survivors_before == [1, 3]
+        bands_before = sorted(
+            (r["doc_id"], r["bhash"])
+            for r in spark.table(f"{prefix}_bands_t").collect()
+        )
+        sigs_before = sorted(
+            r["doc_id"] for r in spark.table(f"{prefix}_sigs_t").collect()
+        )
+
+        ckpt = tmp_path / f"{prefix}_ckpt"
+        commit0 = ckpt / "commits" / "0"
+        assert commit0.exists()
+        commit0.unlink()
+        crc = ckpt / "commits" / ".0.crc"
+        if crc.exists():
+            crc.unlink()
+        _nd_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == survivors_before  # kept, not self-deduped away
+        assert (
+            sorted(
+                (r["doc_id"], r["bhash"])
+                for r in spark.table(f"{prefix}_bands_t").collect()
+            )
+            == bands_before
+        )
+        assert (
+            sorted(r["doc_id"] for r in spark.table(f"{prefix}_sigs_t").collect())
+            == sigs_before
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+
+
+def test_stream_dedup_neardup_refuses_foreign_survivor_lake(spark, tmp_path):
+    """Ownership stamp: checkpoint + lakes cleared but stale survivor
+    batch dirs remain -> loud error, not silent adoption."""
+    import shutil
+
+    src = tmp_path / "nd_src_own"
+    src.mkdir()
+    prefix = "nd_own"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+    try:
+        _nd_write_batches(src, ND_BATCHES[:1])
+        _nd_drain(spark, tmp_path, src, prefix)
+        shutil.rmtree(str(tmp_path / f"{prefix}_ckpt"))
+        spark.sql(f"DROP TABLE {prefix}_bands_t")
+        spark.sql(f"DROP TABLE {prefix}_sigs_t")
+        shutil.rmtree(str(tmp_path / f"{prefix}_bands_lake"))
+        shutil.rmtree(str(tmp_path / f"{prefix}_sigs_lake"))
+        with pytest.raises(Exception, match="_QUERY_ID|belongs to streaming query"):
+            _nd_drain(spark, tmp_path, src, prefix)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+
+
+def test_stream_dedup_neardup_catalog_loss_guard(spark, tmp_path):
+    """Fresh in-memory-catalog session: tables forgotten, external files
+    survive. The precheck must fire BEFORE any survivor compute (a batch
+    computed against empty lakes commits re-crawls under the _SUCCESS
+    guard forever); register_lake re-attaches BOTH lakes and the
+    restarted stream converges."""
+    from bigdata_etl_customer360_spark.sources.bucketed import register_lake
+
+    src = tmp_path / "nd_src_cat"
+    src.mkdir()
+    prefix = "nd_cat"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+    try:
+        _nd_write_batches(src, ND_BATCHES[:1])
+        _nd_drain(spark, tmp_path, src, prefix)
+        spark.sql(f"DROP TABLE {prefix}_bands_t")  # external: files survive
+        spark.sql(f"DROP TABLE {prefix}_sigs_t")
+        p = src / "b1.parquet"
+        _write_docs(str(p), ND_BATCHES[1])
+        os.utime(p, (time.time() + 10,) * 2)
+        with pytest.raises(Exception, match="register_lake"):
+            _nd_drain(spark, tmp_path, src, prefix)
+        register_lake(
+            spark,
+            f"{prefix}_bands_t",
+            str(tmp_path / f"{prefix}_bands_lake"),
+            [("doc_id", "BIGINT"), ("bhash", "BIGINT")],
+            "bhash",
+            8,
+        )
+        register_lake(
+            spark,
+            f"{prefix}_sigs_t",
+            str(tmp_path / f"{prefix}_sigs_lake"),
+            [("doc_id", "BIGINT"), ("hs", "ARRAY<BIGINT>")],
+            "doc_id",
+            8,
+        )
+        _nd_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        # 10 = exact re-crawl of 1, 11 = near-dup of 1: both suppressed
+        # ACROSS the catalog loss; 12 fresh
+        assert got == [1, 3, 12]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+
+
+def test_stream_dedup_neardup_requires_lake_paths(spark, tmp_path):
+    """Managed-location lakes are refused up front (ADVICE r14: a fresh
+    in-memory catalog would silently restart a managed lake empty)."""
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_neardup,
+    )
+
+    src = tmp_path / "nd_src_paths"
+    src.mkdir()
+    _nd_write_batches(src, ND_BATCHES[:1])
+    with pytest.raises(ValueError, match="bands_table_path"):
+        stream_dedup_neardup(
+            stream_from_parquet(spark, str(src), DOC_SCHEMA),
+            "nd_paths_bands_t",
+            "nd_paths_sigs_t",
+            str(tmp_path / "nd_paths_survivors"),
+            str(tmp_path / "nd_paths_ckpt"),
+        )

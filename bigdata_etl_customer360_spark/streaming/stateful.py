@@ -25,9 +25,15 @@ in this environment — ``ImportError: cannot import name 'descriptor'
 from 'google.protobuf'`` out of the StatefulProcessor handle init; the
 earlier rounds' opaque "driver worker exited unexpectedly" was this
 import dying before the worker could report. Environmental, not a code
-gap — no pip installs available). The state layout here (flat per-key
-scalar tuple) ports to a ValueState one-for-one when the runtime
-supports it.
+gap — no pip installs available). r15 follow-up (VERDICT r14 task 5):
+one vendor/install attempt made — ``pip download protobuf --no-index``
+finds no distribution, no protobuf wheel/sdist exists anywhere on this
+filesystem (only typeshed stubs and pyspark's generated pb2 sources,
+which REQUIRE the runtime), and the sandbox has no network; writing a
+protobuf-runtime shim for the generated state-server pb2 modules is out
+of scope. Negative stands; re-probe only if the base image grows the
+wheel. The state layout here (flat per-key scalar tuple) ports to a
+ValueState one-for-one when the runtime supports it.
 """
 
 from __future__ import annotations

@@ -545,6 +545,7 @@ def stream_dedup_incremental_bucketed(
         doc_fingerprints,
     )
     from bigdata_etl_customer360_spark.sources.bucketed import (
+        _default_table_path,
         _dir_has_data,
         seen_fold_bucketed,
     )
@@ -562,20 +563,25 @@ def stream_dedup_incremental_bucketed(
         # re-crawls would be written as survivors and committed under
         # _SUCCESS before seen_fold_bucketed's own guard could fire — a
         # wrong survivor set the first-write-wins guard would then keep
-        # forever. Refuse up front; register_seen_lake re-attaches.
-        if (
-            not spark.catalog.tableExists(seen_table)
-            and seen_table_path is not None
-            and _dir_has_data(seen_table_path)
-        ):
-            raise RuntimeError(
-                f"seen lake table {seen_table!r} is not in the session "
-                f"catalog but {seen_table_path!r} already holds data — "
-                "computing this batch against an empty seen set would "
-                "re-ingest re-crawls. Re-attach it first: "
-                f"register_seen_lake(spark, {seen_table!r}, "
-                f"{seen_table_path!r}, buckets={buckets})."
+        # forever. Refuse up front; register_seen_lake re-attaches. A
+        # MANAGED lake (no seen_table_path) probes the warehouse location
+        # instead (ADVICE r14: its files also survive a fresh
+        # in-memory-catalog session).
+        if not spark.catalog.tableExists(seen_table):
+            probe = (
+                seen_table_path
+                if seen_table_path is not None
+                else _default_table_path(spark, seen_table)
             )
+            if _dir_has_data(probe):
+                raise RuntimeError(
+                    f"seen lake table {seen_table!r} is not in the session "
+                    f"catalog but {probe!r} already holds data — "
+                    "computing this batch against an empty seen set would "
+                    "re-ingest re-crawls. Re-attach it first: "
+                    f"register_seen_lake(spark, {seen_table!r}, "
+                    f"{probe!r}, buckets={buckets})."
+                )
         batch_dir = os.path.join(survivors_path, f"batch={int(batch_id)}")
         if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
             seen = (

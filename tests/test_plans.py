@@ -649,3 +649,106 @@ def test_entry_module_has_no_duplicate_toplevel_defs():
     ]
     dupes = [n for n, c in collections.Counter(names).items() if c > 1]
     assert not dupes, f"duplicate top-level defs shadow earlier fixes: {dupes}"
+
+
+def test_rebucket_seen_lake(spark, tmp_path):
+    """Bucket evolution (VERDICT r14 task 6): migrating the seen lake to
+    2x buckets must not move one fingerprint, the re-registered scan
+    must stay Exchange-free on the lake side at the NEW width, folds
+    must keep working only-new afterwards, and a crash inside the swap
+    window must recover from ._old."""
+    import os
+    import re as _re
+    import shutil
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        rebucket_seen_lake,
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 5 == 0)
+    table = "seen_lake_rebucket_t"
+    path = str(tmp_path / "seen_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        seen_fold_bucketed(spark, table, doc_fingerprints(b0), buckets=4, path=path)
+        seen_fold_bucketed(spark, table, doc_fingerprints(b1), buckets=4)
+        before = sorted(r["fp"] for r in spark.table(table).collect())
+
+        rebucket_seen_lake(spark, table, path, buckets=8)
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == before
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert desc.get("Num Buckets") == "8"
+
+        # anti-join stays lake-side shuffle-free at the new width
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.withColumn("fp", F.md5(F.col("text"))).select("fp")
+        anti = batch.join(spark.table(table), on="fp", how="left_anti")
+        plan = plan_of(anti)
+        assert "Bucketed: true" in plan
+        assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # folds keep working only-new at the new width
+        seen_fold_bucketed(spark, table, doc_fingerprints(b2), buckets=8)
+        lake = spark.table(table)
+        expected = (
+            doc_fingerprints(b0)
+            .unionByName(doc_fingerprints(b1))
+            .unionByName(doc_fingerprints(b2))
+            .distinct()
+        )
+        assert lake.count() == lake.distinct().count() == expected.count()
+        after = sorted(r["fp"] for r in lake.collect())
+
+        # crash inside the swap window: path gone, ._old holds the lake
+        spark.sql(f"DROP TABLE {table}")
+        os.rename(path, path + "._old")
+        rebucket_seen_lake(spark, table, path, buckets=16)
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == after
+        assert not os.path.isdir(path + "._old")
+        assert not os.path.isdir(path + "._tmp")
+        shutil.rmtree(path, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_seen_fold_managed_lake_catalog_loss_guard(spark, tmp_path):
+    """ADVICE r14: a MANAGED lake (no external path) in a fresh
+    in-memory-catalog session still has surviving warehouse files — the
+    first-fold branch must probe the warehouse location and refuse."""
+    import os
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        _default_table_path,
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    table = "seen_lake_managed_guard_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh_dir = _default_table_path(spark, table)
+    # simulate the fresh session: surviving managed files, no catalog entry
+    os.makedirs(wh_dir, exist_ok=True)
+    with open(os.path.join(wh_dir, "part-00000.parquet"), "w") as fh:
+        fh.write("x")
+    try:
+        with pytest.raises(RuntimeError, match="register_seen_lake"):
+            seen_fold_bucketed(spark, table, doc_fingerprints(docs), buckets=4)
+    finally:
+        import shutil
+
+        shutil.rmtree(wh_dir, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

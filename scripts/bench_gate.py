@@ -35,8 +35,24 @@ A crossing (ratio > ``--max-ratio``) is classified:
   ALSO crossed the gate in the previous driver artifact: persistent,
   not jitter — must be fixed, not re-adjudicated.
 
+Persistence yardstick (ADVICE r14, made explicit): the PREVIOUS
+artifact's ratio is recomputed against the CURRENT canonical table, not
+the table committed beside it — "persistent" means the query reads slow
+against what the repo NOW claims it costs, twice running. A canonical
+re-recording between rounds can therefore flip a crossing persistent or
+non-persistent by design: re-recording IS the adjudication act (it
+asserts the new numbers are the healthy state), so a query still over
+2x the fresh canonical in two consecutive artifacts is exactly the
+signal we want, while parsing the historical BASELINE.md per artifact
+would grandfather regressions the re-recording already absorbed.
+
 Exit 1 on any FAIL or a >2x common total; 0 otherwise (suspects print
-loudly but exit 0 unless ``--strict``).
+loudly but exit 0 unless ``--strict``). ``--strict`` escalates BOTH
+SUSPECT and envelope-class crossings to FAIL (ADVICE r14: at a local
+pre-commit there is no "prior artifact" to wait for, and a real
+regression can ride the drift envelope for a full round — the sub-floor
+``noise?`` class alone stays exit 0, its absolute delta being under the
+significance floor).
 
 Usage: python scripts/bench_gate.py [candidate.json]
            [--max-ratio 2.0] [--min-delta 0.25] [--strict]
@@ -235,6 +251,18 @@ def _driver_artifacts() -> list:
     return [p for _, p in sorted(found)]
 
 
+def failing_verdict(g: dict, persistent: list, max_ratio: float, strict: bool) -> bool:
+    """Exit-1 decision: persistent crossings and a >gate common total
+    always fail; ``--strict`` (local pre-commit) additionally fails
+    SUSPECT and envelope-class crossings (ADVICE r14 — locally there is
+    no next driver artifact to arm persistence against, and a real
+    regression can ride the drift envelope for a full round); sub-floor
+    ``noise?`` crossings never fail on their own."""
+    return bool(persistent) or g["total_ratio"] > max_ratio or (
+        strict and bool(g["offenders"] or g["envelope"])
+    )
+
+
 def main() -> None:
     argv, args, max_ratio, min_delta = sys.argv[1:], [], 2.0, 0.25
     strict = False
@@ -316,12 +344,14 @@ def main() -> None:
             f"BENCH_QUERIES={q} in a fresh JVM if in doubt)"
         )
     for r, q in g["envelope"]:
+        label = "FAIL  envelope" if strict else "envelope"
         print(
-            f"  envelope {q}: {r:.2f}x raw but "
+            f"  {label} {q}: {r:.2f}x raw but "
             f"{r / g['envelope_median']:.2f}x median-normalized "
             f"({bq[q]:.2f}s -> {cq[q]:.2f}s; host-state drift envelope "
-            f"{g['envelope_median']:.3f} — FAILs if it crosses again "
-            f"in the next driver artifact)"
+            f"{g['envelope_median']:.3f} — "
+            + ("strict mode fails envelope crossings)" if strict else
+               "FAILs if it crosses again in the next driver artifact)")
         )
     for r, q in g["offenders"]:
         label = "FAIL " if strict else "SUSPECT"
@@ -340,9 +370,7 @@ def main() -> None:
         )
     if g["total_ratio"] > max_ratio:
         print(f"  FAIL  common-total {g['total_ratio']:.2f}x > {max_ratio}x")
-    failing = bool(persistent) or g["total_ratio"] > max_ratio or (
-        strict and g["offenders"]
-    )
+    failing = failing_verdict(g, persistent, max_ratio, strict)
     if failing:
         sys.exit(1)
     n_cross = len(g["noise"]) + len(g["envelope"]) + len(g["offenders"])

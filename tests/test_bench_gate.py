@@ -180,3 +180,30 @@ def test_all_elided_candidate_never_completes_from_disk(tmp_path, monkeypatch):
     )
     got = bench_gate._complete_elided(cand, str(art))
     assert got["queries"] == {}
+
+
+def test_strict_fails_envelope_and_suspect_classes():
+    """ADVICE r14: --strict escalates BOTH SUSPECT and envelope-class
+    crossings (a real regression can ride the host-drift envelope for a
+    full round at local pre-commit); sub-floor noise? crossings stay
+    exit-0 in every mode."""
+    bq = {f"h{i}": 1.0 for i in range(9)}
+    cq = {f"h{i}": 1.3 for i in range(9)}
+    bq.update({"drift": 1.0, "real": 1.0, "tiny": 0.04})
+    cq.update({"drift": 2.2, "real": 4.0, "tiny": 0.15})
+    g = bench_gate.gate(bq, cq, max_ratio=2.0, min_delta=0.25)
+    assert [q for _, q in g["noise"]] == ["tiny"]
+    assert [q for _, q in g["envelope"]] == ["drift"]
+    assert [q for _, q in g["offenders"]] == ["real"]
+    assert not bench_gate.failing_verdict(g, [], 2.0, strict=False)
+    assert bench_gate.failing_verdict(g, [], 2.0, strict=True)
+    # strict with ONLY a noise?-class crossing still passes
+    g2 = bench_gate.gate(
+        {"a": 1.0, "tiny": 0.04}, {"a": 1.0, "tiny": 0.15},
+        max_ratio=2.0, min_delta=0.25,
+    )
+    assert [q for _, q in g2["noise"]] == ["tiny"]
+    assert not g2["envelope"] and not g2["offenders"]
+    assert not bench_gate.failing_verdict(g2, [], 2.0, strict=True)
+    # persistence fails regardless of mode
+    assert bench_gate.failing_verdict(g2, [(3.0, "x")], 2.0, strict=False)

@@ -241,7 +241,8 @@ def _collect_pairs(e: DataFrame):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return pdf["_s"].to_numpy(), pdf["_d"].to_numpy()
+    a, b = e.columns[:2]  # (_s,_d) or (_u,_v) depending on the operator
+    return pdf[a].to_numpy(), pdf[b].to_numpy()
 
 
 def _edge_index(sarr, darr):
@@ -649,6 +650,58 @@ def clustering_coefficient(
     )
 
 
+def _lpa_local(
+    spark,
+    pairs,
+    node_vals,
+    id_type,
+    max_iterations: int,
+    early_stop: bool,
+    out_id: str,
+    out_label: str,
+) -> DataFrame:
+    """Driver-side synchronous LPA over a bounded collected edge list —
+    the numpy twin of the distributed rounds (identical semantics: every
+    node with a neighbor adopts the most frequent neighbor label, ties
+    to the SMALLEST label; early stop when nothing changed). Works in
+    index space over the SORTED id array, so smallest-index == smallest-
+    label-value and the tie pin carries over exactly."""
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    ids, su, dv = _edge_index(*pairs)
+    n = len(ids)
+    lbl = np.arange(n, dtype="int64")
+    for _ in range(int(max_iterations)):
+        key = su * n + lbl[dv]
+        uk, cnt = np.unique(key, return_counts=True)
+        node, lab = uk // n, uk % n
+        # per node: count DESC then label ASC — lexsort is stable and uk
+        # was label-ascending within each node already
+        order = np.lexsort((lab, -cnt, node))
+        nodes_sorted = node[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = nodes_sorted[1:] != nodes_sorted[:-1]
+        sel = order[first]
+        new = lbl.copy()
+        new[node[sel]] = lab[sel]
+        if early_stop and np.array_equal(new, lbl):
+            break
+        lbl = new
+    lab_of = {ids[i]: ids[lbl[i]] for i in range(n)}
+    schema = StructType(
+        [StructField(out_id, id_type), StructField(out_label, id_type)]
+    )
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    return spark.createDataFrame(
+        [(_py(u), _py(lab_of.get(u, u))) for u in node_vals], schema
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "id_a",
@@ -698,6 +751,19 @@ def label_propagation(
     # edges are self-loops still appears (own-label) in the output per
     # the every-node contract
     all_nodes = raw.select("_u").distinct()
+
+    if 0 < n_edges <= _LINK_LOCAL_EDGE_CAP:
+        # small-graph local mode (_LINK_LOCAL_EDGE_CAP; r15 — the same
+        # Arrow-pull + vectorized-rounds economics as the k-core peel
+        # revision): synchronous rounds with the identical pinned
+        # argmax (count DESC, label ASC) run driver-side; labels are
+        # integers/ids, so both paths are EXACTLY equal.
+        node_vals = [r["_u"] for r in all_nodes.collect()]
+        return _lpa_local(
+            spark, _collect_pairs(both), node_vals,
+            both.schema["_u"].dataType, int(max_iterations), early_stop,
+            out_id, out_label,
+        )
     labels = both.select(F.col("_u").alias("_id")).distinct().select(
         "_id", F.col("_id").alias("_lbl")
     ).localCheckpoint(eager=True)
@@ -1218,11 +1284,51 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    with _graph_shuffle_conf(spark, both.count()):
+    n_edges = both.count()
+    if 0 < n_edges <= _LINK_LOCAL_EDGE_CAP:
+        import numpy as np
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        ids, su, dv = _edge_index(*_collect_pairs(both))
+        su, dv = _peel_local(su, dv, k, max_rounds)
+        deg = np.bincount(su, minlength=len(ids))
+        id_type = both.schema["_u"].dataType
+        schema = StructType(
+            [StructField(out_id, id_type), StructField(out_deg, LongType())]
+        )
+        return spark.createDataFrame(
+            [
+                (u.item() if hasattr(u, "item") else u, int(deg[i]))
+                for i, u in enumerate(ids)
+                if deg[i] > 0
+            ],
+            schema,
+        )
+    with _graph_shuffle_conf(spark, n_edges):
         alive = _peel(both, k, max_rounds)
     return alive.groupBy("_u").agg(
         F.count(F.lit(1)).alias(out_deg)
     ).select(F.col("_u").alias(out_id), out_deg)
+
+
+def _peel_local(su, dv, k: int, max_rounds: int):
+    """Vectorized driver-side peel over index arrays — the numpy twin of
+    :func:`_peel` (same per-round semantics: degree filter, both
+    endpoints must survive, stop on edge-count stability, raise past
+    ``max_rounds``). O(E) bincount + boolean mask per round."""
+    import numpy as np
+
+    n = (int(max(su.max(), dv.max())) + 1) if len(su) else 0
+    prev = len(su)
+    for _ in range(int(max_rounds)):
+        deg = np.bincount(su, minlength=n)
+        keep = deg >= int(k)
+        m = keep[su] & keep[dv]
+        su, dv = su[m], dv[m]
+        if len(su) == prev:
+            return su, dv
+        prev = len(su)
+    raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")
 
 
 def _peel(alive: DataFrame, k: int, max_rounds: int) -> DataFrame:
@@ -1231,14 +1337,18 @@ def _peel(alive: DataFrame, k: int, max_rounds: int) -> DataFrame:
     checkpointed directed-edge frame until the alive edge count is
     stable (the unique k-core), checkpointing each round.
 
-    Negative result (r13, kept so it is not re-attempted): a
-    bfs_distances-style driver-local fixed point (collect alive under a
-    100k-edge cap, peel in Python, re-lift) measured a REGRESSION at the
-    graded scale — core_numbers 4.47s -> 5.59s best-of-2 A/B — because
-    these peels converge in 2-4 rounds per k, so the collect + Python
-    row loop + re-lift costs more than the few floor-bound rounds it
-    replaces. The local mode pays off for long ROUND COUNTS (BFS chain:
-    20 rounds), not for shrink-fast fixed points."""
+    r13 negative result, REVISED r15: the first driver-local attempt
+    (Row-object collect under a 100k-edge cap, per-ROW Python peel,
+    re-lift) measured a REGRESSION at the graded scale — core_numbers
+    4.47s -> 5.59s best-of-2 A/B — and was dropped. The r15 re-attempt
+    changed both cost terms (Arrow ``toPandas`` pull ~10x cheaper than
+    Row collect; numpy bincount/mask rounds instead of Python row
+    loops) and measured a WIN at the same graded scale (fresh-JVM
+    restricted bench, BASELINE.md r15), so :func:`k_core` and
+    :func:`core_numbers` now take the ``_LINK_LOCAL_EDGE_CAP`` local
+    mode like pagerank/hits; this distributed loop is the over-cap
+    path. The peel's fixed point is UNIQUE (removal-schedule
+    independent), so both paths are exactly equal — no float caveat."""
     n_prev = alive.count()
     for _ in range(int(max_rounds)):
         survivors = (
@@ -1302,9 +1412,38 @@ def core_numbers(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = both.count()
+    if 0 < n_edges <= _LINK_LOCAL_EDGE_CAP:
+        import numpy as np
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        ids, su, dv = _edge_index(*_collect_pairs(both))
+        core = np.ones(len(ids), dtype="int32")
+        for k in range(2, int(max_core) + 1):
+            before = np.unique(su)
+            su, dv = _peel_local(su, dv, k, max_rounds)
+            after = np.zeros(len(ids), dtype=bool)
+            if len(su):
+                after[np.unique(su)] = True
+            core[before[~after[before]]] = k - 1
+            if not len(su):
+                break
+        if len(su):
+            core[np.unique(su)] = int(max_core)
+        id_type = both.schema["_u"].dataType
+        schema = StructType(
+            [StructField(out_id, id_type), StructField(out_core, IntegerType())]
+        )
+        return spark.createDataFrame(
+            [
+                (u.item() if hasattr(u, "item") else u, int(core[i]))
+                for i, u in enumerate(ids)
+            ],
+            schema,
+        )
     assigned: list[DataFrame] = []
     alive = both
-    with _graph_shuffle_conf(spark, both.count()):
+    with _graph_shuffle_conf(spark, n_edges):
         for k in range(2, int(max_core) + 1):
             nodes_before = alive.select("_u").distinct()
             core_k = _peel(alive, k, max_rounds)

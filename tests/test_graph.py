@@ -614,3 +614,35 @@ def test_hits_local_mode_matches_distributed(spark, monkeypatch):
         assert local[k][1] == 0.0  # pure sources: authority exactly 0
     for k in (10, 11, 12):
         assert local[k][0] == 0.0  # pure sinks: hub exactly 0
+
+
+def test_kcore_trio_local_mode_matches_distributed(spark, monkeypatch):
+    """r15 local-mode revision of the r13 negative result: k_core /
+    core_numbers / label_propagation run driver-side under the edge cap
+    and must EXACTLY equal the distributed loop (integer fixed points —
+    no float tolerance needed), including the pinned LPA tie rule and
+    the self-loop-only own-label contract."""
+    import bigdata_etl_customer360_spark.operators.graph as g
+
+    edges = spark.createDataFrame(
+        # K4 on 1-4 (3-core), pendant 5 off node 1, triangle 6-7-8,
+        # self-loop 9 (LPA: own label), duplicate edge 2-3
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5),
+         (6, 7), (7, 8), (6, 8), (9, 9), (2, 3)],
+        "id_a LONG, id_b LONG",
+    )
+
+    def run_all():
+        kc = sorted(map(tuple, g.k_core(edges, 3).collect()))
+        cn = sorted(map(tuple, g.core_numbers(edges, max_core=4).collect()))
+        lp = sorted(map(tuple, g.label_propagation(edges, max_iterations=5).collect()))
+        return kc, cn, lp
+
+    local = run_all()
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 0)
+    dist = run_all()
+    assert local == dist
+    kc, cn, lp = local
+    assert [i for i, _ in kc] == [1, 2, 3, 4]  # K4 is the 3-core
+    assert dict(cn)[5] == 1 and dict(cn)[6] == 2  # pendant 1, triangle 2
+    assert dict(lp)[9] == 9  # self-loop-only node keeps its own label

@@ -763,7 +763,15 @@ def stream_dedup_neardup(
     restart empty — the hazard ADVICE r14 flagged). ``shingle_n`` /
     ``num_hashes`` / ``bands`` / ``threshold`` / ``buckets`` are the
     lakes' contract: keep them fixed for the lakes' lifetime (signatures
-    folded under one config are meaningless under another).
+    folded under one config are meaningless under another;
+    ``sources.bucketed.rebucket_seen_lake`` is the migration pattern
+    when the width must change). Size ``buckets`` to the BATCH scale,
+    not cluster width: every fold lands up to ``buckets`` files per
+    lake, and scripts/stress_neardup.py measured over-bucketed small
+    batches paying 3x in per-batch file listing/open overhead while the
+    right-sized run stays FLAT as the lake grows (the algorithmic cost
+    is |batch|-shaped by construction); periodic bucket-preserving
+    compaction bounds file counts either way.
     """
     import os
 

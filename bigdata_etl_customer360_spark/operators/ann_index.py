@@ -200,6 +200,18 @@ def ivfpq_index_build(
     )
 
 
+def _table_buckets(spark: SparkSession, table: str) -> int:
+    """The lake's CURRENT bucket count from the catalog — the single
+    source of truth for appends (the model's recorded build-time count
+    goes stale when ``sources.bucketed.rebucket_lake`` migrates the
+    lake; an append at the old width would be refused by Spark's
+    bucket-spec validation)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            return int(r["data_type"])
+    raise RuntimeError(f"table {table!r} has no bucket spec in the catalog")
+
+
 def ivfpq_index_append(
     spark: SparkSession,
     new_vecs: DataFrame,
@@ -213,7 +225,9 @@ def ivfpq_index_append(
     _spherical_kmeans spy) and append only ids not yet indexed (anti-join
     on the bucketed lake's id — lake-side shuffle-free, and re-appending
     an already-folded batch adds nothing, the seen-lake idempotence
-    discipline). Per-append cost ~|new_vecs| regardless of index size."""
+    discipline). Per-append cost ~|new_vecs| regardless of index size.
+    The bucket count comes from the CATALOG, not the stored model, so
+    appends keep working after a ``rebucket_lake`` migration."""
     model = load_model(spark, path)
     fresh = new_vecs.join(
         spark.table(table).select(id_col), on=id_col, how="left_anti"
@@ -223,7 +237,7 @@ def ivfpq_index_append(
         table,
         _index_rows(fresh, model, id_col, vec_col),
         id_col,
-        model.buckets,
+        _table_buckets(spark, table),
         path,
     )
 

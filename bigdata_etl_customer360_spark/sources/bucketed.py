@@ -272,15 +272,29 @@ def rebucket_seen_lake(
     """Migrate a seen-fingerprint lake to a NEW bucket count — the
     bucket-evolution story (VERDICT r14 task 6): ``buckets`` is pinned
     for a lake's lifetime because appends must match the table's spec,
-    but a lake that grew 100x needs wider buckets eventually. One
-    maintenance pass: read the rows, rewrite them bucketed at the new
+    but a lake that grew 100x needs wider buckets eventually. Values are
+    untouched — fold/anti-join results before and after the migration
+    are identical (pinned by tests/test_plans.py::test_rebucket_seen_
+    lake), only the Exchange-elision width changes. Single-column
+    convenience over :func:`rebucket_lake` (which migrates any lake —
+    the near-dup band/signature lakes, the ANN codes lake)."""
+    rebucket_lake(spark, table, path, [(fp_col, fp_type)], fp_col, buckets)
+
+
+def rebucket_lake(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    columns: list[tuple[str, str]],
+    bucket_col: str,
+    buckets: int,
+) -> None:
+    """Generic bucket-count migration for an external bucketed lake: one
+    maintenance pass — read the rows, rewrite them bucketed at the new
     width into ``<path>._tmp``, swap directories crash-safely (the
     ``compact_parquet`` discipline — at every instant ``path`` or
     ``._old`` holds the full history), and re-register the catalog entry
-    with the new spec. Values are untouched — fold/anti-join results
-    before and after the migration are identical (pinned by
-    tests/test_plans.py::test_rebucket_seen_lake), only the Exchange-
-    elision width changes.
+    with the new spec (``columns`` as for :func:`register_lake`).
 
     Single-writer maintenance pass (pause folds while it runs). A crash
     before the swap leaves the lake untouched (stale ``._tmp`` is
@@ -288,7 +302,7 @@ def rebucket_seen_lake(
     ``._old`` on retry; a crash after the swap but before the
     re-register leaves the files at the NEW width with no catalog entry
     — re-run this function (its read is a plain path read) or
-    ``register_seen_lake`` with the new count."""
+    ``register_lake`` with the new count."""
     import os
     import shutil
 
@@ -300,7 +314,7 @@ def rebucket_seen_lake(
     tmp_table = table + "__rebucket_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     rows.write.mode("overwrite").format("parquet").bucketBy(
-        int(buckets), fp_col
+        int(buckets), bucket_col
     ).option("path", tmp).saveAsTable(tmp_table)
     # drop METADATA only (external tables keep their files), then swap
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
@@ -309,7 +323,7 @@ def rebucket_seen_lake(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
-    register_lake(spark, table, path, [(fp_col, fp_type)], fp_col, int(buckets))
+    register_lake(spark, table, path, columns, bucket_col, int(buckets))
 
 
 def lake_create_or_append(

@@ -4111,3 +4111,54 @@ def test_ivfpq_index_model_roundtrip(spark, tmp_path):
         assert m.buckets == 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivfpq_index_rebucket_migration(spark, tmp_path):
+    """rebucket_lake generalizes the seen-lake bucket evolution to the
+    multi-column ANN codes lake: content, search results, and only-new
+    appends are identical across the migration."""
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        cosine_topk_ivfpq_from_index,
+        index_columns,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import rebucket_lake
+
+    table = "ivfpq_idx_rebkt_t"
+    path = str(tmp_path / "codes")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = _mk_vecs(spark, range(0, 40))
+    queries = _mk_vecs(spark, range(0, 5))
+    try:
+        ivfpq_index_build(
+            spark, base, table, path,
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        before = sorted(
+            map(tuple, cosine_topk_ivfpq_from_index(
+                spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+            ).collect())
+        )
+        rebucket_lake(spark, table, path, index_columns(), "vec_id", 8)
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert desc.get("Num Buckets") == "8"
+        after = sorted(
+            map(tuple, cosine_topk_ivfpq_from_index(
+                spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+            ).collect())
+        )
+        assert after == before
+        # appends keep working only-new at the new width: the append
+        # path reads the bucket count from the CATALOG (the migrated
+        # spec), not the stored model's stale build-time count
+        ivfpq_index_append(spark, _mk_vecs(spark, range(40, 50)), table, path)
+        lake = spark.table(table)
+        assert lake.count() == 50
+        assert lake.select("vec_id").distinct().count() == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1,0 +1,134 @@
+"""Scale evidence for the maintained IVF×PQ index (r15, VERDICT r14 task
+2): build the index on a 100k-vector synthetic corpus (dim 64), fold four
+25k-vector appends (each encoded against the FROZEN model, only-new
+anti-join), and measure:
+
+  - per-append wall seconds — the 100 TB claim: appends cost ~|batch|
+    regardless of index size (no re-fit, no history rewrite; the only-new
+    anti-join is lake-side shuffle-free);
+  - search-from-index wall at the graded pruned config (nprobe=8,
+    rerank=40) over the final 200k-row lake — the ADC pass reads only
+    (cell, codes) via parquet column pruning;
+  - EXACTNESS at 40x the graded corpus: full-probe + full-rerank
+    search-from-index must equal cosine_topk_brute over the concatenated
+    200k vectors (the ivfpq_from_index invariant — persisted model
+    round-trip, append encoding, fold integrity, stored exact tier all
+    on the hook).
+
+Run: PYTHONPATH=/root/repo python scripts/stress_ann_index.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_etl_customer360_spark.operators.ann_index import (  # noqa: E402
+    cosine_topk_ivfpq_from_index,
+    ivfpq_index_append,
+    ivfpq_index_build,
+)
+from bigdata_etl_customer360_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_brute,
+)
+from bigdata_etl_customer360_spark.session import get_session  # noqa: E402
+
+DIM = 64
+BUILD = 100_000
+APPEND = 25_000
+N_APPENDS = 4
+N_QUERIES = 10
+
+
+def vecs(spark, lo: int, hi: int):
+    """Deterministic synthetic embeddings: dense trig mix per (id, dim)."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: F.sin(F.col("id") * 0.37 + d * 1.13)
+            + F.cos(F.col("id") * 0.011 * (d + 1)),
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="c360_stress_annidx_")
+    spark = get_session(
+        app_name="stress-ann-index",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.sql.warehouse.dir": f"{root}/warehouse",
+        },
+    )
+    table = "stress_ivfpq_idx"
+    path = f"{root}/codes"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        t0 = time.time()
+        ivfpq_index_build(
+            spark, vecs(spark, 0, BUILD), table, path,
+            num_centroids=64, buckets=16,
+        )
+        build_s = round(time.time() - t0, 2)
+        append_walls = []
+        for a in range(N_APPENDS):
+            lo = BUILD + a * APPEND
+            t0 = time.time()
+            ivfpq_index_append(spark, vecs(spark, lo, lo + APPEND), table, path)
+            append_walls.append(round(time.time() - t0, 2))
+        total = BUILD + N_APPENDS * APPEND
+        assert spark.table(table).count() == total
+
+        queries = vecs(spark, 0, N_QUERIES)
+        t0 = time.time()
+        pruned = cosine_topk_ivfpq_from_index(
+            spark, queries, table, path, k=5, nprobe=8, rerank=40
+        ).collect()
+        pruned_s = round(time.time() - t0, 2)
+        assert len(pruned) == N_QUERIES * 5
+
+        t0 = time.time()
+        full = sorted(
+            map(tuple, cosine_topk_ivfpq_from_index(
+                spark, queries, table, path,
+                k=5, nprobe=64, rerank=10**9,
+            ).collect())
+        )
+        full_s = round(time.time() - t0, 2)
+        brute = sorted(
+            map(tuple, cosine_topk_brute(
+                queries, vecs(spark, 0, total), k=5
+            ).collect())
+        )
+        assert full == brute, "full-probe search-from-index != brute force"
+        print(
+            json.dumps(
+                {
+                    "corpus": total,
+                    "build_s": build_s,
+                    "per_append_wall_s": append_walls,
+                    "search_pruned_s": pruned_s,
+                    "search_full_probe_s": full_s,
+                    "full_probe_equals_brute": True,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3652,6 +3652,130 @@ def q_dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors_path).select("doc_id", "lang", "source")
 
 
+_DEDUP_STREAM_SEM_DIRS: dict[str, str] = {}
+
+
+def q_dedup_stream_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup, oracle-checked end-to-end
+    (streaming/windows.stream_dedup_semantic — r15, the SemDeDup closure
+    of the streaming family: paraphrases/re-encodings share no tokens,
+    so both the exact and MinHash maintainers pass them through): a
+    planted re-encode history — embeddings + byte-identical re-crawl
+    (+10000, cosine 1.0), reversed vectors (+11000, ~random cosine:
+    survive), 1.25x-scaled re-encodes (+20000, cosine ~1 and the SAME
+    sign bucket — the semantic-dup plant), negated vectors (+21000,
+    cosine -1: survive) — lands as three id-ordered parquet batches and
+    a REAL availableNow drain runs each through the maintainer: within-
+    batch same-bucket pairs plus the batch against the bkt-bucketed
+    vector lake at the exact quantized cosine (>= 0.9), survivors
+    appended, ALL vectors folded append-only-new (vector rows before id
+    rows). The oracle replays the identical sign-bucketing, integer
+    cosine, and smaller-id rule over the concatenated corpus in SQL —
+    ordered batching makes arrival order == id order, and every
+    variant's construction (reverse / x*1.25 / -x on DOUBLEs) is
+    element-wise exact on both engines, so streaming == batch
+    hash-exactly. Scratch is session-scoped."""
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_semantic,
+        stream_from_parquet,
+    )
+
+    slug = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    vecs_table = "c360_sem_vecs_" + slug
+    ids_table = "c360_sem_ids_" + slug
+    if sf_dir not in _DEDUP_STREAM_SEM_DIRS:
+        import atexit
+        import glob
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="c360_dedup_stream_sem_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {vecs_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {ids_table}")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+
+        base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        variants = [
+            (0, dbl),
+            (10000, dbl),
+            (11000, F.reverse(dbl)),
+            (
+                20000,
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double") * F.lit(1.25),
+                ),
+            ),
+            (21000, F.transform(F.col("embedding"), lambda x: -x.cast("double"))),
+        ]
+        # three id-ordered batches: base crawl; exact re-crawl + reversed
+        # (new directions); scaled re-encodes + negated (new directions)
+        batches = [(0,), (10000, 11000), (20000, 21000)]
+        frames = {
+            off: base.select(
+                (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+                expr.alias("embedding"),
+            )
+            for off, expr in variants
+        }
+        for b, offs in enumerate(batches):
+            df = frames[offs[0]]
+            for off in offs[1:]:
+                df = df.unionByName(frames[off])
+            stage = os.path.join(root, f"stage{b}")
+            df.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src, f"batch{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * b, 1_700_000_000 + 10 * b))
+        _DEDUP_STREAM_SEM_DIRS[sf_dir] = root
+
+    root = _DEDUP_STREAM_SEM_DIRS[sf_dir]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    survivors_path = os.path.join(root, "survivors")
+    stream_dedup_semantic(
+        stream_from_parquet(
+            spark, os.path.join(root, "src"), schema, max_files_per_trigger=1
+        ),
+        vecs_table,
+        ids_table,
+        survivors_path,
+        os.path.join(root, "ckpt"),
+        threshold=0.9,
+        bucket_bits=6,
+        buckets=16,
+        vecs_table_path=os.path.join(root, "vecs_lake"),
+        ids_table_path=os.path.join(root, "ids_lake"),
+        query_name="dedup_stream_semantic_graded",
+    )
+    surv = spark.read.parquet(survivors_path)
+    bucket = F.lit(0).cast("long")
+    for i in range(6):
+        bucket = bucket * F.lit(2) + F.when(
+            F.element_at(F.col("embedding"), i + 1).cast("double") >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    return surv.select("vec_id", bucket.alias("bucket"))
+
+
 _COMPACT_DIRS: dict[str, str] = {}
 
 
@@ -6036,6 +6160,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "dedup_stream_bucketed": q_dedup_stream_bucketed,
         "dedup_stream_neardup": q_dedup_stream_neardup,
+        "dedup_stream_semantic": q_dedup_stream_semantic,
         "compact_parquet": q_compact_parquet,
         "zorder_read": q_zorder_read,
         "bm25_search": q_bm25_search,
@@ -9547,6 +9672,60 @@ _ORACLES: dict[str, str] = {
                    ORDER BY doc_id ASC) AS rn
           FROM corpus
         ) WHERE rn = 1
+    """,
+    "dedup_stream_semantic": """
+        -- streaming SemDeDup maintainer vs the batch ground truth: the
+        -- identical sign-pattern bucket (MSB-first, first 6 dims of the
+        -- DOUBLE vector), quantized-integer cosine, smaller-id rule over
+        -- the concatenated re-encode history. Variant constructions
+        -- (reverse / x*1.25 / -x) are element-wise exact on DOUBLEs on
+        -- both engines; 1.25 is exactly representable.
+        WITH corpus AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, [CAST(x AS DOUBLE) FOR x IN embedding]
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 11000,
+                 [CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+                  FOR i IN range(1, len(embedding) + 1)]
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 20000,
+                 [CAST(x AS DOUBLE) * CAST(1.25 AS DOUBLE) FOR x IN embedding]
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 21000, [-CAST(x AS DOUBLE) FOR x IN embedding]
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id,
+                 [CAST(floor(y * 1048576.0 + 0.5) AS BIGINT) FOR y IN v] AS e,
+                 CAST(
+                   (CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bucket
+          FROM corpus
+        ),
+        n AS (
+          SELECT vec_id, bucket, e, list_sum([w * w FOR w IN e]) AS nsq
+          FROM qz
+        ),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+          WHERE CAST(list_sum([a.e[i] * b.e[i]
+                               FOR i IN range(1, len(a.e) + 1)]) AS DOUBLE)
+                / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+                >= 0.9
+        )
+        SELECT vec_id, bucket FROM n
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """,
     "dedup_stream_neardup": r"""
         -- streaming near-dup maintainer vs BRUTE-FORCE ground truth:

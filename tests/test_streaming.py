@@ -1978,3 +1978,231 @@ def test_stream_dedup_neardup_requires_lake_paths(spark, tmp_path):
             str(tmp_path / "nd_paths_survivors"),
             str(tmp_path / "nd_paths_ckpt"),
         )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_semantic — the SemDeDup maintainer (r15)
+
+VEC_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def _write_vecs(path: str, rows):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+# 4-dim vectors, bucket_bits=2 (sign of dims 1-2). Cosine(v, 1.1*v) = 1.
+SEM_BATCHES = [
+    [
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.1, 1.1, 0.0, 0.0]),   # scaled copy of 1: dropped in-batch
+        (3, [1.0, -1.0, 0.0, 0.0]),  # different bucket: survives
+    ],
+    [
+        (10, [1.0, 1.0, 0.0, 0.0]),   # exact re-crawl of 1: dropped
+        (11, [2.2, 2.2, 0.0, 0.0]),   # scaled re-encode of DROPPED 2: dropped
+        (12, [0.0, 0.0, 1.0, 1.0]),   # new direction (same bucket as 1 —
+                                      # sign(0)>=0 — but cosine 0): survives
+    ],
+    [
+        (20, [1.0, -1.0, 0.0, 0.1]),  # near 3 (cos ~0.999) same bucket: dropped
+        (21, [-1.0, -1.0, 0.0, 0.0]), # negated 1, different bucket: survives
+    ],
+]
+SEM_SURVIVORS = [1, 3, 12, 21]
+
+
+def _sem_drain(spark, tmp_path, src, prefix):
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_semantic,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return stream_dedup_semantic(
+        stream_from_parquet(spark, str(src), schema, max_files_per_trigger=1),
+        f"{prefix}_vecs_t",
+        f"{prefix}_ids_t",
+        str(tmp_path / f"{prefix}_survivors"),
+        str(tmp_path / f"{prefix}_ckpt"),
+        threshold=0.9,
+        bucket_bits=2,
+        buckets=4,
+        vecs_table_path=str(tmp_path / f"{prefix}_vecs_lake"),
+        ids_table_path=str(tmp_path / f"{prefix}_ids_lake"),
+    )
+
+
+def test_stream_dedup_semantic_equals_batch(spark, tmp_path):
+    """Drained survivors == batch semantic_dedup over the concatenated
+    history (one ground truth, two execution models), including the
+    drop-against-a-DROPPED-vector rule; a re-crawl follow-up batch
+    ingests nothing and the id lake stays one-row-per-vector."""
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    src = tmp_path / "sem_src"
+    src.mkdir()
+    prefix = "sem_eq"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+    try:
+        for i, rows in enumerate(SEM_BATCHES):
+            p = src / f"b{i}.parquet"
+            _write_vecs(str(p), rows)
+            os.utime(p, (time.time() + 5 * i,) * 2)
+        _sem_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == SEM_SURVIVORS
+
+        history = spark.createDataFrame(
+            [r for rows in SEM_BATCHES for r in rows], VEC_SCHEMA
+        )
+        expected = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                history, threshold=0.9, bucket_bits=2
+            ).collect()
+        )
+        assert got == expected
+
+        p = src / "b3.parquet"
+        _write_vecs(
+            str(p),
+            [(30, [1.0, 1.0, 0.0, 0.0]), (31, [0.0, 0.0, 2.2, 2.2])],
+        )
+        os.utime(p, (time.time() + 20,) * 2)
+        _sem_drain(spark, tmp_path, src, prefix)
+        got2 = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got2 == SEM_SURVIVORS  # 30 exact, 31 scaled-of-12: both dropped
+        ids = spark.table(f"{prefix}_ids_t")
+        assert ids.count() == ids.distinct().count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+
+
+def test_stream_dedup_semantic_redelivery_after_fold_advance(spark, tmp_path):
+    """The _SUCCESS guard must keep the committed survivors on a
+    redelivery after the fold advanced (a recompute would drop every
+    batch vector against its own folded copy), and the re-fold appends
+    nothing to either lake."""
+    src = tmp_path / "sem_src_rd"
+    src.mkdir()
+    prefix = "sem_rd"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+    try:
+        _write_vecs(str(src / "b0.parquet"), SEM_BATCHES[0])
+        _sem_drain(spark, tmp_path, src, prefix)
+        before = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert before == [1, 3]
+        vecs_before = spark.table(f"{prefix}_vecs_t").count()
+        ckpt = tmp_path / f"{prefix}_ckpt"
+        (ckpt / "commits" / "0").unlink()
+        crc = ckpt / "commits" / ".0.crc"
+        if crc.exists():
+            crc.unlink()
+        _sem_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == before
+        assert spark.table(f"{prefix}_vecs_t").count() == vecs_before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+
+
+def test_stream_dedup_semantic_catalog_loss_and_paths(spark, tmp_path):
+    """Catalog-loss precheck fires BEFORE survivor compute; register_lake
+    re-attaches both lakes and the restarted stream converges; missing
+    lake paths are refused up front."""
+    from bigdata_etl_customer360_spark.sources.bucketed import register_lake
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_semantic,
+    )
+
+    src = tmp_path / "sem_src_cat"
+    src.mkdir()
+    prefix = "sem_cat"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+    try:
+        _write_vecs(str(src / "b0.parquet"), SEM_BATCHES[0])
+        _sem_drain(spark, tmp_path, src, prefix)
+        spark.sql(f"DROP TABLE {prefix}_vecs_t")  # external: files survive
+        spark.sql(f"DROP TABLE {prefix}_ids_t")
+        p = src / "b1.parquet"
+        _write_vecs(str(p), SEM_BATCHES[1])
+        os.utime(p, (time.time() + 10,) * 2)
+        with pytest.raises(Exception, match="register_lake"):
+            _sem_drain(spark, tmp_path, src, prefix)
+        register_lake(
+            spark, f"{prefix}_vecs_t", str(tmp_path / f"{prefix}_vecs_lake"),
+            [("vec_id", "BIGINT"), ("_bkt", "BIGINT"),
+             ("_qv", "ARRAY<BIGINT>"), ("_nsq", "BIGINT")],
+            "_bkt", 4,
+        )
+        register_lake(
+            spark, f"{prefix}_ids_t", str(tmp_path / f"{prefix}_ids_lake"),
+            [("vec_id", "BIGINT")], "vec_id", 4,
+        )
+        _sem_drain(spark, tmp_path, src, prefix)
+        got = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == [1, 3, 12]  # 10/11 suppressed ACROSS the catalog loss
+
+        with pytest.raises(ValueError, match="vecs_table_path"):
+            stream_dedup_semantic(
+                stream_from_parquet(
+                    spark, str(src),
+                    spark.read.parquet(str(src / "b0.parquet")).schema,
+                ),
+                "x_t", "y_t",
+                str(tmp_path / "x_surv"), str(tmp_path / "x_ckpt"),
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")

@@ -248,18 +248,21 @@ def _collect_pairs(e: DataFrame):
 def _edge_index(sarr, darr):
     """Sorted-id index arrays for the local link-analysis loops: returns
     (ids, src_idx, dst_idx) with edges sorted by (src, dst) so the
-    bincount accumulation order is a pure function of the edge SET."""
+    bincount accumulation order is a pure function of the edge SET.
+    ``pd.factorize(sort=True)`` assigns codes in sorted-unique order (==
+    the old unique+searchsorted semantics, value order == code order for
+    numeric AND string ids) at C speed — the object-dtype python-sort
+    path this replaces cost more than the numpy rounds it fed
+    (hits_bipartite's 'c:'/'p:'-tagged string keys, measured ~4s of a
+    6.6s call)."""
     import numpy as np
+    import pandas as pd
 
-    if sarr.dtype == object or darr.dtype == object:
-        # string ids: lexsort lacks object support — python-sort the
-        # (small, cap-bounded) index instead
-        order = sorted(range(len(sarr)), key=lambda i: (sarr[i], darr[i]))
-    else:
-        order = np.lexsort((darr, sarr))
-    s, d = sarr[order], darr[order]
-    ids = np.unique(np.concatenate([sarr, darr]))
-    return ids, np.searchsorted(ids, s), np.searchsorted(ids, d)
+    codes, uniques = pd.factorize(np.concatenate([sarr, darr]), sort=True)
+    n = len(sarr)
+    su, dv = codes[:n].astype("int64"), codes[n:].astype("int64")
+    order = np.lexsort((dv, su))
+    return np.asarray(uniques), su[order], dv[order]
 
 
 def _pagerank_local(

@@ -115,10 +115,10 @@ def seen_fold_bucketed(
     appends nothing (the anti-join drops every row), so the fold is
     idempotent under at-least-once redelivery just like the snapshot
     maintainer. Each append lands ≤ ``buckets`` new files; a periodic
-    bucket-preserving compaction (read table, re-``write_bucketed``)
-    bounds file counts — the bucket spec, not the file layout, is the
-    contract. Pick ``buckets`` >= cluster parallelism, and keep it FIXED
-    for the lake's lifetime (appends must match the table's spec).
+    :func:`compact_lake` pass rewrites them back to one file per bucket
+    — the bucket spec, not the file layout, is the contract. Pick
+    ``buckets`` >= cluster parallelism, and keep it FIXED for the lake's
+    lifetime (appends must match the table's spec).
 
     NULL fingerprints are dropped: the only consumer semantics a seen
     set has is equality anti-joins, where NULL matches nothing — a NULL
@@ -302,7 +302,15 @@ def rebucket_lake(
     ``._old`` on retry; a crash after the swap but before the
     re-register leaves the files at the NEW width with no catalog entry
     — re-run this function (its read is a plain path read) or
-    ``register_lake`` with the new count."""
+    ``register_lake`` with the new count.
+
+    The rewrite repartitions on the bucket column at the target width
+    before writing: ``repartition(n, col)``'s HashPartitioning router
+    (pmod of Murmur3) IS the bucketed writer's bucket-id function, so
+    each write task holds exactly one bucket's rows and the rewritten
+    lake lands ONE file per non-empty bucket — every migration is also
+    a full compaction (:func:`compact_lake` runs this pass at the
+    CURRENT width for exactly that effect)."""
     import os
     import shutil
 
@@ -310,7 +318,7 @@ def rebucket_lake(
     if not os.path.isdir(path) and os.path.isdir(old):
         os.rename(old, path)  # crash hit the swap window: recover
     shutil.rmtree(tmp, ignore_errors=True)  # stale partial rewrite
-    rows = spark.read.parquet(path)
+    rows = spark.read.parquet(path).repartition(int(buckets), F.col(bucket_col))
     tmp_table = table + "__rebucket_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     rows.write.mode("overwrite").format("parquet").bucketBy(
@@ -324,6 +332,47 @@ def rebucket_lake(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     register_lake(spark, table, path, columns, bucket_col, int(buckets))
+
+
+def compact_lake(spark: SparkSession, table: str, path: str) -> None:
+    """Bucket-preserving compaction of an external bucketed lake: rewrite
+    the accreted append files into one file per non-empty bucket — same
+    rows, same spec, crash-safe swap (:func:`rebucket_lake` at the lake's
+    CURRENT width).
+
+    Why it exists: the append-only fold discipline lands up to
+    ``buckets`` new files per fold, so a lake folded thousands of times
+    pays per-batch file listing/open overhead that grows with FOLD COUNT
+    even while the algorithmic cost stays |batch|-shaped —
+    scripts/stress_neardup.py measured an over-bucketed maintainer paying
+    3x per-batch wall on that overhead alone. This maintenance pass
+    restores the file-count floor without touching the lake's contract.
+
+    The bucket spec is derived FROM the catalog entry rather than taken
+    as arguments: compaction must never change the spec, and re-stating
+    it at the call site is exactly the transcription error
+    ``register_lake`` exists to catch. Single-writer (pause folds while
+    it runs), same crash windows as ``rebucket_lake``. Readers attached
+    through OTHER sessions must ``spark.catalog.refreshTable`` after the
+    swap (same rule as any maintenance rewrite)."""
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    buckets = int(desc["Num Buckets"])
+    bucket_cols = [
+        c.strip(" `") for c in desc["Bucket Columns"].strip("[]").split(",")
+    ]
+    if len(bucket_cols) != 1:
+        raise ValueError(
+            f"compact_lake supports single-column bucketing; {table!r} is "
+            f"bucketed on {bucket_cols}"
+        )
+    columns = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.table(table).schema.fields
+    ]
+    rebucket_lake(spark, table, path, columns, bucket_cols[0], buckets)
 
 
 def lake_create_or_append(

@@ -770,8 +770,9 @@ def stream_dedup_neardup(
     lake, and scripts/stress_neardup.py measured over-bucketed small
     batches paying 3x in per-batch file listing/open overhead while the
     right-sized run stays FLAT as the lake grows (the algorithmic cost
-    is |batch|-shaped by construction); periodic bucket-preserving
-    compaction bounds file counts either way.
+    is |batch|-shaped by construction); a periodic
+    ``sources.bucketed.compact_lake`` pass bounds file counts either
+    way (one file per bucket, spec untouched).
     """
     import os
 

@@ -4162,3 +4162,65 @@ def test_ivfpq_index_rebucket_migration(spark, tmp_path):
         assert lake.select("vec_id").distinct().count() == 50
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivfpq_index_compaction(spark, tmp_path):
+    """compact_lake derives the MULTI-COLUMN codes lake's spec (5 columns
+    incl. array types, bucketed on vec_id) from the catalog: one pass
+    restores one file per non-empty bucket, search results and later
+    only-new appends are identical."""
+    import os
+
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        cosine_topk_ivfpq_from_index,
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import compact_lake
+
+    def _n_files(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    table = "ivfpq_idx_compact_t"
+    path = str(tmp_path / "codes")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    queries = _mk_vecs(spark, range(0, 5))
+    try:
+        ivfpq_index_build(
+            spark, _mk_vecs(spark, range(0, 40)), table, path,
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        ivfpq_index_append(spark, _mk_vecs(spark, range(40, 50)), table, path)
+        ivfpq_index_append(spark, _mk_vecs(spark, range(50, 60)), table, path)
+        n_before = _n_files(path)
+        assert n_before > 4
+        before = sorted(
+            map(tuple, cosine_topk_ivfpq_from_index(
+                spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+            ).collect())
+        )
+
+        compact_lake(spark, table, path)
+
+        assert 0 < _n_files(path) <= 4 < n_before
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        after = sorted(
+            map(tuple, cosine_topk_ivfpq_from_index(
+                spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+            ).collect())
+        )
+        assert after == before
+        ivfpq_index_append(spark, _mk_vecs(spark, range(60, 70)), table, path)
+        assert spark.table(table).count() == 70
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

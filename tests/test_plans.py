@@ -723,6 +723,91 @@ def test_rebucket_seen_lake(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_compact_lake(spark, tmp_path):
+    """compact_lake (the stress_neardup file-count finding, made a
+    maintenance pass): an append-accreted seen lake rewrites to ONE file
+    per non-empty bucket with the spec derived FROM THE CATALOG — rows,
+    bucket width, lake-side Exchange elision, and later only-new folds
+    all unchanged."""
+    import os
+    import re as _re
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        compact_lake,
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    def _data_files(p):
+        return [
+            f
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    table = "seen_lake_compact_t"
+    path = str(tmp_path / "seen_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        seen_fold_bucketed(
+            spark, table, doc_fingerprints(docs.filter(F.col("doc_id") % 2 == 0)),
+            buckets=4, path=path,
+        )
+        for k in (3, 5, 7):
+            seen_fold_bucketed(
+                spark, table,
+                doc_fingerprints(docs.filter(F.col("doc_id") % k == 0)),
+                buckets=4,
+            )
+        before_rows = sorted(r["fp"] for r in spark.table(table).collect())
+        n_before = len(_data_files(path))
+        assert n_before > 4  # appends accreted past one file per bucket
+
+        compact_lake(spark, table, path)
+
+        assert 0 < len(_data_files(path)) <= 4 < n_before
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == before_rows
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert desc.get("Num Buckets") == "4"  # spec untouched
+
+        # anti-join stays lake-side shuffle-free after compaction
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.withColumn("fp", F.md5(F.col("text"))).select("fp")
+        anti = batch.join(spark.table(table), on="fp", how="left_anti")
+        plan = plan_of(anti)
+        assert "Bucketed: true" in plan
+        assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # folds keep working only-new afterwards
+        seen_fold_bucketed(
+            spark, table,
+            doc_fingerprints(docs.filter(F.col("doc_id") % 11 == 0)),
+            buckets=4,
+        )
+        lake = spark.table(table)
+        expected = doc_fingerprints(
+            docs.filter(
+                (F.col("doc_id") % 2 == 0)
+                | (F.col("doc_id") % 3 == 0)
+                | (F.col("doc_id") % 5 == 0)
+                | (F.col("doc_id") % 7 == 0)
+                | (F.col("doc_id") % 11 == 0)
+            )
+        ).distinct()
+        assert lake.count() == lake.distinct().count() == expected.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_seen_fold_managed_lake_catalog_loss_guard(spark, tmp_path):
     """ADVICE r14: a MANAGED lake (no external path) in a fresh
     in-memory-catalog session still has surviving warehouse files — the

@@ -29,7 +29,17 @@ NOT the joins (shuffle bytes were lower, 45 vs 52 MB). Size `buckets` to
 the BATCH scale, not cluster width, and compact periodically; the
 algorithmic cost is flat as designed.
 
-Run: PYTHONPATH=/root/repo [ND_BUCKETS=16] python scripts/stress_neardup.py
+ND_COMPACT_AT=<batch> runs `sources.bucketed.compact_lake` on both lakes
+after that batch's drain (wall recorded separately) — the maintenance
+pass the over-bucketing finding calls for. Measured (r15, ND_BUCKETS=64,
+compact after batch 3): per-batch wall [20.2, 13.1, 39.6, 39.8, | 15.0,
+17.4, 16.2, 18.5] — the batches after the 18.3s compaction pass recover
+the file-count overhead (the uncompacted 64-bucket run kept degrading
+to ~30s/batch), and the final survivor set still equals the batch
+ground truth (results_identical across the mid-run rewrite).
+
+Run: PYTHONPATH=/root/repo [ND_BUCKETS=16] [ND_COMPACT_AT=3] \\
+    python scripts/stress_neardup.py
 """
 
 from __future__ import annotations
@@ -144,6 +154,8 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {table_b}")
         spark.sql(f"DROP TABLE IF EXISTS {table_s}")
         s0 = shuffle_write_bytes(spark)
+        compact_at = int(os.environ.get("ND_COMPACT_AT", "-1"))
+        compact_wall = None
         walls = []
         for b in range(N_BATCHES):
             write_batch(spark, src, b)
@@ -162,6 +174,15 @@ def main() -> None:
                 sigs_table_path=f"{root}/sigs_lake",
             )
             walls.append(round(time.time() - t0, 2))
+            if b == compact_at:
+                from bigdata_etl_customer360_spark.sources.bucketed import (
+                    compact_lake,
+                )
+
+                t0 = time.time()
+                compact_lake(spark, table_b, f"{root}/bands_lake")
+                compact_lake(spark, table_s, f"{root}/sigs_lake")
+                compact_wall = round(time.time() - t0, 2)
         shuffle_mb = round((shuffle_write_bytes(spark) - s0) / 1e6, 1)
 
         got = sorted(
@@ -198,6 +219,8 @@ def main() -> None:
                     "shuffle_mb_total": shuffle_mb,
                     "survivors_total": len(got),
                     "band_lake_rows": int(lake_rows),
+                    "compact_after_batch": compact_at if compact_at >= 0 else None,
+                    "compact_wall_s": compact_wall,
                     "results_identical": True,
                 }
             ),

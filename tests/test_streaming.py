@@ -1821,6 +1821,57 @@ def test_stream_dedup_neardup_equals_batch_ground_truths(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
 
 
+def test_stream_dedup_neardup_compaction_between_drains(spark, tmp_path):
+    """compact_lake between drains is invisible to the maintainer — the
+    maintenance pass the stress_neardup bucket-sizing finding calls for:
+    both lakes rewrite to one file per non-empty bucket, and the next
+    drain's cross-batch drops, folds, and only-new gating against the
+    COMPACTED lakes are unchanged (batch 2 holds a near-dup of a kept
+    doc, an exact re-crawl of a DROPPED doc, and a shingle-blind pair —
+    every lake-consuming path)."""
+    import os
+
+    from bigdata_etl_customer360_spark.sources.bucketed import compact_lake
+
+    src = tmp_path / "nd_cmp_src"
+    src.mkdir()
+    prefix = "nd_cmp"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+    try:
+        _nd_write_batches(src, ND_BATCHES[:2])
+        _nd_drain(spark, tmp_path, src, prefix)
+
+        for suffix in ("bands", "sigs"):
+            lake_path = str(tmp_path / f"{prefix}_{suffix}_lake")
+            compact_lake(spark, f"{prefix}_{suffix}_t", lake_path)
+            files = [
+                f
+                for _r, _d, fs in os.walk(lake_path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+            assert 0 < len(files) <= 8, (suffix, files)
+
+        p = src / "b2.parquet"
+        _write_docs(str(p), ND_BATCHES[2])
+        os.utime(p, (time.time() + 15,) * 2)
+        _nd_drain(spark, tmp_path, src, prefix)
+
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"{prefix}_survivors")
+            ).collect()
+        )
+        assert got == ND_SURVIVORS
+        sigs = spark.table(f"{prefix}_sigs_t")
+        assert sigs.count() == sigs.select("doc_id").distinct().count() == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands_t")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sigs_t")
+
+
 def test_stream_dedup_neardup_redelivery_after_fold_advance(spark, tmp_path):
     """Crash window: fold advanced, checkpoint commit lost. The
     redelivered batch MUST NOT recompute survivors — the lake now holds

@@ -41,6 +41,8 @@ from bigdata_etl_customer360_spark.operators.similarity import (
     cosine_topk_ivfpq,
     cosine_topk_lsh,
     cosine_topk_pq,
+    ivfpq_fit,
+    pq_fit,
 )
 from bigdata_etl_customer360_spark.operators.textstats import (
     with_fingerprint,
@@ -719,9 +721,12 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
     qids = q.select(F.col("vec_id").alias("query_id"))
+    # one deterministic fit shared by both searches (bit-interchangeable
+    # with the inline per-call fit — the model= contract)
+    model = pq_fit(emb)
     return _recall_certificate(
-        cosine_topk_pq(q, emb, k=5, rerank=40),
-        cosine_topk_pq(q, emb, k=5, rerank=40, exclude_self=False),
+        cosine_topk_pq(q, emb, k=5, rerank=40, model=model),
+        cosine_topk_pq(q, emb, k=5, rerank=40, exclude_self=False, model=model),
         cosine_topk_brute(q, emb, k=5),
         qids,
         floor_num=137 if emb.count() <= 1000 else 100,
@@ -743,8 +748,11 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
     qids = q.select(F.col("vec_id").alias("query_id"))
+    # one deterministic fit shared by both searches (bit-interchangeable
+    # with the inline per-call fit — the model= contract)
+    model = ivfpq_fit(emb, num_centroids=16)
     ivfpq = lambda **kw: cosine_topk_ivfpq(
-        q, emb, k=5, num_centroids=16, nprobe=8, rerank=40, **kw
+        q, emb, k=5, num_centroids=16, nprobe=8, rerank=40, model=model, **kw
     )
     return _recall_certificate(
         ivfpq(),

@@ -46,9 +46,7 @@ from bigdata_etl_customer360_spark.operators.similarity import (
     _ivfpq_candidates,
     _ivfpq_enc_udf,
     _norm_sq,
-    _normalized_sample,
-    _pq_codebooks,
-    _spherical_kmeans,
+    ivfpq_fit,
     quantize_expr,
 )
 from bigdata_etl_customer360_spark.operators.util import fan_out
@@ -174,19 +172,21 @@ def ivfpq_index_build(
     overwrite an existing model or populated lake path — the index is
     the asset; rebuilding is an explicit drop-and-recreate, and appends
     against a silently re-fit model would mix incompatible code spaces."""
-    import numpy as np
-
     if _dir_has_data(_model_dir(path)) or _dir_has_data(path):
         raise RuntimeError(
             f"index at {path!r} already exists — appends must reuse the "
             "frozen model (ivfpq_index_append); delete the lake + model "
             "directories explicitly to rebuild."
         )
-    S = _normalized_sample(corpus, sample_size, id_col, vec_col)
-    centroids = _spherical_kmeans(S, num_centroids, kmeans_iters)
-    resid = S - centroids[np.argmax(S @ centroids.T, axis=1)]
-    _, qbook, qbook_nsq = _pq_codebooks(
-        resid, num_subspaces, codes_per_subspace, kmeans_iters
+    centroids, qbook, qbook_nsq = ivfpq_fit(
+        corpus,
+        num_centroids=num_centroids,
+        num_subspaces=num_subspaces,
+        codes_per_subspace=codes_per_subspace,
+        sample_size=sample_size,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     model = _IvfPqModel(centroids, qbook, qbook_nsq, int(buckets))
     _save_model(spark, path, model)

@@ -4164,6 +4164,46 @@ def test_ivfpq_index_rebucket_migration(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_ann_model_reuse_is_bit_identical(spark):
+    """model= (the pq_fit / ivfpq_fit return) is bit-interchangeable with
+    the inline per-call fit — the fits are deterministic, so one model
+    shared across searches (the pq_recall/ivfpq_recall certificate
+    pattern) cannot move a single row, with or without self-exclusion."""
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+        ivfpq_fit,
+        pq_fit,
+    )
+
+    base = _mk_vecs(spark, range(0, 60))
+    q = _mk_vecs(spark, range(0, 6))
+
+    pm = pq_fit(base, num_subspaces=4, codes_per_subspace=4)
+    for kw in ({}, {"exclude_self": False}):
+        inline = sorted(map(tuple, cosine_topk_pq(
+            q, base, k=3, rerank=10, num_subspaces=4, codes_per_subspace=4,
+            **kw,
+        ).collect()))
+        shared = sorted(map(tuple, cosine_topk_pq(
+            q, base, k=3, rerank=10, num_subspaces=4, codes_per_subspace=4,
+            model=pm, **kw,
+        ).collect()))
+        assert inline == shared
+
+    im = ivfpq_fit(base, num_centroids=4, num_subspaces=4, codes_per_subspace=4)
+    for kw in ({}, {"exclude_self": False}):
+        inline = sorted(map(tuple, cosine_topk_ivfpq(
+            q, base, k=3, num_centroids=4, nprobe=2, rerank=10,
+            num_subspaces=4, codes_per_subspace=4, **kw,
+        ).collect()))
+        shared = sorted(map(tuple, cosine_topk_ivfpq(
+            q, base, k=3, num_centroids=4, nprobe=2, rerank=10,
+            num_subspaces=4, codes_per_subspace=4, model=im, **kw,
+        ).collect()))
+        assert inline == shared
+
+
 def test_ivfpq_index_compaction(spark, tmp_path):
     """compact_lake derives the MULTI-COLUMN codes lake's spec (5 columns
     incl. array types, bucketed on vec_id) from the catalog: one pass

@@ -1079,6 +1079,83 @@ def stream_dedup_semantic(
     return q
 
 
+def stream_index_ivfpq(
+    stream_df: DataFrame,
+    table: str,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_name: str = "ivfpq_index_stream",
+):
+    """Streaming maintenance of the persisted IVF×PQ index
+    (``operators.ann_index``): each micro-batch encodes its vectors
+    against the FROZEN model and appends only never-indexed ids to the
+    codes lake — the index stays fresh as the corpus streams in, and
+    search (``cosine_topk_ivfpq_from_index``) reads the same lake the
+    whole time. The streaming closure of the maintained-index story,
+    symmetric with the dedup maintainers: state lives in one bucketed
+    lake, per-batch cost ~|batch| regardless of index size.
+
+    Requires a BUILT index (``ivfpq_index_build``) — the model is the
+    asset and a stream never re-fits it (a per-batch re-fit would mix
+    incompatible code spaces; the batch append path pins no-re-fit with
+    a k-means spy, and this maintainer reuses it verbatim).
+
+    Delivery contract — simpler than the dedup maintainers ON PURPOSE:
+    the lake is the ONLY output and it is a monotone id-keyed set, so
+    the only-new anti-join (lake-side shuffle-free) makes every refold a
+    no-op. Redelivery after a crash, a recreated checkpoint replaying
+    old files, even two maintainers racing the same lake cannot
+    double-index an id or corrupt earlier rows — there is no
+    point-in-time derivative (survivor set, merged snapshot) whose
+    correctness depends on WHEN the lake was read, hence no
+    first-write-wins guard and no ``_QUERY_ID`` ownership stamp. The
+    flip side is silent id collision semantics: a vector whose id is
+    already indexed is SKIPPED, not updated (same as the batch append —
+    re-encoding a mutated document needs a new id or an explicit
+    rebuild). ``buckets`` evolves with ``sources.bucketed.rebucket_lake``
+    / ``compact_lake`` between drains; appends read the width from the
+    catalog.
+    """
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        ivfpq_index_append,
+    )
+    from bigdata_etl_customer360_spark.sources.bucketed import _dir_has_data
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not spark.catalog.tableExists(table):
+            if _dir_has_data(path):
+                raise RuntimeError(
+                    f"index lake table {table!r} is not in the session "
+                    f"catalog but {path!r} already holds data — appending "
+                    "against an empty catalog view would re-encode indexed "
+                    "ids. Re-attach it first: sources.bucketed.register_lake"
+                    f"(spark, {table!r}, {path!r}, index_columns("
+                    f"{id_col!r}), {id_col!r}, <buckets>)."
+                )
+            raise RuntimeError(
+                f"no index at {path!r} — build it first with "
+                "ivfpq_index_build; the streaming maintainer only appends "
+                "against the frozen model, it never fits one."
+            )
+        ivfpq_index_append(spark, batch_df, table, path, id_col, vec_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_maintain_rollup(
     stream_df: DataFrame,
     snapshot_path: str,

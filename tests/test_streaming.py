@@ -2257,3 +2257,185 @@ def test_stream_dedup_semantic_catalog_loss_and_paths(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_vecs_t")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids_t")
+
+# stream_index_ivfpq — streaming maintenance of the persisted ANN index
+# (late r15: the streaming closure of the maintained-index story)
+
+
+def _idx_vec_rows(ids, dim=8, shift=0.0):
+    import math as _m
+
+    return [
+        (int(i), [_m.sin(0.7 * i + 0.31 * d) + shift for d in range(dim)])
+        for i in ids
+    ]
+
+
+def _idx_drain(spark, tmp_path, src, prefix):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_index_ivfpq,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return stream_index_ivfpq(
+        stream_from_parquet(spark, str(src), schema, max_files_per_trigger=1),
+        f"{prefix}_codes_t",
+        str(tmp_path / f"{prefix}_codes_lake"),
+        str(tmp_path / f"{prefix}_ckpt"),
+    )
+
+
+def test_stream_index_ivfpq_appends_only_new_and_matches_brute(
+    spark, tmp_path
+):
+    """Two streamed batches (one overlapping already-indexed ids) fold
+    into the built index: overlapping ids keep their ORIGINAL rows, the
+    lake ends one-row-per-id over the union, and full-probe full-rerank
+    search from the maintained lake equals brute force over the
+    concatenated corpus — the ivfpq_from_index invariant across the
+    streaming fold path."""
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        cosine_topk_ivfpq_from_index,
+        ivfpq_index_build,
+    )
+    from bigdata_etl_customer360_spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+
+    src = tmp_path / "idx_src"
+    src.mkdir()
+    prefix = "idx_eq"
+    table = f"{prefix}_codes_t"
+    path = str(tmp_path / f"{prefix}_codes_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = spark.createDataFrame(_idx_vec_rows(range(0, 40)), VEC_SCHEMA)
+    try:
+        ivfpq_index_build(
+            spark, base, table, path,
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        pre = {
+            r["vec_id"]: (r["cell"], r["codes"])
+            for r in spark.table(table)
+            .filter(F.col("vec_id") >= 35)
+            .collect()
+        }
+
+        _write_vecs(str(src / "b0.parquet"), _idx_vec_rows(range(35, 50)))
+        _write_vecs(str(src / "b1.parquet"), _idx_vec_rows(range(50, 65)))
+        for i, f in enumerate(("b0.parquet", "b1.parquet")):
+            t = time.time() + 5 * i
+            os.utime(src / f, (t, t))
+        _idx_drain(spark, tmp_path, src, prefix)
+
+        lake = spark.table(table)
+        assert lake.count() == 65
+        assert lake.select("vec_id").distinct().count() == 65
+        post = {
+            r["vec_id"]: (r["cell"], r["codes"])
+            for r in lake.filter(
+                (F.col("vec_id") >= 35) & (F.col("vec_id") < 40)
+            ).collect()
+        }
+        assert post == pre  # overlap ids kept their original encoding
+
+        queries = spark.createDataFrame(_idx_vec_rows(range(0, 5)), VEC_SCHEMA)
+        corpus = spark.createDataFrame(_idx_vec_rows(range(0, 65)), VEC_SCHEMA)
+        got = sorted(map(tuple, cosine_topk_ivfpq_from_index(
+            spark, queries, table, path, k=3, nprobe=4, rerank=10**6
+        ).collect()))
+        want = sorted(map(tuple, cosine_topk_brute(
+            queries, corpus, k=3
+        ).collect()))
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_index_ivfpq_redelivery_appends_nothing(spark, tmp_path):
+    """Redelivery after a lost checkpoint commit refolds the batch; the
+    only-new anti-join makes it a no-op (the lake is a monotone id set —
+    the documented reason this maintainer needs no _SUCCESS guard)."""
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        ivfpq_index_build,
+    )
+
+    src = tmp_path / "idx_src_rd"
+    src.mkdir()
+    prefix = "idx_rd"
+    table = f"{prefix}_codes_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        ivfpq_index_build(
+            spark,
+            spark.createDataFrame(_idx_vec_rows(range(0, 40)), VEC_SCHEMA),
+            table,
+            str(tmp_path / f"{prefix}_codes_lake"),
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        _write_vecs(str(src / "b0.parquet"), _idx_vec_rows(range(40, 50)))
+        _idx_drain(spark, tmp_path, src, prefix)
+        assert spark.table(table).count() == 50
+
+        ckpt = tmp_path / f"{prefix}_ckpt"
+        (ckpt / "commits" / "0").unlink()
+        crc = ckpt / "commits" / ".0.crc"
+        if crc.exists():
+            crc.unlink()
+        _idx_drain(spark, tmp_path, src, prefix)
+        lake = spark.table(table)
+        assert lake.count() == 50
+        assert lake.select("vec_id").distinct().count() == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_index_ivfpq_guards(spark, tmp_path):
+    """No built index -> refuse loudly (the stream never fits a model);
+    catalog-lost lake with surviving files -> refuse and point at
+    register_lake (appending against an empty catalog view would
+    re-encode indexed ids)."""
+    from bigdata_etl_customer360_spark.operators.ann_index import (
+        ivfpq_index_build,
+    )
+
+    src = tmp_path / "idx_src_g"
+    src.mkdir()
+    prefix = "idx_g"
+    table = f"{prefix}_codes_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _write_vecs(str(src / "b0.parquet"), _idx_vec_rows(range(0, 10)))
+    with pytest.raises(Exception, match="ivfpq_index_build"):
+        _idx_drain(spark, tmp_path, src, prefix)
+    try:
+        ivfpq_index_build(
+            spark,
+            spark.createDataFrame(_idx_vec_rows(range(0, 40)), VEC_SCHEMA),
+            table,
+            str(tmp_path / f"{prefix}_codes_lake"),
+            num_centroids=4, num_subspaces=4, codes_per_subspace=4,
+            buckets=4,
+        )
+        spark.sql(f"DROP TABLE {table}")  # catalog loss, files survive
+        p = src / "b1.parquet"
+        _write_vecs(str(p), _idx_vec_rows(range(40, 50)))
+        os.utime(p, (time.time() + 10,) * 2)
+        with pytest.raises(Exception, match="register_lake"):
+            _idx_drain(spark, tmp_path, src, f"{prefix}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -368,6 +368,13 @@ def compact_lake(spark: SparkSession, table: str, path: str) -> None:
             f"compact_lake supports single-column bucketing; {table!r} is "
             f"bucketed on {bucket_cols}"
         )
+    if desc.get("Sort Columns", "[]").strip("[] `"):
+        raise ValueError(
+            f"{table!r} declares a sort-within-bucket spec "
+            f"({desc['Sort Columns']}) which this rewrite would silently "
+            "drop — compact sorted tables with write_bucketed(sort_cols=...)"
+            " directly."
+        )
     columns = [
         (f.name, f.dataType.simpleString())
         for f in spark.table(table).schema.fields

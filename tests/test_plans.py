@@ -808,6 +808,29 @@ def test_compact_lake(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_compact_lake_refuses_sorted_tables(spark, tmp_path):
+    """A sort-within-bucket spec would be silently dropped by the
+    compaction rewrite — refuse instead (no lake in this repo sorts, but
+    the catalog-derived spec must stay the whole contract)."""
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        compact_lake,
+        write_bucketed,
+    )
+
+    table = "compact_sorted_guard_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = str(tmp_path / "sorted_lake")
+    try:
+        write_bucketed(
+            spark.range(50).selectExpr("id", "id % 7 as v"),
+            table, "id", buckets=4, sort_cols="v", path=path,
+        )
+        with pytest.raises(ValueError, match="sort-within-bucket"):
+            compact_lake(spark, table, path)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_seen_fold_managed_lake_catalog_loss_guard(spark, tmp_path):
     """ADVICE r14: a MANAGED lake (no external path) in a fresh
     in-memory-catalog session still has surviving warehouse files — the

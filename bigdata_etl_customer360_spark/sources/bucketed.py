@@ -127,6 +127,12 @@ def seen_fold_bucketed(
     silently. ``operators.dedup.text_fingerprint`` never emits NULL
     (post-md5 sentinel); this guards foreign fingerprint columns.
 
+    Every fold repartitions on ``fp_col`` at the bucket width before the
+    write (see :func:`lake_create_or_append` — one file per non-empty
+    bucket per fold, elided when the upstream already hash-partitions on
+    the key at that width), so file counts grow with FOLD COUNT, not
+    fold count × write tasks.
+
     Catalog-loss guard: table metadata lives in the session catalog
     (in-memory here, a metastore in production). If the catalog entry is
     gone (fresh session) but ``path`` already holds data, the "first
@@ -156,6 +162,7 @@ def seen_fold_bucketed(
                 f"register_seen_lake(spark, {table!r}, {probe!r}, "
                 f"buckets={buckets}, fp_col={fp_col!r})."
             )
+        fps = fps.repartition(int(buckets), F.col(fp_col))
         writer = fps.write.mode("overwrite").format("parquet").bucketBy(
             buckets, fp_col
         )
@@ -163,7 +170,9 @@ def seen_fold_bucketed(
             writer = writer.option("path", path)
         writer.saveAsTable(table)
         return
-    new = fps.join(spark.table(table), on=fp_col, how="left_anti")
+    new = fps.join(spark.table(table), on=fp_col, how="left_anti").repartition(
+        int(buckets), F.col(fp_col)
+    )
     new.write.mode("append").format("parquet").bucketBy(buckets, fp_col).saveAsTable(
         table
     )
@@ -406,7 +415,20 @@ def lake_create_or_append(
     a clone-side insert does not invalidate the reader session's cached
     file listing for the table, so without the refresh below every
     later ``spark.table(table)`` silently reads the pre-append listing
-    — history-losing, and invisible until a re-crawl sails through."""
+    — history-losing, and invisible until a re-crawl sails through.
+
+    Every write repartitions on ``bucket_col`` at the bucket width
+    first: Spark's bucketed writer does NOT shuffle, so an unaligned
+    input lands one file per (write task × bucket present) and a lake
+    folded thousands of times accretes tasks× more files than the fold
+    count — the real source of the stress_neardup over-bucketing
+    overhead. ``repartition(n, col)`` routes by the same pmod-Murmur3
+    the writer buckets by, so each task holds exactly one bucket (one
+    file per non-empty bucket per fold), Catalyst elides the exchange
+    entirely when the upstream already hash-partitions on the key at
+    that width, and otherwise it costs one batch-sized (never
+    lake-sized) shuffle."""
+    df = df.repartition(int(buckets), F.col(bucket_col))
     if not spark.catalog.tableExists(table):
         if _dir_has_data(path):
             raise RuntimeError(

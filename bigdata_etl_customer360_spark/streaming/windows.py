@@ -765,14 +765,14 @@ def stream_dedup_neardup(
     lakes' contract: keep them fixed for the lakes' lifetime (signatures
     folded under one config are meaningless under another;
     ``sources.bucketed.rebucket_seen_lake`` is the migration pattern
-    when the width must change). Size ``buckets`` to the BATCH scale,
-    not cluster width: every fold lands up to ``buckets`` files per
-    lake, and scripts/stress_neardup.py measured over-bucketed small
-    batches paying 3x in per-batch file listing/open overhead while the
-    right-sized run stays FLAT as the lake grows (the algorithmic cost
-    is |batch|-shaped by construction); a periodic
-    ``sources.bucketed.compact_lake`` pass bounds file counts either
-    way (one file per bucket, spec untouched).
+    when the width must change). Size ``buckets`` for the lake-side
+    join parallelism you want: every fold lands at most one file per
+    non-empty bucket (``lake_create_or_append`` aligns the write to the
+    bucket spec — the revised stress_neardup finding: the old
+    write-tasks × buckets accretion made over-bucketed runs pay 3x in
+    listing/open overhead, now vanished), and a periodic
+    ``sources.bucketed.compact_lake`` pass bounds the remaining
+    fold-count-linear growth (one file per bucket, spec untouched).
     """
     import os
 

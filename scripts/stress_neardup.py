@@ -22,12 +22,21 @@ Measured (r15, local[32]): with ND_BUCKETS=16 the per-batch wall is FLAT
 lake growing to 5.1M band rows, 52 MB total shuffle, survivors exactly
 the 100k originals, streaming == batch ground truth. The SAME run at
 ND_BUCKETS=64 degraded to [23.6, 17.2, 17.0, 23.6, 27.9, 32.2, 31.6,
-29.3]: every fold lands up to `buckets` files per lake, so over-bucketing
-small batches multiplies append file counts, and per-batch listing/open
-overhead (amplified by the post-append refreshTable relist) dominates —
-NOT the joins (shuffle bytes were lower, 45 vs 52 MB). Size `buckets` to
-the BATCH scale, not cluster width, and compact periodically; the
-algorithmic cost is flat as designed.
+29.3]: per-batch listing/open overhead on accreted append files — NOT
+the joins (shuffle bytes were lower, 45 vs 52 MB).
+
+REVISED (late r15): the real accretion rate was write-tasks × buckets
+files per fold (Spark's bucketed writer doesn't shuffle — each task
+writes one file per bucket present). `lake_create_or_append` now
+repartitions on the bucket key at the bucket width before every write
+(one file per non-empty bucket per fold; the exchange is batch-sized,
+or elided when the upstream already matches), and the over-bucketing
+penalty VANISHED: ND_BUCKETS=64 measures [11.3, 7.0, 6.0, 5.6, 5.1,
+6.6, 8.6, 9.2] and ND_BUCKETS=16 [12.1, 6.1, 5.7, 5.8, 7.3, 10.4,
+10.7, 6.7] — flat, statistically identical to each other, and faster
+than the PRE-fix 16-bucket run. `buckets` sizing is back to a pure
+join-parallelism choice; `compact_lake` still bounds the (now
+fold-count-linear) file growth.
 
 ND_COMPACT_AT=<batch> runs `sources.bucketed.compact_lake` on both lakes
 after that batch's drain (wall recorded separately) — the maintenance

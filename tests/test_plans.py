@@ -395,8 +395,9 @@ def test_ivfpq_index_append_frozen_and_bucketed(spark, tmp_path, monkeypatch):
             spark, emb.filter(F.col("vec_id") % 2 == 0), table, path,
             num_centroids=16, buckets=8,
         )
+        # ann_index fits through similarity.ivfpq_fit, which reads the
+        # module-global — one patch point covers build, append, search
         monkeypatch.setattr(sim, "_spherical_kmeans", spy_fit)
-        monkeypatch.setattr(ai, "_spherical_kmeans", spy_fit)
 
         # (b) only-new anti-join: lake side bucketed, one batch-side
         # Exchange (broadcast disabled to force the shuffle shape)

@@ -154,13 +154,16 @@ def seen_fold_bucketed(
         # forgets a managed lake while its files survive, and the
         # first-fold overwrite below would drop the history
         probe = path if path is not None else _default_table_path(spark, table)
-        if _dir_has_data(probe):
+        if _lake_has_history(probe):
             raise RuntimeError(
                 f"seen lake table {table!r} is not in the session catalog "
-                f"but {probe!r} already holds data — overwriting would drop "
-                "the accumulated history. Re-attach it first: "
-                f"register_seen_lake(spark, {table!r}, {probe!r}, "
-                f"buckets={buckets}, fp_col={fp_col!r})."
+                f"but {probe!r} (or its ._old swap twin) already holds data "
+                "— overwriting would drop the accumulated history. "
+                "Re-attach it first: register_seen_lake(spark, "
+                f"{table!r}, {probe!r}, buckets={buckets}, "
+                f"fp_col={fp_col!r}); a lone ._old means a maintenance "
+                "pass crashed mid-swap — re-run rebucket_lake/compact_lake "
+                "to recover it."
             )
         fps = fps.repartition(int(buckets), F.col(fp_col))
         writer = fps.write.mode("overwrite").format("parquet").bucketBy(
@@ -206,6 +209,48 @@ def _dir_has_data(path: str) -> bool:
         if any(not f.startswith(("_", ".")) for f in files):
             return True
     return False
+
+
+def _lake_has_history(path: str) -> bool:
+    """Catalog-loss probe for every first-write guard: the lake's history
+    counts as present when ``path`` holds data OR when ``path._old``
+    does — a crash INSIDE the rebucket/compact swap window leaves the
+    whole history parked at ``._old`` with ``path`` gone, and a fresh
+    session's guard that only probed ``path`` would take the first-write
+    branch and orphan it silently (re-running the maintenance pass
+    recovers from ``._old``; see :func:`rebucket_lake`)."""
+    return _dir_has_data(path) or _dir_has_data(path.rstrip("/") + "._old")
+
+
+def _data_file_count(path: str) -> int:
+    """Non-hidden data files under ``path`` — the quantity
+    :func:`maybe_compact_lake`'s trigger watches."""
+    import os
+
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+
+
+def maybe_compact_lake(
+    spark: SparkSession, table: str, path: str, max_files: int
+) -> bool:
+    """Run :func:`compact_lake` iff the lake's data-file count exceeds
+    ``max_files``; returns True when a compaction ran. The streaming
+    maintainers call this AFTER their folds (opt-in
+    ``compact_files_over=``) — the inter-batch window of a maintainer is
+    single-writer by construction, which is exactly compact_lake's
+    requirement, so lake self-maintenance needs no outside scheduler.
+    With the aligned fold writes each fold lands ≤ one file per
+    non-empty bucket, so ``max_files = k * buckets`` compacts roughly
+    every ``k`` batches."""
+    if _data_file_count(path) <= int(max_files):
+        return False
+    compact_lake(spark, table, path)
+    return True
 
 
 def register_seen_lake(
@@ -430,13 +475,15 @@ def lake_create_or_append(
     lake-sized) shuffle."""
     df = df.repartition(int(buckets), F.col(bucket_col))
     if not spark.catalog.tableExists(table):
-        if _dir_has_data(path):
+        if _lake_has_history(path):
             raise RuntimeError(
                 f"lake table {table!r} is not in the session catalog but "
-                f"{path!r} already holds data — overwriting would drop the "
-                "accumulated history. Re-attach it first with "
-                "sources.bucketed.register_lake (same columns/bucket spec "
-                "the writer used)."
+                f"{path!r} (or its ._old swap twin) already holds data — "
+                "overwriting would drop the accumulated history. Re-attach "
+                "it first with sources.bucketed.register_lake (same "
+                "columns/bucket spec the writer used); a lone ._old means "
+                "a maintenance pass crashed mid-swap — re-run "
+                "rebucket_lake/compact_lake to recover it."
             )
         df.write.mode("overwrite").format("parquet").bucketBy(
             buckets, bucket_col

@@ -483,6 +483,7 @@ def stream_dedup_incremental_bucketed(
     buckets: int = 32,
     seen_table_path: str | None = None,
     query_name: str = "dedup_incremental_stream_bucketed",
+    compact_files_over: int | None = None,
 ):
     """:func:`stream_dedup_incremental` with the seen set kept as the
     fp-BUCKETED lake (``sources.bucketed.seen_fold_bucketed``) instead of
@@ -537,6 +538,13 @@ def stream_dedup_incremental_bucketed(
     ``sources.bucketed.register_seen_lake`` before restarting (a real
     metastore makes this a non-event). Keep ``buckets`` fixed for the
     lake's lifetime. Single-writer assumption as the other maintainers.
+
+    ``compact_files_over`` (opt-in, needs an external
+    ``seen_table_path``): after each batch's fold, run
+    ``sources.bucketed.maybe_compact_lake`` — the maintainer IS the
+    single writer between batches, so lake self-maintenance needs no
+    outside scheduler; file counts stay bounded instead of growing one
+    file per non-empty bucket per fold.
     """
     import os
 
@@ -546,10 +554,16 @@ def stream_dedup_incremental_bucketed(
     )
     from bigdata_etl_customer360_spark.sources.bucketed import (
         _default_table_path,
-        _dir_has_data,
+        _lake_has_history,
+        maybe_compact_lake,
         seen_fold_bucketed,
     )
 
+    if compact_files_over is not None and seen_table_path is None:
+        raise ValueError(
+            "compact_files_over needs an external seen_table_path "
+            "(compaction swaps the lake directory)"
+        )
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -573,7 +587,7 @@ def stream_dedup_incremental_bucketed(
                 if seen_table_path is not None
                 else _default_table_path(spark, seen_table)
             )
-            if _dir_has_data(probe):
+            if _lake_has_history(probe):
                 raise RuntimeError(
                     f"seen lake table {seen_table!r} is not in the session "
                     f"catalog but {probe!r} already holds data — "
@@ -601,6 +615,10 @@ def stream_dedup_incremental_bucketed(
         seen_fold_bucketed(
             spark, seen_table, fps, buckets=buckets, path=seen_table_path
         )
+        if compact_files_over is not None:
+            maybe_compact_lake(
+                spark, seen_table, seen_table_path, compact_files_over
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -704,6 +722,7 @@ def stream_dedup_neardup(
     bands_table_path: str | None = None,
     sigs_table_path: str | None = None,
     query_name: str = "dedup_neardup_stream",
+    compact_files_over: int | None = None,
 ):
     """Streaming NEAR-duplicate dedup — the MinHash closure of the exact
     maintainers (VERDICT r14 task 1): a re-crawl with one changed byte
@@ -772,7 +791,11 @@ def stream_dedup_neardup(
     write-tasks × buckets accretion made over-bucketed runs pay 3x in
     listing/open overhead, now vanished), and a periodic
     ``sources.bucketed.compact_lake`` pass bounds the remaining
-    fold-count-linear growth (one file per bucket, spec untouched).
+    fold-count-linear growth (one file per bucket, spec untouched) —
+    pass ``compact_files_over=N`` and the maintainer runs it itself
+    after each batch's folds whenever a lake's data-file count exceeds
+    ``N`` (it is the single writer between batches, exactly the
+    compaction requirement).
     """
     import os
 
@@ -782,7 +805,7 @@ def stream_dedup_neardup(
     )
     from bigdata_etl_customer360_spark.operators.util import cache_scope, scoped_cache
     from bigdata_etl_customer360_spark.sources.bucketed import (
-        _dir_has_data,
+        _lake_has_history,
         lake_create_or_append,
     )
 
@@ -809,7 +832,7 @@ def stream_dedup_neardup(
         # computed against lost lakes commits re-crawls as survivors
         # under the first-write-wins guard, forever).
         for t, p in ((bands_table, bands_table_path), (sigs_table, sigs_table_path)):
-            if not spark.catalog.tableExists(t) and _dir_has_data(p):
+            if not spark.catalog.tableExists(t) and _lake_has_history(p):
                 raise RuntimeError(
                     f"lake table {t!r} is not in the session catalog but "
                     f"{p!r} already holds data — computing this batch "
@@ -862,6 +885,20 @@ def stream_dedup_neardup(
                 id_col,
                 buckets,
                 sigs_table_path,
+            )
+        if compact_files_over is not None:
+            # opt-in lake self-maintenance (after BOTH folds — the
+            # maintainer is the single writer between batches, exactly
+            # compact_lake's requirement); per-lake trigger
+            from bigdata_etl_customer360_spark.sources.bucketed import (
+                maybe_compact_lake,
+            )
+
+            maybe_compact_lake(
+                spark, bands_table, bands_table_path, compact_files_over
+            )
+            maybe_compact_lake(
+                spark, sigs_table, sigs_table_path, compact_files_over
             )
 
     q = (
@@ -949,6 +986,7 @@ def stream_dedup_semantic(
     vecs_table_path: str | None = None,
     ids_table_path: str | None = None,
     query_name: str = "dedup_semantic_stream",
+    compact_files_over: int | None = None,
 ):
     """Streaming SEMANTIC dedup — the SemDeDup closure of the streaming
     family (r15; the third modality after exact fingerprints and MinHash
@@ -996,7 +1034,7 @@ def stream_dedup_semantic(
     from bigdata_etl_customer360_spark.operators.similarity import semantic_qz
     from bigdata_etl_customer360_spark.operators.util import cache_scope, scoped_cache
     from bigdata_etl_customer360_spark.sources.bucketed import (
-        _dir_has_data,
+        _lake_has_history,
         lake_create_or_append,
     )
 
@@ -1019,7 +1057,7 @@ def stream_dedup_semantic(
             f"vector/id lakes {vecs_table!r} + {ids_table!r}",
         )
         for t, p in ((vecs_table, vecs_table_path), (ids_table, ids_table_path)):
-            if not spark.catalog.tableExists(t) and _dir_has_data(p):
+            if not spark.catalog.tableExists(t) and _lake_has_history(p):
                 raise RuntimeError(
                     f"lake table {t!r} is not in the session catalog but "
                     f"{p!r} already holds data — computing this batch "
@@ -1067,6 +1105,19 @@ def stream_dedup_semantic(
                 buckets,
                 ids_table_path,
             )
+        if compact_files_over is not None:
+            # opt-in lake self-maintenance after both folds (single
+            # writer between batches — the compaction requirement)
+            from bigdata_etl_customer360_spark.sources.bucketed import (
+                maybe_compact_lake,
+            )
+
+            maybe_compact_lake(
+                spark, vecs_table, vecs_table_path, compact_files_over
+            )
+            maybe_compact_lake(
+                spark, ids_table, ids_table_path, compact_files_over
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -1087,6 +1138,7 @@ def stream_index_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_name: str = "ivfpq_index_stream",
+    compact_files_over: int | None = None,
 ):
     """Streaming maintenance of the persisted IVF×PQ index
     (``operators.ann_index``): each micro-batch encodes its vectors
@@ -1121,7 +1173,7 @@ def stream_index_ivfpq(
     from bigdata_etl_customer360_spark.operators.ann_index import (
         ivfpq_index_append,
     )
-    from bigdata_etl_customer360_spark.sources.bucketed import _dir_has_data
+    from bigdata_etl_customer360_spark.sources.bucketed import _lake_has_history
 
     spark = stream_df.sparkSession
 
@@ -1129,7 +1181,7 @@ def stream_index_ivfpq(
         if batch_df.isEmpty():
             return
         if not spark.catalog.tableExists(table):
-            if _dir_has_data(path):
+            if _lake_has_history(path):
                 raise RuntimeError(
                     f"index lake table {table!r} is not in the session "
                     f"catalog but {path!r} already holds data — appending "
@@ -1144,6 +1196,15 @@ def stream_index_ivfpq(
                 "against the frozen model, it never fits one."
             )
         ivfpq_index_append(spark, batch_df, table, path, id_col, vec_col)
+        if compact_files_over is not None:
+            # opt-in lake self-maintenance (single writer between
+            # batches — the compaction requirement); the frozen model
+            # directory is untouched, only the codes lake rewrites
+            from bigdata_etl_customer360_spark.sources.bucketed import (
+                maybe_compact_lake,
+            )
+
+            maybe_compact_lake(spark, table, path, compact_files_over)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -809,6 +809,54 @@ def test_compact_lake(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_fold_guard_detects_mid_swap_crash(spark, tmp_path):
+    """A crash INSIDE the rebucket/compact swap window parks the whole
+    history at ``path._old`` with ``path`` gone; a fresh session's fold
+    must refuse the first-write branch (before this guard it silently
+    overwrote ``path`` and orphaned the history), and re-running the
+    maintenance pass recovers from ._old."""
+    import os
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        rebucket_seen_lake,
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    table = "seen_lake_midswap_t"
+    path = str(tmp_path / "seen_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        seen_fold_bucketed(
+            spark, table, doc_fingerprints(docs.filter(F.col("doc_id") % 2 == 0)),
+            buckets=4, path=path,
+        )
+        before = sorted(r["fp"] for r in spark.table(table).collect())
+        # simulate the mid-swap crash + fresh session
+        spark.sql(f"DROP TABLE {table}")
+        os.rename(path, path + "._old")
+        with pytest.raises(RuntimeError, match="mid-swap"):
+            seen_fold_bucketed(
+                spark, table,
+                doc_fingerprints(docs.filter(F.col("doc_id") % 3 == 0)),
+                buckets=4, path=path,
+            )
+        # the maintenance pass recovers ._old and the lake folds again
+        rebucket_seen_lake(spark, table, path, buckets=4)
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == before
+        seen_fold_bucketed(
+            spark, table,
+            doc_fingerprints(docs.filter(F.col("doc_id") % 3 == 0)),
+            buckets=4, path=path,
+        )
+        lake = spark.table(table)
+        assert lake.count() == lake.distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_lake_refuses_sorted_tables(spark, tmp_path):
     """A sort-within-bucket spec would be silently dropped by the
     compaction rewrite — refuse instead (no lake in this repo sorts, but

@@ -1266,6 +1266,93 @@ def test_stream_dedup_incremental_bucketed_equals_batch_fold(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_stream_dedup_incremental_bucketed_auto_compaction(spark, tmp_path):
+    """compact_files_over: the maintainer self-compacts its seen lake
+    after a fold once the data-file count exceeds the threshold — file
+    counts stay bounded across folds while survivors and the lake's
+    fingerprint set match the uncompacted invariants exactly; requires
+    an external seen_table_path."""
+    import pyspark.sql.functions as F
+
+    from bigdata_etl_customer360_spark.operators.dedup import (
+        dedup_exact,
+        doc_fingerprints,
+    )
+    from bigdata_etl_customer360_spark.streaming.windows import (
+        stream_dedup_incremental_bucketed,
+    )
+
+    def _n_files(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    src = tmp_path / "docs_src_ac"
+    src.mkdir()
+    table = "stream_seen_lake_ac_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    lake_path = str(tmp_path / "seen_lake_ac")
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        [(10, "alpha"), (11, "delta"), (12, "epsilon")],
+        [(20, "zeta"), (21, "beta"), (22, "eta")],
+        [(30, "theta"), (31, "iota"), (32, "gamma")],
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}.parquet"
+            _write_docs(str(p), rows)
+            t = time.time() + 5 * i
+            os.utime(p, (t, t))
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(
+                spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+            ),
+            table,
+            str(tmp_path / "survivors_ac"),
+            str(tmp_path / "ckpt_ac"),
+            buckets=4,
+            seen_table_path=lake_path,
+            compact_files_over=5,
+        )
+        # 4 folds at <= 4 files each would accrete well past the
+        # threshold without self-maintenance; the trigger keeps the
+        # count bounded by threshold + one fold's worth
+        assert 0 < _n_files(lake_path) <= 9
+        history = spark.createDataFrame(
+            [r for rows in batches for r in rows], DOC_SCHEMA
+        )
+        expected = sorted(
+            (r["doc_id"], r["text"]) for r in dedup_exact(history).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(str(tmp_path / "survivors_ac"))
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == expected
+        assert sorted(r["fp"] for r in spark.table(table).collect()) == sorted(
+            r["fp"] for r in doc_fingerprints(history).collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    with pytest.raises(ValueError, match="external seen_table_path"):
+        stream_dedup_incremental_bucketed(
+            stream_from_parquet(
+                spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+            ),
+            "stream_seen_lake_ac2_t",
+            str(tmp_path / "survivors_ac2"),
+            str(tmp_path / "ckpt_ac2"),
+            compact_files_over=5,
+        )
+
+
 def test_stream_dedup_incremental_bucketed_redelivery_after_fold_advance(
     spark, tmp_path
 ):

@@ -23,6 +23,15 @@ parallelism — that also keeps :func:`operators.util.fan_out` a no-op so
 the bucketing survives into the operators. The session catalog (in-memory
 here, a real metastore in production) carries the bucket metadata;
 reading the same parquet by PATH loses it.
+
+POINT LOOKUPS (e.g. "is this fingerprint seen?" against a 100 TB lake):
+a bucket-key equality filter can prune the scan to 1 of ``buckets``
+files — but Spark's ``DisableUnnecessaryBucketedScan`` rule drops the
+bucketed scan for a bare filter query (no join/agg wants the
+distribution), silently losing the pruning. Set
+``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` for the
+lookup and the scan shows ``SelectedBucketsCount: 1 out of N``
+(pinned by tests/test_plans.py::test_bucket_pruning_point_lookup).
 """
 
 from __future__ import annotations

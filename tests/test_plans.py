@@ -809,6 +809,47 @@ def test_compact_lake(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucket_pruning_point_lookup(spark, tmp_path):
+    """Point lookups on a bucketed lake prune to ONE bucket's files —
+    but only with autoBucketedScan disabled: Spark's
+    DisableUnnecessaryBucketedScan drops the bucketed scan for a bare
+    filter (no join/agg wants the distribution) and the pruning with it.
+    Pin both behaviors so the is-this-fp-seen pattern keeps its 1/N
+    scan (the module docstring's point-lookup guidance)."""
+    import re as _re
+
+    from bigdata_etl_customer360_spark.operators.dedup import doc_fingerprints
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        seen_fold_bucketed,
+    )
+    from bigdata_etl_customer360_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    table = "seen_lake_prune_t"
+    path = str(tmp_path / "seen_lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        seen_fold_bucketed(
+            spark, table, doc_fingerprints(docs), buckets=8, path=path
+        )
+        probe = spark.table(table).limit(1).collect()[0]["fp"]
+        lookup = lambda: spark.table(table).filter(F.col("fp") == probe)
+
+        # default: the planner drops the bucketed scan for a bare filter
+        assert "SelectedBucketsCount" not in plan_of(lookup())
+
+        spark.conf.set(conf, "false")
+        plan = plan_of(lookup())
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and m.group(1) == "1" and m.group(2) == "8", plan
+        assert [r["fp"] for r in lookup().collect()] == [probe]
+    finally:
+        spark.conf.set(conf, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_fold_guard_detects_mid_swap_crash(spark, tmp_path):
     """A crash INSIDE the rebucket/compact swap window parks the whole
     history at ``path._old`` with ``path`` gone; a fresh session's fold

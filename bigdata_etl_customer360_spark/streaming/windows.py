@@ -1157,18 +1157,21 @@ def stream_index_ivfpq(
     Delivery contract — simpler than the dedup maintainers ON PURPOSE:
     the lake is the ONLY output and it is a monotone id-keyed set, so
     the only-new anti-join (lake-side shuffle-free) makes every refold a
-    no-op. Redelivery after a crash, a recreated checkpoint replaying
-    old files, even two maintainers racing the same lake cannot
-    double-index an id or corrupt earlier rows — there is no
-    point-in-time derivative (survivor set, merged snapshot) whose
+    no-op. Redelivery after a crash and a recreated checkpoint replaying
+    old files cannot double-index an id or corrupt earlier rows — there
+    is no point-in-time derivative (survivor set, merged snapshot) whose
     correctness depends on WHEN the lake was read, hence no
     first-write-wins guard and no ``_QUERY_ID`` ownership stamp. The
-    flip side is silent id collision semantics: a vector whose id is
-    already indexed is SKIPPED, not updated (same as the batch append —
-    re-encoding a mutated document needs a new id or an explicit
-    rebuild). ``buckets`` evolves with ``sources.bucketed.rebucket_lake``
-    / ``compact_lake`` between drains; appends read the width from the
-    catalog.
+    SINGLE-WRITER assumption stays, same as every maintainer: two
+    writers racing the same lake could both anti-join before either
+    append lands and double-index an id (duplicate rows in search
+    results — not benign, unlike duplicate fingerprints in a seen
+    lake). The flip side is silent id collision semantics: a vector
+    whose id is already indexed is SKIPPED, not updated (same as the
+    batch append — re-encoding a mutated document needs a new id or an
+    explicit rebuild). ``buckets`` evolves with
+    ``sources.bucketed.rebucket_lake`` / ``compact_lake`` between
+    drains; appends read the width from the catalog.
     """
     from bigdata_etl_customer360_spark.operators.ann_index import (
         ivfpq_index_append,

@@ -18,7 +18,18 @@ This is the streaming closure of scripts/stress_seen_lake.py (which
 measures the same fold batch-side, without foreachBatch/checkpoint
 overhead): the numbers that justify porting the lake into the maintainer.
 
-Run: PYTHONPATH=/root/repo python scripts/stress_stream_bucketed.py
+SSB_COMPACT_OVER=<n> opts the bucketed variant into maintainer
+self-compaction (`compact_files_over`) — the late-r15 feature: file
+count bounded by the threshold + one fold, per-batch results still
+identical to the plain maintainer. Measured (late r15, same host
+back-to-back): without -> bucketed 21.9s / 78.2 MB shuffle / 384 lake
+files (6 ingesting batches x 64 aligned fold files; the 4 pure-re-crawl
+batches append nothing); with SSB_COMPACT_OVER=128 -> 21.2s / 104.9 MB
+/ 128 files — the compaction rewrites show up as shuffle, not wall, and
+bound the file count 3x with results identical.
+
+Run: PYTHONPATH=/root/repo [SSB_COMPACT_OVER=128] \
+    python scripts/stress_stream_bucketed.py
 """
 
 from __future__ import annotations
@@ -143,10 +154,21 @@ def main() -> None:
             f"{root}/ckpt_bkt",
             buckets=64,
             seen_table_path=f"{root}/seen_lake",
+            compact_files_over=(
+                int(os.environ["SSB_COMPACT_OVER"])
+                if "SSB_COMPACT_OVER" in os.environ
+                else None
+            ),
         )
         bucketed = {
             "wall_s": round(time.time() - t0, 1),
             "shuffle_mb": round((shuffle_write_bytes(spark) - s0) / 1e6, 1),
+            "lake_files": sum(
+                1
+                for _r, _d, fs in os.walk(f"{root}/seen_lake")
+                for f in fs
+                if not f.startswith(("_", "."))
+            ),
         }
 
         a = per_batch_stats(spark, f"{root}/survivors_plain")

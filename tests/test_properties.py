@@ -479,3 +479,71 @@ def test_dedup_incremental_fold_equals_one_pass(spark, texts, n_batches):
         seen = fps if seen is None else seen.unionByName(fps).distinct()
     one_pass = sorted(r["doc_id"] for r in dedup_exact(df).collect())
     assert sorted(got) == one_pass == sorted(want), (texts, n_batches)
+
+
+# --- lake maintenance invariance -------------------------------------------
+
+_lake_batches = st.lists(
+    st.lists(st.integers(0, 40), min_size=0, max_size=12),  # fp ids per batch
+    min_size=1,
+    max_size=4,
+)
+_lake_ops = st.lists(
+    st.sampled_from(["none", "compact", "rebucket"]), min_size=4, max_size=4
+)
+
+
+@given(_lake_batches, _lake_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lake_maintenance_preserves_set_semantics(
+    spark, tmp_path_factory, batches, ops
+):
+    """Any interleaving of folds with compact_lake / rebucket_lake passes
+    keeps the seen lake's SET semantics exactly: after every step the
+    lake equals the distinct union of everything folded so far, stays
+    duplicate-free (the only-new fold discipline), and a final anti-join
+    suppresses exactly the folded fingerprints — the layout passes may
+    change file counts and widths, never one row."""
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        compact_lake,
+        rebucket_seen_lake,
+        seen_fold_bucketed,
+    )
+
+    tmp = tmp_path_factory.mktemp("lake_prop")
+    table = "lake_prop_t"
+    path = str(tmp / "lake")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    folded: set[str] = set()
+    width = 4
+    try:
+        for i, batch in enumerate(batches):
+            fps = spark.createDataFrame(
+                [(f"fp{x:04d}",) for x in batch] or [(None,)], "fp string"
+            )
+            seen_fold_bucketed(spark, table, fps, buckets=width, path=path)
+            folded |= {f"fp{x:04d}" for x in batch}
+            op = ops[i % len(ops)]
+            if op == "compact" and folded:
+                compact_lake(spark, table, path)
+            elif op == "rebucket" and folded:
+                width *= 2
+                rebucket_seen_lake(spark, table, path, buckets=width)
+            got = sorted(r["fp"] for r in spark.table(table).collect())
+            assert got == sorted(folded), (i, op)
+        probe = spark.createDataFrame(
+            [(f"fp{x:04d}",) for x in range(45)], "fp string"
+        )
+        kept = {
+            r["fp"]
+            for r in probe.join(
+                spark.table(table), on="fp", how="left_anti"
+            ).collect()
+        }
+        assert kept == {f"fp{x:04d}" for x in range(45)} - folded
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

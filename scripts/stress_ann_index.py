@@ -8,7 +8,12 @@ anti-join), and measure:
     anti-join is lake-side shuffle-free);
   - search-from-index wall at the graded pruned config (nprobe=8,
     rerank=40) over the final 200k-row lake — the ADC pass reads only
-    (cell, codes) via parquet column pruning;
+    (cell, codes) via parquet column pruning. Its recall@5 vs brute is
+    also recorded (~0.2 at 200k vectors): the graded config's FIXED
+    nprobe/rerank capacity shrinks relative to a 40x corpus exactly as
+    the pq_recall/ivfpq_recall scale-stepped floors document — at
+    production scale those knobs grow with the corpus, and the
+    full-probe assertion below is what certifies the machinery;
   - EXACTNESS at 40x the graded corpus: full-probe + full-rerank
     search-from-index must equal cosine_topk_brute over the concatenated
     200k vectors (the ivfpq_from_index invariant — persisted model
@@ -156,6 +161,7 @@ def main() -> None:
         ).collect()
         pruned_s = round(time.time() - t0, 2)
         assert len(pruned) == N_QUERIES * 5
+        pruned_pairs = {(r["query_id"], r["neighbor_id"]) for r in pruned}
 
         t0 = time.time()
         full = sorted(
@@ -171,6 +177,7 @@ def main() -> None:
             ).collect())
         )
         assert full == brute, "full-probe search-from-index != brute force"
+        brute_pairs = {(q, n) for q, n, _ in brute}
         print(
             json.dumps(
                 {
@@ -179,6 +186,9 @@ def main() -> None:
                     "streamed_appends": streamed,
                     "per_append_wall_s": append_walls,
                     "search_pruned_s": pruned_s,
+                    "pruned_recall_at_5": round(
+                        len(pruned_pairs & brute_pairs) / len(brute_pairs), 3
+                    ),
                     "search_full_probe_s": full_s,
                     "full_probe_equals_brute": True,
                 }

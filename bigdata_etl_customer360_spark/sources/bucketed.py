@@ -30,7 +30,8 @@ files — but Spark's ``DisableUnnecessaryBucketedScan`` rule drops the
 bucketed scan for a bare filter query (no join/agg wants the
 distribution), silently losing the pruning. Set
 ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` for the
-lookup and the scan shows ``SelectedBucketsCount: 1 out of N``
+lookup — :func:`bucket_pruned_scans` scopes it — and the scan shows
+``SelectedBucketsCount: 1 out of N``
 (pinned by tests/test_plans.py::test_bucket_pruning_point_lookup).
 """
 
@@ -395,6 +396,33 @@ def rebucket_lake(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     register_lake(spark, table, path, columns, bucket_col, int(buckets))
+
+
+def bucket_pruned_scans(spark: SparkSession):
+    """Context manager enabling bucket pruning for point lookups: within
+    the block, a bucket-key equality filter scans ``SelectedBucketsCount:
+    1 out of N`` instead of every file (the module docstring's
+    is-this-fp-seen pattern). Spark's DisableUnnecessaryBucketedScan
+    otherwise drops the bucketed scan for a bare filter — and because
+    PHYSICAL PLANNING HAPPENS AT ACTION TIME, flipping the conf around
+    just the DataFrame construction does nothing: run the action (or
+    ``plan_of``/``explain``) inside the block. Restores the previous
+    setting on exit; session-scoped conf, so don't interleave with
+    concurrent queries that need auto-bucketed-scan disabling decisions
+    of their own."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = spark.conf.get(conf)
+        spark.conf.set(conf, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(conf, prev)
+
+    return _cm()
 
 
 def compact_lake(spark: SparkSession, table: str, path: str) -> None:

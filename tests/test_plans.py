@@ -828,6 +828,10 @@ def test_bucket_pruning_point_lookup(spark, tmp_path):
     table = "seen_lake_prune_t"
     path = str(tmp_path / "seen_lake")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from bigdata_etl_customer360_spark.sources.bucketed import (
+        bucket_pruned_scans,
+    )
+
     conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev = spark.conf.get(conf)
     try:
@@ -840,11 +844,12 @@ def test_bucket_pruning_point_lookup(spark, tmp_path):
         # default: the planner drops the bucketed scan for a bare filter
         assert "SelectedBucketsCount" not in plan_of(lookup())
 
-        spark.conf.set(conf, "false")
-        plan = plan_of(lookup())
-        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
-        assert m and m.group(1) == "1" and m.group(2) == "8", plan
-        assert [r["fp"] for r in lookup().collect()] == [probe]
+        with bucket_pruned_scans(spark):
+            plan = plan_of(lookup())
+            m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+            assert m and m.group(1) == "1" and m.group(2) == "8", plan
+            assert [r["fp"] for r in lookup().collect()] == [probe]
+        assert spark.conf.get(conf) == prev  # restored on exit
     finally:
         spark.conf.set(conf, prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")

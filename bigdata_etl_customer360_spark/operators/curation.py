@@ -503,9 +503,16 @@ def dedup_spans(
         # referenced, not copied per position), and compiled evaluation
         # beats the interpreted per-element HOF ~7x at 1.3M positions
         # (measured 4.4s -> 0.6s at sf0.1)
+        # fan_out BEFORE the explode: a single-row-group corpus plans as ONE
+        # partition and the ~L positions/doc explode+hash (the dominant
+        # stage) serializes on one core (r16 profile: 2x 2.2s single-task
+        # stages at sf0.1); at real scale the scan is already parallel and
+        # this no-ops (operators.util.fan_out contract)
         occ = (
-            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-            .filter(F.length(F.col("_t")) >= F.lit(w))
+            fan_out(
+                df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+                .filter(F.length(F.col("_t")) >= F.lit(w))
+            )
             .select(
                 "_id",
                 "_t",
@@ -541,9 +548,12 @@ def dedup_spans(
                 ).alias("h"),
             ),
         )
+        # same fan_out-before-explode rationale as char mode above
         occ = (
-            df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
-            .filter(F.size(F.col("_tk")) >= F.lit(w))
+            fan_out(
+                df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+                .filter(F.size(F.col("_tk")) >= F.lit(w))
+            )
             .select("_id", F.explode(sh).alias("_sh"))
             .select(
                 "_id", F.col("_sh.s").alias("_start"), F.col("_sh.h").alias("_h")
@@ -568,16 +578,6 @@ def dedup_spans(
             & (F.col("_start") == F.col("_first._start"))
         )
     )
-    covered = (
-        marked.select(
-            "_id",
-            F.explode(
-                F.sequence(F.col("_start"), F.col("_start") + F.lit(w - 1))
-            ).alias("_pos"),
-        )
-        .distinct()
-        .withColumn("_cov", F.lit(True))
-    )
     if unit == "char":
         # Only TOUCHED docs (any covered position — typically a few percent
         # of a crawl) pay reconstruction; everyone else passes the ORIGINAL
@@ -589,23 +589,35 @@ def dedup_spans(
         # (measured: full-row bench 6.8s -> ~1s at sf0.1).
         import pandas as pd
 
-        cov_arr = covered.groupBy("_id").agg(
-            F.collect_list("_pos").alias("_ps")  # order-free: splice uses a set
+        # ship duplicated-span STARTS, not exploded covered positions: the
+        # old shape multiplied every marked span into w position rows and
+        # paid a corpus-wide distinct to overlap-merge them; the splice can
+        # take the union of [start, start+w) intervals itself (a set union —
+        # identical covered set, identical n_removed = |union|), so the
+        # rebuild shuffle carries |marked| rows instead of w x |marked| and
+        # the distinct Exchange disappears (r16, guide §2.3 "shuffle keys
+        # and metadata instead of payloads")
+        cov_arr = marked.select("_id", "_start").groupBy("_id").agg(
+            F.collect_list("_start").alias("_ss")  # order-free: splice unions
         )
 
         def _splice(batches):
             for pdf in batches:
                 outs = []
-                for text, ps in zip(pdf["_text"], pdf["_ps"]):
-                    drop = set(int(x) for x in ps)
+                removed = []
+                for text, ss in zip(pdf["_text"], pdf["_ss"]):
+                    drop = set()
+                    for s in ss:
+                        drop.update(range(int(s), int(s) + w))
                     outs.append(
                         "".join(ch for i, ch in enumerate(text) if i not in drop)
                     )
+                    removed.append(len(drop))
                 yield pd.DataFrame(
                     {
                         "_id": pdf["_id"],
                         out_col: outs,
-                        removed_col: [len(x) for x in pdf["_ps"]],
+                        removed_col: removed,
                     }
                 )
 
@@ -630,6 +642,18 @@ def dedup_spans(
                 F.coalesce(F.col(removed_col), F.lit(0).cast("long")),
             )
         )
+    # token mode rebuilds by joining per-position coverage onto the
+    # posexploded token frame (char mode never materializes per-unit rows)
+    covered = (
+        marked.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(w - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
     kept = tokens.join(covered, on=["_id", "_pos"], how="left").withColumn(
         "_drop", F.coalesce(F.col("_cov"), F.lit(False))
     )

@@ -49,7 +49,7 @@ from bigdata_etl_customer360_spark.operators.similarity import (
     ivfpq_fit,
     quantize_expr,
 )
-from bigdata_etl_customer360_spark.operators.util import fan_out
+from bigdata_etl_customer360_spark.operators.util import ARROW_TASK_BYTES, fan_out
 from bigdata_etl_customer360_spark.sources.bucketed import (
     _dir_has_data,
     lake_create_or_append,
@@ -136,7 +136,7 @@ def _index_rows(
     m = model.qbook.shape[0]
     enc = _ivfpq_enc_udf(model.centroids, model.qbook, model.qbook_nsq)
     return (
-        fan_out(vecs)
+        fan_out(vecs, per_task_bytes=ARROW_TASK_BYTES)
         .select(
             F.col(id_col),
             enc(F.col(vec_col)).alias("_cc"),

@@ -21,7 +21,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_etl_customer360_spark.operators.util import fan_out, scoped_cache
+from bigdata_etl_customer360_spark.operators.util import (
+    ARROW_TASK_BYTES,
+    fan_out,
+    scoped_cache,
+)
 
 QUANT_SCALE = 1 << 20  # ~6 decimal digits of embedding precision
 
@@ -42,6 +46,14 @@ def _guard_query_side(queries: DataFrame, max_query_rows: int) -> DataFrame:
     re-running an arbitrarily expensive upstream plan twice. For corpus x
     corpus similarity use ``dedup.embedding_cosine_pairs`` (bucketed,
     nothing broadcast)."""
+    # memoized per DataFrame OBJECT (r16): the recall certificates run 2-3
+    # searches against the SAME query frame; plans are immutable, so the
+    # materialized probe is reusable — one localCheckpoint+count instead
+    # of one per entry-point call. Keyed on the threshold too (a stricter
+    # re-check must re-count).
+    cached = getattr(queries, "_c360_guard_probe", None)
+    if cached is not None and cached[0] == max_query_rows:
+        return cached[1]
     probe = queries.limit(max_query_rows + 1).localCheckpoint(eager=True)
     if probe.count() > max_query_rows:
         raise ValueError(
@@ -51,6 +63,7 @@ def _guard_query_side(queries: DataFrame, max_query_rows: int) -> DataFrame:
             "embedding_cosine_pairs (mode='lsh'), or raise "
             "max_query_rows explicitly if the executors can hold it."
         )
+    queries._c360_guard_probe = (max_query_rows, probe)
     return probe
 
 
@@ -184,7 +197,9 @@ def cosine_topk_lsh(
         )
 
     qb = with_buckets(queries, "query_id")
-    cb = with_buckets(fan_out(corpus), "neighbor_id")
+    cb = with_buckets(
+        fan_out(corpus, per_task_bytes=ARROW_TASK_BYTES), "neighbor_id"
+    )
     cand = qb.join(cb, on=["tbl", "sig"]).select("query_id", "neighbor_id")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -303,7 +318,7 @@ def cosine_topk_ivf(
     assign_udf = F.pandas_udf(lambda s: _cells(s, 1), ArrayType(IntegerType()))
     probe_udf = F.pandas_udf(lambda s: _cells(s, min(nprobe, ncent)), ArrayType(IntegerType()))
 
-    c_cells = scoped_cache(fan_out(corpus).select(
+    c_cells = scoped_cache(fan_out(corpus, per_task_bytes=ARROW_TASK_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
     ))
@@ -543,7 +558,9 @@ def kmeans_fit(
     S = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
     C = [list(map(float, v)) for v in _farthest_point_init(S, k, scale)]
 
-    base = fan_out(df.select(id_col, vec_col)).cache()
+    base = fan_out(
+        df.select(id_col, vec_col), per_task_bytes=ARROW_TASK_BYTES
+    ).cache()
     n_vecs_by_cluster: dict[int, int] = {}
     for _ in range(int(max_iterations)):
         assigned = kmeans_assign(
@@ -862,7 +879,7 @@ def pq_query_luts(
         )
 
     lut_udf = F.pandas_udf(_lut, ArrayType(ArrayType(LongType())))
-    return fan_out(queries).select(
+    return fan_out(queries, per_task_bytes=ARROW_TASK_BYTES).select(
         F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("_luts")
     )
 
@@ -923,7 +940,10 @@ def cosine_topk_pq(
     m, kc, sub = qbook.shape
 
     codes = scoped_cache(
-        pq_encode(fan_out(corpus), qbook, qbook_nsq, id_col, vec_col)
+        pq_encode(
+            fan_out(corpus, per_task_bytes=ARROW_TASK_BYTES),
+            qbook, qbook_nsq, id_col, vec_col,
+        )
         .withColumnRenamed(id_col, "neighbor_id")
     )
 
@@ -1120,7 +1140,7 @@ def _ivfpq_candidates(
     # an nprobe× broadcast inflation that matters exactly when the
     # distributed build lets |q| grow.
     per_q = scoped_cache(
-        fan_out(queries)
+        fan_out(queries, per_task_bytes=ARROW_TASK_BYTES)
         .select(F.col(id_col).alias("query_id"), qtabs(F.col(vec_col)).alias("_t"))
         .select(
             "query_id",
@@ -1234,7 +1254,7 @@ def cosine_topk_ivfpq(
 
     enc = _ivfpq_enc_udf(centroids, qbook, qbook_nsq)
     codes = scoped_cache(
-        fan_out(corpus)
+        fan_out(corpus, per_task_bytes=ARROW_TASK_BYTES)
         .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("_cc"))
         .select(
             "neighbor_id",

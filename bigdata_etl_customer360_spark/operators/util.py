@@ -88,7 +88,18 @@ def inline1(bound: Column, body: Callable[[Column], Column]) -> Column:
     return F.inline(F.transform(F.array(bound), body))
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+# Per-task input-byte target for ARROW/PANDAS-UDF stages (see fan_out's
+# per_task_bytes): enough work to dominate the ~0.2-0.35s Python-worker
+# round-trip floor, small enough that any real corpus still fans to full
+# cluster width.
+ARROW_TASK_BYTES = 8 << 20
+
+
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    per_task_bytes: int | None = None,
+) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster parallelism)
     before compute-heavy per-row work.
 
@@ -97,9 +108,31 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     cluster idles. The repartition shuffle costs far less than the skew it
     removes. No-op when the input is already parallel enough — at real
     scale (thousands of input splits) this never triggers.
+
+    ``per_task_bytes`` (r16, guide §4): for ARROW/PANDAS-UDF stages the
+    per-task cost floor is a Python-worker round trip (~0.2-0.35s measured
+    at local[32] regardless of rows), so fanning a tiny frame to cluster
+    width multiplies overhead instead of removing skew. When set, the
+    target is additionally capped at ``ceil(plan-estimated bytes /
+    per_task_bytes)`` — a KB-scale frame stays at 1 partition (and the
+    repartition exchange disappears entirely), while anything big enough
+    for the work to dominate still fans to full width (the estimate comes
+    from Catalyst plan stats; when unknown, Spark reports a huge sentinel
+    and the cap is a no-op — fail open to parallelism). JVM-only
+    projections should NOT pass it: their per-task floor is ~ms, so full
+    width is free insurance.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if per_task_bytes:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if 0 < est < (1 << 50):  # a real estimate, not the unknown sentinel
+                target = max(1, min(target, -(-est // int(per_task_bytes))))
+        except Exception:
+            pass  # stats unavailable -> keep full width
     # df.rdd converts the analyzed plan to an RDD on the driver to read its
     # partition count — pure planning (no job), milliseconds per call, and
     # the only public API that answers "how many partitions would this scan

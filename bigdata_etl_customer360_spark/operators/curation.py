@@ -751,36 +751,52 @@ def dsir_weights(
         return g.select(*cols, bucket)
 
     # per-doc bucket counts over the source pool (feeds the source model
-    # AND the per-doc fold — cache per the multi-consumer rule)
+    # AND the per-doc fold — cache per the multi-consumer rule).
+    # fan_out: the bigram explode + per-gram md5 is the dominant map work
+    # and a single-row-group corpus runs it on one core (r16)
     doc_counts = scoped_cache(
-        grams(df, with_id=True)
+        grams(fan_out(df), with_id=True)
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    src_model = doc_counts.groupBy("_b").agg(F.sum("_cnt").alias("_sc"))
     if target_ids is not None:
         # subset fast path: the target's bucket counts are already inside
-        # the cached per-doc counts — no second corpus scan
-        tgt_model = (
-            doc_counts.join(
-                target_ids.select(F.col(id_col)).distinct(), id_col, "semi"
-            )
-            .groupBy("_b")
-            .agg(F.sum("_cnt").alias("_tc"))
+        # the cached per-doc counts — no second corpus scan. BOTH models
+        # come from ONE aggregation pass (r16): a left join marks target
+        # docs and a conditional sum splits the counts — same exact
+        # integers as the old src-agg + semi-join-agg pair, one shuffle
+        # and one job instead of two branch aggregates.
+        marked = doc_counts.join(
+            F.broadcast(
+                target_ids.select(F.col(id_col)).distinct()
+                .withColumn("_is_t", F.lit(1))
+            ),
+            id_col,
+            "left",
+        )
+        models = marked.groupBy("_b").agg(
+            F.sum("_cnt").alias("_sc"),
+            F.sum(F.when(F.col("_is_t") == 1, F.col("_cnt"))).alias("_tc"),
         )
     else:
+        src_model = doc_counts.groupBy("_b").agg(F.sum("_cnt").alias("_sc"))
         tgt_model = grams(target, with_id=False).groupBy("_b").agg(
             F.count(F.lit(1)).alias("_tc")
         )
-    src_tot = src_model.agg(F.sum("_sc").alias("_S"))
-    tgt_tot = tgt_model.agg(F.sum("_tc").alias("_T"))
-    # dense bucket table 0..nb-1 (unseen buckets still carry smoothing mass)
+        models = src_model.join(tgt_model, "_b", "full")
+    # dense bucket table 0..nb-1 (unseen buckets still carry smoothing
+    # mass); corpus totals fold as unpartitioned window sums over the
+    # <= nb model rows (exact longs, order-independent) instead of two
+    # 1-row aggregate branches broadcast separately (r16: -2 jobs,
+    # -2 broadcast exchanges; the window's single task sees nb rows)
     buckets = df.sparkSession.range(nb).select(F.col("id").alias("_b"))
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ratio = (
-        buckets.join(F.broadcast(src_model), "_b", "left")
-        .join(F.broadcast(tgt_model), "_b", "left")
-        .join(F.broadcast(src_tot))
-        .join(F.broadcast(tgt_tot))
+        buckets.join(F.broadcast(models), "_b", "left")
+        .withColumn("_S", F.sum("_sc").over(w_all))
+        .withColumn("_T", F.sum("_tc").over(w_all))
         .select(
             "_b",
             (

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_etl_customer360_spark.operators.util import fan_out, let1, scoped_cache
+from bigdata_etl_customer360_spark.operators.util import (
+    fan_out,
+    let1,
+    local_df,
+    scoped_cache,
+)
 
 def norm_tokens_expr(col: str) -> Column:
     """Case-folded whitespace tokens — near-dup semantics treat case and
@@ -658,9 +663,10 @@ def embedding_cosine_pairs(
     # B(B+1)/2 block-pair skeleton — a driver-side constant, NOT a cross
     # join (keeps plans cartesian-free); the equi-join against it
     # replicates each row into its ~B block pairs.
-    skel = spark.createDataFrame(
+    skel = local_df(
+        spark,
         [(a, b) for a in range(num_blocks) for b in range(a, num_blocks)],
-        schema="ba int, bb int",
+        "ba int, bb int",
     )
     ql, qr = qz.alias("ql"), qz.alias("qr")
     sl, sr = skel.alias("sl"), skel.alias("sr")

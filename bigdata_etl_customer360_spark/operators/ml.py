@@ -455,6 +455,11 @@ def gbt_stumps(
         nr = (F.col("_nt") - F.col("_nl")).cast(_DEC)
         num = sl * sl * nr + sr * sr * nl
         den = nl * nr
+        # the winner row already carries its exact side sums: _sl/_nl are
+        # the value-prefix DECIMAL residual sum / count for rows with
+        # feature <= v (exactly the old per-round `sides` conditional
+        # aggregate — same integers from the same exact decimal fold), so
+        # the extra full-frame pass per round is pure recomputation (r16)
         best = (
             p.filter(num * F.col("_nt").cast(_DEC) > st * st * den)
             .orderBy(
@@ -467,19 +472,15 @@ def gbt_stumps(
         )
         if not best:
             break
-        bf, bv = best[0]["_f"], best[0]["_v"]
+        row = best[0]
+        bf, bv = row["_f"], row["_v"]
         side = F.col(bf) <= F.lit(bv).cast(feature_decimal)
-        sides = cur.agg(
-            F.sum(F.when(side, F.col("_r"))).cast(_DEC).alias("_sl"),
-            F.count(F.when(side, F.lit(1))).alias("_nl"),
-            F.sum(F.when(~side, F.col("_r"))).cast(_DEC).alias("_sr"),
-            F.count(F.when(~side, F.lit(1))).alias("_nr"),
-        ).first()
-        gl = _rhu(int(sides["_sl"]), int(sides["_nl"]))
-        gr = _rhu(int(sides["_sr"]), int(sides["_nr"]))
-        model.append(
-            (t, bf, float(bv), gl, gr, int(sides["_nl"]), int(sides["_nr"]))
-        )
+        nl_w, nr_w = int(row["_nl"]), int(row["_nt"]) - int(row["_nl"])
+        sl_w = int(row["_sl"])
+        sr_w = int(row["_st"]) - sl_w
+        gl = _rhu(sl_w, nl_w)
+        gr = _rhu(sr_w, nr_w)
+        model.append((t, bf, float(bv), gl, gr, nl_w, nr_w))
         cur = cur.withColumn(
             "_r",
             (
@@ -487,4 +488,6 @@ def gbt_stumps(
                 - F.when(side, F.lit(gl)).otherwise(F.lit(gr))
             ).cast("long"),
         )
-    return spark.createDataFrame(model, schema)
+    from bigdata_etl_customer360_spark.operators.util import local_df
+
+    return local_df(spark, model, schema)

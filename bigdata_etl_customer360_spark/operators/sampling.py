@@ -119,9 +119,12 @@ def mixture_sample(
     if any(not v > 0 for v in weights.values()):
         raise ValueError("mixture weights must be > 0 (omit a domain to drop it)")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    from bigdata_etl_customer360_spark.operators.util import local_df
+
+    wdf = local_df(
+        spark,
         [(str(k), float(v)) for k, v in weights.items()],
-        schema=f"{domain_col} string, _w double",
+        f"{domain_col} string, _w double",
     )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
     # LEFT join from the weights (counts side broadcast — it is already a

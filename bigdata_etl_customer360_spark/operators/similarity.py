@@ -582,8 +582,10 @@ def kmeans_fit(
         for ci in range(len(C))
         for di in range(len(C[ci]))
     ]
-    return spark.createDataFrame(
-        out, "cluster int, dim int, centroid double, n_vecs long"
+    from bigdata_etl_customer360_spark.operators.util import local_df
+
+    return local_df(
+        spark, out, "cluster int, dim int, centroid double, n_vecs long"
     )
 
 

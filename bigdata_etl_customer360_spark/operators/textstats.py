@@ -1018,7 +1018,9 @@ def bpe_train(
             int(num_merges),
             int(min_pair_count),
         )
-        return spark.createDataFrame(merges, out_schema)
+        from bigdata_etl_customer360_spark.operators.util import local_df
+
+        return local_df(spark, merges, out_schema)
     # size the frame to the vocab: an iterative loop pays per-partition
     # task overhead EVERY round x every job; ~100k words per partition
     # keeps one partition here and still parallelizes a crawl-scale vocab
@@ -1540,7 +1542,9 @@ def unigram_lm_train(
     out = sorted(
         (p, round(math.log(v), 8)) for p, v in probs.items()
     )
-    return spark.createDataFrame(out, out_schema)
+    from bigdata_etl_customer360_spark.operators.util import local_df
+
+    return local_df(spark, out, out_schema)
 
 
 def unigram_encode(

@@ -95,6 +95,48 @@ def inline1(bound: Column, body: Callable[[Column], Column]) -> Column:
 ARROW_TASK_BYTES = 8 << 20
 
 
+def local_df(spark, rows, schema) -> DataFrame:
+    """Lift a small driver-side row list to a DataFrame via ARROW.
+
+    ``createDataFrame(list)`` backs the frame with a pickled-row RDD
+    split into defaultParallelism slices: EVERY downstream action pays
+    one Python-worker round trip per slice (~0.3s x 32 empty tasks at
+    local[32] for a 3-row model frame, re-paid on every evaluation).
+    The Arrow path ships the rows as record batches once; evaluation
+    stays JVM-side. Values are carried exactly (int64/float64/string;
+    None -> null); on any conversion surprise (exotic types, nested
+    rows) it falls back to the plain path — correctness first.
+    The conf is toggled and restored so vanilla sessions work
+    (the graph._collect_pairs discipline).
+    """
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        sch = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        names = [f.name for f in sch.fields]
+        if not rows:
+            return spark.createDataFrame([], sch)
+        pdf = pd.DataFrame(
+            {n: [r[i] for r in rows] for i, n in enumerate(names)},
+            dtype="object",
+        )
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            return spark.createDataFrame(pdf, schema=sch)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def fan_out(
     df: DataFrame,
     min_partitions: int | None = None,

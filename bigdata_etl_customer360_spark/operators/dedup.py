@@ -991,9 +991,14 @@ def fuzzy_pairs_edit(
     """
     if max_distance not in (1, 2):
         raise ValueError(f"max_distance must be 1 or 2, got {max_distance!r}")
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_s")
-    ).filter(F.col("_s").isNotNull())
+    # fan_out: the ~len^d-variant explode + per-variant hash is the
+    # dominant map work and a single-row-group input runs it (and the
+    # join's exchange map side) on one core (r16; the family-wide rule —
+    # this was the one posting-list builder without it)
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
+        .filter(F.col("_s").isNotNull())
+    )
     posts = scoped_cache(
         base.select(
             "_id",

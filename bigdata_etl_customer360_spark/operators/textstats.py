@@ -709,13 +709,23 @@ def ngram_lm_score(
     broadcastable — this is the one shuffle join) and V rides a 1-row
     broadcast. Cost linear in token volume; no UDFs.
     """
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
     grams = word_bigrams_expr(text_col)
+    # fan_out: the bigram explode is the dominant map work and a
+    # single-row-group corpus runs it on one core (r16)
     doc_counts = scoped_cache(
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    model = doc_counts.groupBy("_g").agg(F.sum("_cnt").alias("_c12"))
+    # cached: the model aggregate feeds BOTH the prefix-count branch and
+    # the scoring join — uncached it was computed once per consumer
+    # (r16 profile: the same 0.7MB agg shuffled twice per run)
+    model = scoped_cache(
+        doc_counts.groupBy("_g").agg(F.sum("_cnt").alias("_c12"))
+    )
     prefix = (
         model.withColumn("_w1", F.substring_index(F.col("_g"), " ", 1))
         .groupBy("_w1")

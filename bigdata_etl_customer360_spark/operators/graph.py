@@ -122,6 +122,65 @@ def connected_components(
     ).cache()
     n_edges = e.count()
 
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    if (
+        0 < n_edges <= _LINK_LOCAL_EDGE_CAP
+        and round_log is None
+        and isinstance(
+            e.schema["_u"].dataType, (LongType, IntegerType, ShortType)
+        )
+    ):
+        # small-graph local mode (r16 — the _LINK_LOCAL_EDGE_CAP pattern;
+        # see the cap's comment block): component = min node id in the
+        # component is a UNIQUE integer fixed point, so a driver-side
+        # numpy min-label propagation (with pointer jumping) over the
+        # collected edge list is EXACTLY the distributed answer — no
+        # float caveat (the k_core/core_numbers class, not pagerank's).
+        # Numeric ids only: the min over STRING ids would need numpy and
+        # Spark to agree on collation; those callers keep the loop.
+        # round_log callers also keep the loop (they want per-round
+        # observability, not the answer faster).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
+        try:
+            sarr, darr = _collect_pairs(e)
+            id_type = e.schema["_u"].dataType
+        finally:
+            e.unpersist()
+        # drop self-loops BEFORE indexing: the distributed path's sym
+        # filter means a node with ONLY self-loop edges is absent from
+        # the output — the local node universe must match
+        mask = sarr != darr
+        ids, su, dv = _edge_index(sarr[mask], darr[mask])
+        n = len(ids)
+        lbl = np.arange(n, dtype="int64")
+        while True:
+            prev = lbl.copy()
+            np.minimum.at(lbl, su, lbl[dv])
+            np.minimum.at(lbl, dv, lbl[su])
+            while True:  # pointer jumping: label(label)
+                nxt = lbl[lbl]
+                if np.array_equal(nxt, lbl):
+                    break
+                lbl = nxt
+            if np.array_equal(lbl, prev):
+                break
+        # codes are sorted-unique (== numeric id order), so the min CODE
+        # in a component indexes the min ID
+        return _local_result_df(
+            edges.sparkSession,
+            pd.DataFrame({out_id: ids, out_component: ids[lbl]}),
+            StructType(
+                [
+                    StructField(out_id, id_type),
+                    StructField(out_component, id_type),
+                ]
+            ),
+        )
+
     # decimal(38,0): node ids are arbitrary longs — a long sum could wrap
     # silently and fake (or miss) convergence
     def _lblsum(frame: DataFrame) -> int:

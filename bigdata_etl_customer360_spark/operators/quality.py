@@ -275,7 +275,12 @@ def corr_matrix(
     for c in cols:
         p = F.col(c).isNotNull()
         pred = p if pred is None else (pred & p)
-    clean = df.filter(pred)
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    # fan_out: the exact-decimal moment accumulation is the dominant map
+    # work and a single-row-group scan runs it 1-3-way (r16; decimal sums
+    # are order-independent, so the repartition cannot move a bit)
+    clean = fan_out(df.filter(pred))
     # aliases are POSITIONAL (_s_0, _p_0_1) — name-derived aliases collide
     # for snake_case columns ("a","b_c" vs "a_b","c" both make _p_a_b_c)
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -502,7 +507,12 @@ def standardize(
         aggs.append(F.count(xd).alias(f"_sn_{i}"))
         aggs.append(F.sum(xd).alias(f"_ss_{i}"))
         aggs.append(F.sum((xd * xd).cast(dec_prod)).alias(f"_sq_{i}"))
-    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    # fan_out ONLY the aggregate's input (r16, the corr_matrix
+    # rationale); the row side below stays at the caller's partitioning
+    agg_in = fan_out(df)
+    stats = agg_in.groupBy(*keys).agg(*aggs) if keys else agg_in.agg(*aggs)
     joined = (
         df.join(F.broadcast(stats), on=keys)
         if keys
@@ -835,10 +845,16 @@ def ridge_fit2(
     x1 = F.col(x1_col).cast(dec_in)
     x2 = F.col(x2_col).cast(dec_in)
     y = F.col(y_col).cast(dec_in)
-    clean = df.filter(
-        F.col(x1_col).isNotNull()
-        & F.col(x2_col).isNotNull()
-        & F.col(y_col).isNotNull()
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    # fan_out before the moment aggregate (r16, the corr_matrix
+    # rationale; measured 1.55s -> 1.05s at sf0.1, results identical)
+    clean = fan_out(
+        df.filter(
+            F.col(x1_col).isNotNull()
+            & F.col(x2_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
     )
     g = clean.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -918,7 +934,12 @@ def linear_trend(
     """
     dec_in = f"decimal(18,{scale})"
     dec_prod = f"decimal(38,{2 * scale})"
-    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    from bigdata_etl_customer360_spark.operators.util import fan_out
+
+    # fan_out before the moment aggregate (r16, the corr_matrix rationale)
+    clean = fan_out(
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    )
     x = F.col(x_col).cast(dec_in)
     y = F.col(y_col).cast(dec_in)
     g = clean.groupBy(*[F.col(k) for k in keys]).agg(

@@ -4366,13 +4366,18 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
     # no-ops at real scale where the scan is already parallel
     li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    # distinct on the INTEGER key pair BEFORE tagging (r16, guide §2.3
+    # narrower types): the dedup shuffle carries 16-byte rows instead of
+    # tagged strings, and the tag concat runs once per DISTINCT edge —
+    # identical edge set
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
         )
-        .distinct()
     )
     res = hits(edges, iterations=6)
     node_id = F.substring(F.col("id"), 3, 30).cast("long")

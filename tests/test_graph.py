@@ -646,3 +646,40 @@ def test_kcore_trio_local_mode_matches_distributed(spark, monkeypatch):
     assert [i for i, _ in kc] == [1, 2, 3, 4]  # K4 is the 3-core
     assert dict(cn)[5] == 1 and dict(cn)[6] == 2  # pendant 1, triangle 2
     assert dict(lp)[9] == 9  # self-loop-only node keeps its own label
+
+
+def test_cc_local_mode_matches_distributed(spark, monkeypatch):
+    """r16: connected_components' small-graph local mode (numpy min-label
+    propagation) must equal the distributed loop EXACTLY — component ids
+    are a unique integer fixed point. Covers self-loop-only nodes
+    (absent from BOTH paths), duplicate edges, and multiple components;
+    round_log callers must keep the distributed loop. (String ids would
+    keep it too via the numeric-id gate, but the distributed loop's
+    decimal label-sum convergence probe never supported strings — every
+    real caller clusters numeric doc ids.)"""
+    import bigdata_etl_customer360_spark.operators.graph as g
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3, clique 10-11-12, self-loop-only 99, dup edge 2-3
+        [(3, 2), (2, 1), (10, 11), (11, 12), (12, 10), (99, 99), (2, 3)],
+        "id_a LONG, id_b LONG",
+    )
+
+    def run():
+        return sorted(map(tuple, g.connected_components(edges).collect()))
+
+    local = run()
+    monkeypatch.setattr(g, "_LINK_LOCAL_EDGE_CAP", 0)
+    dist = run()
+    assert local == dist
+    comp = dict(local)
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert 99 not in comp  # self-loop-only: absent on both paths
+    monkeypatch.undo()
+
+    # round_log callers keep the distributed loop (per-round observability)
+    log: list[int] = []
+    out = sorted(
+        map(tuple, g.connected_components(edges, round_log=log).collect())
+    )
+    assert out == local and len(log) >= 1

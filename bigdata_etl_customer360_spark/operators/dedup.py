@@ -1092,22 +1092,29 @@ def jaccard_pairs_prefix(
     plen = F.col("_sz") - ((F.col("_sz") * t_num + t_den - 1) / t_den).cast(
         "int"
     ) + F.lit(1)
+    # cached: feeds the posting explode below AND the two array
+    # join-backs after candidate dedup (r16)
+    ordered = scoped_cache(ordered)
+    # the posting rows carry ONLY (id, sz, prefix-hash) — the full
+    # shingle ARRAY used to ride the candidate join once per prefix
+    # token (O((1-t)·Σ|x|²) shuffle bytes); it now joins back onto the
+    # DEDUPED candidate pairs instead (r16, guide §2.3 "shuffle keys and
+    # metadata instead of payloads" — candidates ≪ posting-array bytes)
     posts = scoped_cache(
         ordered.filter(F.col("_sz") >= 1)
-        .select("_id", "_sz", "_arr", F.explode(F.slice("_arr", 1, plen)).alias("_p"))
+        .select("_id", "_sz", F.explode(F.slice("_arr", 1, plen)).alias("_p"))
     )
     a = posts.select(
         F.col("_p"),
         F.col("_id").alias("id_a"),
         F.col("_sz").alias("_sa"),
-        F.col("_arr").alias("_aa"),
     )
     b = posts.select(
         F.col("_p"),
         F.col("_id").alias("id_b"),
         F.col("_sz").alias("_sb"),
-        F.col("_arr").alias("_ab"),
     )
+    arrs = ordered.select("_id", "_arr")
     cand = (
         a.join(b, "_p")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1115,8 +1122,16 @@ def jaccard_pairs_prefix(
             F.least(F.col("_sa"), F.col("_sb")) * F.lit(t_den)
             >= F.greatest(F.col("_sa"), F.col("_sb")) * F.lit(t_num)
         )
-        .select("id_a", "id_b", "_sa", "_sb", "_aa", "_ab")
+        .select("id_a", "id_b", "_sa", "_sb")
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_aa")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_ab")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("_aa", "_ab"))
     union = F.col("_sa") + F.col("_sb") - F.col("_inter")

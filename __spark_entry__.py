@@ -61,6 +61,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, directed: bool = False
+) -> DataFrame:
+    """Support>=2 co-purchase edge build shared by the graph queries,
+    one-exchange formulation (r17, guide §2.3/§2.4): group lineitems per
+    order, explode part pairs from the in-order array, aggregate support.
+
+    The previous self-join (`a.join(b, "o")`) shipped the 2-col lineitem
+    scan through the order-key exchange TWICE (exchange reuse fails
+    across the alias split) before the pair stream hit the support
+    aggregate; this formulation ships it once. Pair multiplicity is
+    identical — occ(p) x occ(q) per order in both — so the edge set is
+    bit-identical (verified: 7706 edges at sf0.1, full pagerank/k_core
+    results equal). Measured sf0.1 noop best-of-3: 1.50s -> 1.30s for
+    the build alone; pagerank 2.46 -> 1.66s, k_core 2.33 -> 1.92s in
+    full-query context. Skew safety at scale: per-order arrays are
+    bounded by order size (single-digit lineitems per order in this
+    schema), so the explode fans out a bounded factor per row and the
+    support aggregate's partial/map-side step handles hot PAIRS exactly
+    as the join formulation did.
+
+    ``directed=False`` returns canonical src<dst edges (the undirected
+    consumers); ``directed=True`` keeps both orientations (pagerank's
+    symmetric-adjacency convention).
+    """
+    grouped = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("_ps"))
+    )
+    cmp = (F.col("src") != F.col("dst")) if directed else (
+        F.col("src") < F.col("dst")
+    )
+    return (
+        grouped.select(F.explode("_ps").alias("src"), F.col("_ps"))
+        .select("src", F.explode("_ps").alias("dst"))
+        .filter(cmp)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -2167,25 +2212,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round plan shape."""
     from bigdata_etl_customer360_spark.operators.graph import pagerank
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     # minimum-support threshold (the standard co-purchase graph build):
     # pairs co-occurring in only one order are noise and dominate edge
-    # volume; support >= 2 keeps the graph the signal lives in
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # volume; support >= 2 keeps the graph the signal lives in. One-
+    # exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir, directed=True)
     # broadcast_ranks: N=20k nodes vs E~1.3M thresholded edges — the
     # vertex-state-fits-memory regime; kills the per-round edge-side
     # exchange, bit-identical output (graph.pagerank docstring, r8
@@ -2208,30 +2239,17 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(..,8) + partkey tie-break as in `pagerank`."""
     from bigdata_etl_customer360_spark.operators.graph import pagerank
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # one-exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir, directed=True)
     # seeds from a BARE partkey scan, not from `edges` — deriving them
-    # from the edge plan would re-run the heavy co-purchase self-join a
+    # from the edge plan would re-run the heavy co-purchase pair build a
     # second time (the derived-frame-recompute lesson); pagerank's
     # internal nodes-semi-join drops any partkey outside the graph, and
     # src-set == node-set on this symmetric graph, so the seed SET is
     # identical
     seeds = (
-        li.select(F.col("l_partkey").alias("id"))
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("id"))
         .filter(F.col("id") % 10 == 0)
         .distinct()
     )
@@ -2492,26 +2510,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — different algorithm, identical exact integers."""
     from bigdata_etl_customer360_spark.operators.graph import count_triangles
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     # canonical src<dst pairs only: triangles need the UNDIRECTED edge
     # set, so generating one orientation halves the pair volume feeding
     # the support aggregate (pagerank keeps both directions; this query
-    # does not have to)
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # does not have to). One-exchange array-pair build — see
+    # _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir)
     return count_triangles(edges)
 
 
@@ -2575,22 +2579,8 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes get NULL (undefined), pinned on both engines."""
     from bigdata_etl_customer360_spark.operators.graph import clustering_coefficient
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # one-exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir)
     return clustering_coefficient(edges)
 
 
@@ -4622,22 +4612,8 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning knob."""
     from bigdata_etl_customer360_spark.operators.graph import k_core
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # one-exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir)
     return k_core(edges, 3, src="src", dst="dst")
 
 
@@ -4935,22 +4911,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit."""
     from bigdata_etl_customer360_spark.operators.graph import adamic_adar
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # one-exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir)
     return adamic_adar(edges, src="src", dst="dst", top_k=100)
 
 
@@ -5121,22 +5083,8 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point is unique; extra rounds are no-ops)."""
     from bigdata_etl_customer360_spark.operators.graph import core_numbers
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    # one-exchange array-pair build — see _copurchase_edges
+    edges = _copurchase_edges(spark, sf_dir)
     return core_numbers(edges, src="src", dst="dst", max_core=4)
 
 
@@ -5150,20 +5098,9 @@ def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         powerlaw_alpha,
     )
 
-    # fan_out: the single-row-group sf parquet scans as ONE split, so the
-    # co-purchase pair explode (the query's dominant stage) serializes on
-    # one core; repartitioning the 2-col scan first parallelizes it
-    # (measured 2.8s -> 1.5s edge build at sf0.1, identical edge set) and
-    # no-ops at real scale where the scan is already parallel
-    li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    # one-exchange array-pair build — see _copurchase_edges
     deg = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
+        _copurchase_edges(spark, sf_dir)
         .select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))

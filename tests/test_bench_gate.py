@@ -61,8 +61,15 @@ def test_driver_artifact_completes_from_committed_full():
 
     if not _git_ok():
         pytest.skip("git unavailable")
+    # only numeric round artifacts — the driver also drops auxiliary
+    # names like BENCH_r16_c8.json (the 8-core scaling run), which are
+    # not candidates (the same skip bench_gate itself applies)
     drivers = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if re.search(r"r(\d+)\.json$", p)
+        ),
         key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
     )
     if not drivers:

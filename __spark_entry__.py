@@ -3265,8 +3265,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, seen, id_col="doc_id", seen_is_distinct=True
         )
         outs.append(survivors)
-        fps = doc_fingerprints(survivors)
-        seen = fps if seen is None else seen.unionByName(fps).distinct()
+        # assume_distinct + no union-distinct (r17): survivors carry one
+        # row per fp (dedup_exact keep-min-id) and each later batch's fps
+        # are anti-joined against `seen`, so the folded union is a union
+        # of DISJOINT distinct sets — both distincts were full agg passes
+        # re-evaluated inside every later batch's lazy plan
+        fps = doc_fingerprints(survivors, assume_distinct=True)
+        seen = fps if seen is None else seen.unionByName(fps)
     u = outs[0]
     for o in outs[1:]:
         u = u.unionByName(o)
@@ -3334,14 +3339,19 @@ def q_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, seen, id_col="doc_id", seen_is_distinct=True
         )
         survivors.write.parquet(os.path.join(root, f"batch={b}"))
+        # assume_distinct/fps_is_distinct (r17): survivors are one row
+        # per fp by construction, so both fold-side distincts were
+        # wasted full-batch agg passes (the seen_is_distinct twin)
         seen_fold_bucketed(
             spark,
             table,
             doc_fingerprints(
-                spark.read.parquet(os.path.join(root, f"batch={b}"))
+                spark.read.parquet(os.path.join(root, f"batch={b}")),
+                assume_distinct=True,
             ),
             buckets=32,
             path=os.path.join(root, "seen_lake"),
+            fps_is_distinct=True,
         )
     return spark.read.parquet(
         *(os.path.join(root, f"batch={b}") for b in range(3))

@@ -858,13 +858,24 @@ def doc_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     out_col: str = "fp",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """The seen-set schema for incremental dedup: one row per DISTINCT
     normalized-text md5 fingerprint (same normalization as
     :func:`dedup_exact`, so batch and incremental dedup agree on what
     "the same document" means). Persist this tiny frame between ingest
-    runs — it is the only history :func:`dedup_incremental` needs."""
-    return df.select(text_fingerprint(text_col).alias(out_col)).distinct()
+    runs — it is the only history :func:`dedup_incremental` needs.
+
+    ``assume_distinct``: :func:`dedup_incremental` survivors carry one
+    row per fingerprint BY CONSTRUCTION (dedup_exact's keep-min-id agg),
+    so the maintainers' fold inputs are already distinct and the
+    ``distinct()`` here is a wasted full agg + exchange per batch (r17,
+    the seen_is_distinct twin). Pass ``True`` only when the caller owns
+    that invariant; the result is identical either way — downstream
+    consumers are anti-joins (duplicate-insensitive) and the bucketed
+    fold re-distincts foreign inputs itself."""
+    fps = df.select(text_fingerprint(text_col).alias(out_col))
+    return fps if assume_distinct else fps.distinct()
 
 
 def dedup_incremental(

@@ -100,10 +100,18 @@ def seen_fold_bucketed(
     buckets: int = 32,
     path: str | None = None,
     fp_col: str = "fp",
+    fps_is_distinct: bool = False,
 ) -> None:
     """Fold a batch's fingerprints into a seen-set LAKE stored as an
     ``fp``-bucketed table — the 100 TB shape of incremental dedup's
     accumulated history (``operators.dedup.doc_fingerprints``).
+
+    ``fps_is_distinct``: the lake itself needs distinct input only to
+    avoid appending the same NEW fingerprint twice from one batch; when
+    the caller feeds dedup_incremental survivors (one row per fp by
+    construction — the maintainer call sites), the ``distinct()`` here
+    is a wasted agg pass over the batch (r17, the seen_is_distinct
+    discipline applied to the fold side). The NULL filter always runs.
 
     The plain-parquet seen snapshot re-shuffles the ENTIRE seen set on
     every batch's anti-join (and again on every fold's distinct): at
@@ -153,11 +161,11 @@ def seen_fold_bucketed(
     Plan pinned by tests/test_plans.py::
     test_bucketed_seen_lake_antijoin_has_no_lake_side_exchange.
     """
-    fps = (
-        fps.select(F.col(fp_col).alias(fp_col))
-        .filter(F.col(fp_col).isNotNull())
-        .distinct()
+    fps = fps.select(F.col(fp_col).alias(fp_col)).filter(
+        F.col(fp_col).isNotNull()
     )
+    if not fps_is_distinct:
+        fps = fps.distinct()
     if not spark.catalog.tableExists(table):
         # probe the MANAGED warehouse location too when no external path
         # was given (ADVICE r14): a fresh in-memory-catalog session

@@ -454,7 +454,14 @@ def stream_dedup_incremental(
         # survivor plan: the merge below swaps the seen snapshot the plan
         # still references, and a re-read also skips recomputing the
         # anti-join+dedup
-        fps = doc_fingerprints(spark.read.parquet(batch_dir), text_col=text_col)
+        # assume_distinct: survivors are one-row-per-fp by construction
+        # (dedup_exact keep-min-id); the merge's union .distinct() below
+        # still runs — it is the redelivery idempotency guard (a re-
+        # delivered committed batch's fps are already in the snapshot)
+        fps = doc_fingerprints(
+            spark.read.parquet(batch_dir), text_col=text_col,
+            assume_distinct=True,
+        )
         _merge_into_snapshot(
             spark,
             seen_path,
@@ -611,9 +618,16 @@ def stream_dedup_incremental_bucketed(
         # fingerprints derive from the JUST-WRITTEN files (see step 2 in
         # the docstring): the fold below advances the very table a lazy
         # survivor plan would re-read
-        fps = doc_fingerprints(spark.read.parquet(batch_dir), text_col=text_col)
+        # assume_distinct/fps_is_distinct: survivors are one-row-per-fp
+        # by construction; redelivery safety comes from the fold's
+        # anti-join (already-present fps append nothing), not a distinct
+        fps = doc_fingerprints(
+            spark.read.parquet(batch_dir), text_col=text_col,
+            assume_distinct=True,
+        )
         seen_fold_bucketed(
-            spark, seen_table, fps, buckets=buckets, path=seen_table_path
+            spark, seen_table, fps, buckets=buckets, path=seen_table_path,
+            fps_is_distinct=True,
         )
         if compact_files_over is not None:
             maybe_compact_lake(

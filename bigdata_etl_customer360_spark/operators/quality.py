@@ -1474,7 +1474,7 @@ def mann_whitney(
         F.count(F.lit(1)).alias("_cnt"),
         F.count(F.when(cond_a, F.lit(1))).alias("_ca"),
     )
-    binned, off = range_prefix_offsets(
+    binned, off, _ = range_prefix_offsets(
         per_value, [F.col(value_col)], F.sum("_cnt")
     )
     w = (

@@ -422,7 +422,7 @@ def assign_row_ids(
         raise ValueError("assign_row_ids needs at least one order column")
     from bigdata_etl_customer360_spark.operators.util import range_prefix_offsets
 
-    binned, off_expr = range_prefix_offsets(df, keys, F.count(F.lit(1)))
+    binned, off_expr, _ = range_prefix_offsets(df, keys, F.count(F.lit(1)))
     w = Window.partitionBy("_pid").orderBy(*[k.asc() for k in keys])
     return binned.select(
         *df.columns,
@@ -587,14 +587,25 @@ def rfm_scores(
     (metric, key) total order — every output value is engine-exact.
 
     Scale shape: the naive ``NTILE(k) OVER (ORDER BY metric)`` funnels
-    every customer through ONE reducer. Here each score rides the
-    distributed prefix-sum numbering (``assign_row_ids``: range
-    partition + local row_number + broadcast offsets), and the bucket is
-    recovered from (row_number, n) by the closed-form NTILE formula —
-    three range shuffles over the |keys| aggregate, no global window.
-    The group count ``n`` joins in as a 1-row broadcast (the scalar
-    broadcast pattern: BroadcastNestedLoopJoin over exactly one row).
+    every customer through ONE reducer. Here the three metrics MELT into
+    one long frame ((key, metric_idx, value) with the value widened to a
+    common DECIMAL — order-preserving for each metric), and ONE
+    distributed prefix-sum numbering over (metric_idx, value, key)
+    ranks all three at once (r17; previously three sequential
+    assign_row_ids passes paid three range shuffles + three eager
+    checkpoints + three offset collects over the same aggregate). Each
+    metric holds exactly ``n`` rows, so its within-metric rank is
+    ``global_rank - (metric_idx-1)*n``, the bucket is the same
+    closed-form NTILE formula, and ``n`` itself falls out of the
+    collected partition totals — a driver literal, no 1-row-broadcast
+    join. One pivot aggregate on the key folds the long frame back to
+    one row per customer. Ranks, and therefore scores, are bit-identical
+    to the three-pass form: same per-metric total order, same formula.
     """
+    from bigdata_etl_customer360_spark.operators.util import (
+        range_prefix_offsets,
+    )
+
     amount_dec = F.col(amount_col).cast("decimal(27,2)")
     ref_us = F.unix_micros(F.to_timestamp(F.lit(ref_ts)))
     base = (
@@ -618,17 +629,62 @@ def rfm_scores(
         )
         .withColumn("_neg_rec", -F.col("recency_days"))
     )
-    n_frame = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    scored = base.crossJoin(F.broadcast(n_frame))
-    for metric, out in (
-        ("_neg_rec", "r_score"),
-        ("frequency", "f_score"),
-        ("_mon_dec", "m_score"),
-    ):
-        scored = assign_row_ids(scored, [metric, key_col], out_col="_rn")
-        scored = scored.withColumn(
-            out, _ntile_from_rownum(F.col("_rn"), F.col("_n"), n_bins).cast("int")
-        ).drop("_rn")
+    # melt: DECIMAL(38,2) holds every metric exactly (longs and the
+    # DECIMAL(27,2) sum widen losslessly), so within-metric ordering is
+    # unchanged; payload columns ride along (3 small numbers — cheaper
+    # than a join back after scoring)
+    melted = base.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "_mon_dec",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("_m"),
+                    F.col("_neg_rec").cast("decimal(38,2)").alias("_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("_m"),
+                    F.col("frequency").cast("decimal(38,2)").alias("_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("_m"),
+                    F.col("_mon_dec").cast("decimal(38,2)").alias("_val"),
+                ),
+            )
+        ).alias("_mv"),
+    ).select(
+        key_col, "recency_days", "frequency", "_mon_dec",
+        F.col("_mv._m").alias("_m"), F.col("_mv._val").alias("_val"),
+    )
+    order_keys = [F.col("_m"), F.col("_val"), F.col(key_col)]
+    binned, off_expr, total_rows = range_prefix_offsets(
+        melted, order_keys, F.count(F.lit(1))
+    )
+    w = Window.partitionBy("_pid").orderBy(*[k.asc() for k in order_keys])
+    rn_global = (F.row_number().over(w) - F.lit(1) + off_expr + F.lit(1)).cast(
+        "long"
+    )
+    # n = rows per metric: the melted frame holds exactly 3n rows and the
+    # offsets collect already counted them (bounded driver work, no extra job)
+    n = int(total_rows) // 3
+    rn = rn_global - (F.col("_m") - F.lit(1)).cast("long") * F.lit(int(n))
+    bucket = _ntile_from_rownum(rn, F.lit(int(n)).cast("long"), n_bins).cast(
+        "int"
+    )
+    long_scored = binned.select(
+        key_col, "recency_days", "frequency", "_mon_dec", "_m",
+        bucket.alias("_score"),
+    )
+    scored = long_scored.groupBy(key_col).agg(
+        F.first("recency_days").alias("recency_days"),
+        F.first("frequency").alias("frequency"),
+        F.first("_mon_dec").alias("_mon_dec"),
+        F.max(F.when(F.col("_m") == 1, F.col("_score"))).alias("r_score"),
+        F.max(F.when(F.col("_m") == 2, F.col("_score"))).alias("f_score"),
+        F.max(F.when(F.col("_m") == 3, F.col("_score"))).alias("m_score"),
+    )
     hi = int(n_bins) - 1  # >= threshold for "top" buckets at n_bins=5 -> 4
     lo = 2
     segment = (

@@ -263,7 +263,7 @@ def interval_concurrency(
     # for the totals collect and the windowed projection alike)
     from bigdata_etl_customer360_spark.operators.util import range_prefix_offsets
 
-    binned, off_expr = range_prefix_offsets(net, [F.col(out_ts)], F.sum(out_net))
+    binned, off_expr, _ = range_prefix_offsets(net, [F.col(out_ts)], F.sum(out_net))
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.col(out_ts).asc())

@@ -245,6 +245,11 @@ def range_prefix_offsets(df, order_cols, total_expr):
     running total is being distributed (``F.sum(col)`` for value cumsums,
     ``F.count(lit(1))`` for row numbering).
 
+    Returns ``(binned, off_expr, total)`` — ``total`` is the grand total
+    across all partitions (r17: callers like ``rfm_scores`` need the row
+    count the collect already computed; returning it saves them a
+    separate count job).
+
     Raises if the input already carries a ``_pid`` column — silently
     overwriting it would return partition ids in place of user data.
     """
@@ -281,4 +286,4 @@ def range_prefix_offsets(df, order_cols, total_expr):
         if offsets
         else F.lit(0)
     )
-    return binned, off_expr
+    return binned, off_expr, acc

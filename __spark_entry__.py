@@ -614,9 +614,16 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(miss) ~ 6e-15). Recall near the 0.1 threshold stays probabilistic
     and is NOT claimed here (minhash_lsh remains rows-only)."""
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.6)
+    # one shared shingle+hash posting substrate for BOTH tiers (r17):
+    # the exact pairs and the LSH bands previously each ran the full
+    # shingle build; ngram_posts is built (and cached) once here
+    from bigdata_etl_customer360_spark.operators.dedup import ngram_posts
+
+    posts = ngram_posts(docs)
+    exact = ngram_jaccard_pairs(docs, threshold=0.6, posts=posts)
     cand = minhash_lsh_pairs(
-        docs, num_hashes=64, bands=32, threshold=0.1, verify=False
+        docs, num_hashes=64, bands=32, threshold=0.1, verify=False,
+        posts=posts,
     ).withColumn("_hit", F.lit(1).cast("long"))
     return (
         exact.join(cand, on=["id_a", "id_b"], how="left")

@@ -109,6 +109,31 @@ def dedup_exact(
     return kept.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
+def ngram_posts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The shared shingle POSTING substrate ``(_id, _sz, _sh)`` — one row
+    per (doc, distinct shingle), ``_sz`` the doc's STRING-shingle-set
+    size, ``_sh`` the shingle's 64-bit hash — scoped-cached. Extracted
+    r17 so a query that needs BOTH exact ngram pairs and minhash bands
+    (the recall certificate) builds the expensive shingle+explode+hash
+    pass once and feeds it to :func:`ngram_jaccard_pairs` and
+    :func:`minhash_doc_sets` via their ``posts=`` parameter; the
+    single-consumer call sites are unchanged (they build it inline,
+    exactly as before)."""
+    sh = with_shingles(fan_out(df), text_col, n).select(
+        F.col(id_col).alias("_id"), F.col("shingles")
+    )
+    sized = sh.withColumn("_sz", F.size("shingles"))
+    return scoped_cache(
+        sized.select("_id", "_sz", F.explode("shingles").alias("_s"))
+        .select("_id", "_sz", F.xxhash64("_s").alias("_sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,6 +141,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs: Jaccard over distinct word n-grams.
 
@@ -132,21 +158,16 @@ def ngram_jaccard_pairs(
     need ``max_df=None``; web-scale precision/recall barely moves while
     join cost drops by the square of the cap. Or use ``minhash_lsh_pairs``.
     """
-    sh = with_shingles(fan_out(df), text_col, n).select(
-        F.col(id_col).alias("_id"), F.col("shingles")
-    )
-    sized = sh.withColumn("_sz", F.size("shingles"))
     # cache: the posting list feeds both self-join sides, and the boundary
     # keeps inferred isnotnull(shingle-expr) filters from recomputing the
     # shingling below the fan-out exchange (see simhash_pairs). The join
     # key is the shingle's 64-bit hash, not the string: 8-byte shuffle/
     # cache rows, same pair counts (collisions ~2^-64 — shingle sets are
     # already distinct per doc, so a collision can only merge two
-    # different shingles across docs).
-    posts = scoped_cache(
-        sized.select("_id", "_sz", F.explode("shingles").alias("_s"))
-        .select("_id", "_sz", F.xxhash64("_s").alias("_sh"))
-    )
+    # different shingles across docs). ``posts=`` lets a caller that also
+    # minhashes the same corpus share ONE substrate build (ngram_posts).
+    if posts is None:
+        posts = ngram_posts(df, id_col=id_col, text_col=text_col, n=n)
     if max_df is not None:
         keep = (
             posts.groupBy("_sh")
@@ -178,6 +199,7 @@ def minhash_doc_sets(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc distinct shingle-HASH sets ``(_id, _hs array<long>)`` — the
     shared substrate of :func:`minhash_lsh_pairs` and the streaming
@@ -194,11 +216,19 @@ def minhash_doc_sets(
     boilerplate shingles appearing in more than ``max_df`` docs (a
     distributed df-count join); both the signatures and the verify-
     Jaccard then use the capped shingle space."""
-    posts = (
-        with_shingles(fan_out(df), text_col, n)
-        .select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_sh"))
-    )
+    # ``posts=`` (r17): reuse a caller-built ngram_posts substrate — the
+    # extra ``_sz`` column is projected away, the (doc, shingle-hash)
+    # rows are identical to the inline build
+    if posts is not None:
+        posts = posts.select("_id", "_sh")
+    else:
+        posts = (
+            with_shingles(fan_out(df), text_col, n)
+            .select(
+                F.col(id_col).alias("_id"), F.explode("shingles").alias("_s")
+            )
+            .select("_id", F.xxhash64("_s").alias("_sh"))
+        )
     if max_df is not None:
         # posts feeds BOTH the df-count branch and the capped join below —
         # cache so shingling+explode+xxhash64 runs once (same reason
@@ -270,9 +300,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     max_df: int | None = None,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup candidates, optionally verified with
-    exact Jaccard — the scale path for near-dedup.
+    exact Jaccard — the scale path for near-dedup. ``posts=`` forwards a
+    caller-built :func:`ngram_posts` substrate to
+    :func:`minhash_doc_sets` (the recall certificate shares one shingle
+    build between the exact tier and this one).
 
     Signature: each shingle string is hashed ONCE (``h = xxhash64(s)``,
     the expensive part) at explode time; permutation i re-hashes the long
@@ -294,7 +328,9 @@ def minhash_lsh_pairs(
     stress), the cap must exceed the corpus duplication factor or
     boilerplate-only duplicate groups vanish by design.
     """
-    sh = minhash_doc_sets(df, id_col=id_col, text_col=text_col, n=n, max_df=max_df)
+    sh = minhash_doc_sets(
+        df, id_col=id_col, text_col=text_col, n=n, max_df=max_df, posts=posts
+    )
     banded = minhash_band_rows(sh, num_hashes=num_hashes, bands=bands)
 
     a, b = banded.alias("a"), banded.alias("b")

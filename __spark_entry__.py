@@ -4359,11 +4359,16 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1s cheaper): top-20 part authorities + top-20 customer hubs, scores
     rounded 1e-8 BEFORE the ordering (id tie-break) — the pagerank
     bounded-top-k float contract. The two key spaces are disambiguated
-    with STRING role tags ('c:'/'p:'), never an arithmetic offset: at
-    sf>=5 l_partkey reaches the old +1e6 offset space and would silently
-    merge nodes (ADVICE r8); the tagged key is collision-free at any
-    scale factor. The oracle works in the native key spaces and needs no
-    tag."""
+    with a PARITY BIT (customer -> key<<1 even, part -> key<<1|1 odd —
+    r17, replacing the r8 string tags): collision-free at ANY scale
+    factor like the tags (unlike the rejected +1e6 offset, which
+    l_partkey reaches at sf>=5), but the graph stays int64 end to end —
+    no per-edge concat, a 16-byte Arrow edge pull instead of strings,
+    and the local mode's pd.factorize runs on int64 instead of objects.
+    The oracle works in the native key spaces and needs no tag. The
+    1e-8 rounding absorbs the bincount accumulation-order change from
+    the re-keyed node ordering (the same ulp-class argument as the r15
+    local mode itself; oracle-verified at all 3 SFs)."""
     from bigdata_etl_customer360_spark.operators.graph import hits
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4374,22 +4379,23 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-ops at real scale where the scan is already parallel
     li = fan_out(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     # distinct on the INTEGER key pair BEFORE tagging (r16, guide §2.3
-    # narrower types): the dedup shuffle carries 16-byte rows instead of
-    # tagged strings, and the tag concat runs once per DISTINCT edge —
-    # identical edge set
+    # narrower types): the dedup shuffle carries 16-byte rows and the
+    # parity tag is a shift per DISTINCT edge — identical edge set
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_partkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+            F.shiftleft(F.col("o_custkey").cast("long"), 1).alias("src"),
+            (F.shiftleft(F.col("l_partkey").cast("long"), 1) + F.lit(1)).alias(
+                "dst"
+            ),
         )
     )
     res = hits(edges, iterations=6)
-    node_id = F.substring(F.col("id"), 3, 30).cast("long")
+    node_id = F.shiftright(F.col("id"), 1).cast("long")
     parts = (
-        res.filter(F.col("id").startswith("p:"))
+        res.filter(F.col("id") % 2 == 1)
         .select(
             F.lit("authority").alias("role"),
             node_id.alias("node_id"),
@@ -4399,7 +4405,7 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     hubs = (
-        res.filter(F.col("id").startswith("c:"))
+        res.filter(F.col("id") % 2 == 0)
         .select(
             F.lit("hub").alias("role"),
             node_id.alias("node_id"),

@@ -3953,15 +3953,25 @@ def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_idx", "chunk_text"
         )
     )
+    # ONE shingle substrate over the cid frame feeds BOTH tiers (r17,
+    # the minhash_recall pattern): the exact pairs and the LSH bands
+    # each ran the full chunk-shingle pass before
+    from bigdata_etl_customer360_spark.operators.dedup import ngram_posts
+
+    cid_frame = chunks.select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("chunk_idx")
+        ).alias("cid"),
+        "chunk_text",
+    )
+    posts = ngram_posts(cid_frame, id_col="cid", text_col="chunk_text", n=3)
     exact = ngram_jaccard_pairs(
-        chunks.select(
-            F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
-            "chunk_text",
-        ),
+        cid_frame,
         id_col="cid",
         text_col="chunk_text",
         n=3,
         threshold=0.6,
+        posts=posts,
     )
     da = F.regexp_replace(F.col("id_a"), r"#[0-9]+$", "").cast("long")
     db = F.regexp_replace(F.col("id_b"), r"#[0-9]+$", "").cast("long")
@@ -3972,7 +3982,7 @@ def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_doc = chunk_near_dup_pairs(
         corpus, n=3, num_hashes=64, bands=32, threshold=0.6,
-        verify=False, chunks=chunks,
+        verify=False, chunks=chunks, posts=posts,
     ).select("id_a", "id_b", F.lit(1).cast("long").alias("_hit"))
     return exact_doc.join(cand_doc, on=["id_a", "id_b"], how="left").select(
         "id_a",

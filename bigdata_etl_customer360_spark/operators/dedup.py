@@ -814,6 +814,7 @@ def chunk_near_dup_pairs(
     verify: bool = True,
     max_df: int | None = None,
     chunks: DataFrame | None = None,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Paragraph/chunk-level near-dup: run the minhash-LSH tier over
     ``chunk_documents`` output so documents sharing ONE near-identical
@@ -842,6 +843,12 @@ def chunk_near_dup_pairs(
     (e.g. an already-cached ``chunk_documents`` output shared with an
     exact tier) — skips re-chunking; ``chunk_tokens``/``stride`` are
     ignored when given.
+
+    ``posts``: a caller-built :func:`ngram_posts` substrate over the
+    CID frame (``_id = concat_ws('#', id, chunk_idx)``) — forwarded to
+    :func:`minhash_lsh_pairs` so a query running BOTH the exact chunk
+    tier and this one shingles the chunks once (r17, the minhash_recall
+    pattern); the internal cid/shingle build is skipped entirely.
     """
     from bigdata_etl_customer360_spark.operators.textstats import chunk_documents
 
@@ -857,16 +864,21 @@ def chunk_near_dup_pairs(
     # self-join — without a materialization boundary the chunking (and
     # everything upstream of df) recomputes once per join side, and
     # constraint-inferred isnotnull() filters clone the chunk expressions
-    # below the exchanges (see verify SKILL gotchas)
-    cid_frame = scoped_cache(chunks.select(
-        F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx"))
-        .alias("_cid"),
-        F.col("chunk_text"),
-    ))
+    # below the exchanges (see verify SKILL gotchas). With a caller-built
+    # ``posts`` substrate the cid/shingle build is skipped entirely
+    # (minhash_doc_sets derives from posts).
+    if posts is None:
+        cid_frame = scoped_cache(chunks.select(
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx"))
+            .alias("_cid"),
+            F.col("chunk_text"),
+        ))
+    else:
+        cid_frame = None
     cpairs = minhash_lsh_pairs(
         cid_frame, id_col="_cid", text_col="chunk_text", n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
-        verify=verify, max_df=max_df,
+        verify=verify, max_df=max_df, posts=posts,
     )
     # strip the LAST '#<digits>' (the chunk_idx this function appended):
     # a plain split on '#' would truncate string doc ids containing '#'

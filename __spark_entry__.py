@@ -2912,7 +2912,8 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("id")
     )
-    return bfs_distances(pairs, seeds, max_depth=8)
+    # edges_unique: ngram pairs are one row per id_a<id_b (r17)
+    return bfs_distances(pairs, seeds, max_depth=8, edges_unique=True)
 
 
 def q_bfs_chain_local(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3021,7 +3022,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — and with early_stop=False the run is EXACTLY 4 synchronous rounds,
     # a pure function of the edge set, so the oracle unrolls the same 4
     # rounds as chained CTEs (VERDICT r10 task 5: off the rows-only list).
-    return label_propagation(pairs, max_iterations=4, early_stop=False)
+    # edges_unique: ngram pairs are one row per id_a<id_b (r17)
+    return label_propagation(
+        pairs, max_iterations=4, early_stop=False, edges_unique=True
+    )
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4647,7 +4651,8 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one-exchange array-pair build — see _copurchase_edges
     edges = _copurchase_edges(spark, sf_dir)
-    return k_core(edges, 3, src="src", dst="dst")
+    # edges_unique: the support agg emits one row per src<dst pair (r17)
+    return k_core(edges, 3, src="src", dst="dst", edges_unique=True)
 
 
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5118,7 +5123,10 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one-exchange array-pair build — see _copurchase_edges
     edges = _copurchase_edges(spark, sf_dir)
-    return core_numbers(edges, src="src", dst="dst", max_core=4)
+    # edges_unique: the support agg emits one row per src<dst pair (r17)
+    return core_numbers(
+        edges, src="src", dst="dst", max_core=4, edges_unique=True
+    )
 
 
 def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

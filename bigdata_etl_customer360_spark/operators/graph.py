@@ -796,6 +796,7 @@ def label_propagation(
     out_label: str = "label",
     max_iterations: int = 10,
     early_stop: bool = True,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA): every
     node starts as its own label; each round every node adopts the most
@@ -829,8 +830,18 @@ def label_propagation(
     ).unionByName(
         edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
     ).localCheckpoint(eager=True)
-    both = raw.filter(F.col("_u") != F.col("_v")).distinct()
-    both = both.localCheckpoint(eager=True)
+    both = raw.filter(F.col("_u") != F.col("_v"))
+    if not edges_unique:
+        # LPA votes COUNT neighbor labels, so the distinct here is
+        # semantically load-bearing for inputs with duplicate pairs.
+        # ``edges_unique=True`` (r17) is the caller's ASSERTION that the
+        # pairs are unique as unordered pairs (a groupBy/distinct output
+        # — one row per id_a<id_b): then the symmetrized rows are
+        # distinct by construction and the full shuffle+agg (plus its
+        # checkpoint — the filter over the raw checkpoint is cheap for
+        # both remaining consumers) is skipped.
+        both = both.distinct()
+        both = both.localCheckpoint(eager=True)
     n_edges = both.count()
 
     # node set derives BEFORE the self-loop filter so a node whose only
@@ -922,6 +933,7 @@ def bfs_distances(
     out_dist: str = "dist",
     max_depth: int = 20,
     weight_col: str | None = None,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances over an undirected graph — the
     shortest-path-length primitive (blast radius, influence frontier,
@@ -996,7 +1008,16 @@ def bfs_distances(
         F.col(src).alias("_u"), F.col(dst).alias("_v"), w_expr.alias("_w")
     ).unionByName(
         edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"), w_expr.alias("_w"))
-    ).filter(F.col("_u") != F.col("_v")).distinct().localCheckpoint(eager=True)
+    ).filter(F.col("_u") != F.col("_v"))
+    if not edges_unique:
+        # ``edges_unique=True`` (r17): when the caller's pairs are unique
+        # as UNORDERED pairs (a groupBy/distinct output like the ngram
+        # pair builds — one row per id_a<id_b), the symmetrized rows are
+        # distinct BY CONSTRUCTION and this full shuffle+agg is waste; a
+        # duplicate row would only inflate message volume, never change
+        # the min-distance fixed point, so the flag is a pure cost knob.
+        both = both.distinct()
+    both = both.localCheckpoint(eager=True)
     n_edges = both.count()
 
     dist = sources.select(
@@ -1330,6 +1351,7 @@ def k_core(
     out_id: str = "id",
     out_deg: str = "degree",
     max_rounds: int = 100,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """k-core decomposition membership: the maximal subgraph in which
     every node has degree >= ``k`` (undirected; self-loops and duplicate
@@ -1371,9 +1393,15 @@ def k_core(
             edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
         )
         .filter(F.col("_u") != F.col("_v"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if not edges_unique:
+        # degrees COUNT incident edges, so this distinct is semantically
+        # load-bearing for inputs with duplicate pairs; edges_unique=True
+        # (r17) asserts one row per unordered pair (a groupBy/distinct
+        # output), making the symmetrized rows distinct by construction
+        # and the full shuffle+agg skippable.
+        both = both.distinct()
+    both = both.localCheckpoint(eager=True)
     n_edges = both.count()
     if 0 < n_edges <= _LINK_LOCAL_EDGE_CAP:
         import numpy as np
@@ -1472,6 +1500,7 @@ def core_numbers(
     out_id: str = "id",
     out_core: str = "core",
     max_rounds: int = 100,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Bounded core decomposition: every node's core number — the
     largest k for which it survives the k-core peel — CAPPED at
@@ -1501,9 +1530,12 @@ def core_numbers(
             edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
         )
         .filter(F.col("_u") != F.col("_v"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if not edges_unique:
+        # see k_core: load-bearing for duplicate inputs, skippable when
+        # the caller asserts one row per unordered pair (r17)
+        both = both.distinct()
+    both = both.localCheckpoint(eager=True)
     n_edges = both.count()
     if 0 < n_edges <= _LINK_LOCAL_EDGE_CAP:
         import numpy as np
